@@ -1,38 +1,406 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry(spark) smoke, queries() vs oracle_sql() via DuckDB.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine queries run over the `documents` testdata table through the full
+lucene_spark pipeline (index build -> compressed postings -> BM25 top-k);
+oracles re-derive the same results in ANSI SQL (tokenization regex, norm
+quantization, BM25 formula and tie-breaks all mirrored — see
+lucene_spark/analysis.py TOKEN_REGEX_SQL and lucene_spark/bm25.py).
+
+Scores are computed double-precision on both sides and rounded to 4dp so
+the order-insensitive value-hash comparison is robust to sub-ulp libm
+differences; ordering/LIMIT use the *rounded* score + docID-asc tie-break
+on both sides so the selected row set is identical. The float32-exact
+Lucene arithmetic path is covered by tests/ (pytest) against the naive
+pandas oracle instead, where bit-for-bit equality is asserted.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from lucene_spark.index import Index, build_index
+from lucene_spark.search import (
+    BoolQ,
+    DisMaxQ,
+    FieldFilter,
+    FuzzyQ,
+    PhraseQ,
+    PrefixQ,
+    Searcher,
+    SynonymQ,
+    TermInSetQ,
+    TermQ,
+    TermRangeQ,
+    WildcardQ,
+)
+
+_CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+_INDEXES: dict[str, Index] = {}
+
+K1, B = 1.2, 0.75
+
+
+def _get_index(spark: SparkSession, sf_dir: str) -> Index:
+    key = os.path.normpath(sf_dir)
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    build_index(
+        spark,
+        docs,
+        idx_dir,
+        text_col="text",
+        doc_id_col="doc_id",
+        keep_cols=["lang", "source", "n_chars"],
+        num_buckets=8,
+        salt_rows=2048,
+        resume=True,
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    return Searcher(_get_index(spark, sf_dir), scoring="double")
+
+
+def _topk_rounded(scored: DataFrame, k: int) -> DataFrame:
+    out = scored.withColumn("score_r", F.round(F.col("score"), 4))
+    return (
+        out.orderBy(F.desc("score_r"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score_r")
+    )
+
+
+def _docset_sorted(ds: DataFrame) -> DataFrame:
+    return ds.select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle prelude: tokenization + norms + global stats + tf/df,
+# mirroring the engine exactly (see module docstring).
+# ---------------------------------------------------------------------------
+
+_PRELUDE = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
+  FROM documents
+),
+dls AS (SELECT doc_id, len(toks) AS dl FROM tok),
+qdls AS (  -- SmallFloat.intToByte4 -> byte4ToInt quantization (see smallfloat.py)
+  SELECT doc_id, dl,
+    CASE WHEN dl < 32 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+                     << (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+    END AS qdl
+  FROM dls),
+g AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         CAST(sum(dl) AS DOUBLE) AS sum_ttf
+  FROM dls),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM terms GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+
+def _w(df_expr: str) -> str:
+    """idf in double: ln(1 + (N - n + 0.5)/(n + 0.5))."""
+    return f"ln(1 + (g.doc_count - {df_expr} + 0.5) / ({df_expr} + 0.5))"
+
+
+_INV = f"(1.0 / ({K1} * ((1 - {B}) + {B} * q.qdl / (g.sum_ttf / g.doc_count))))"
+
+
+def _term_scored_sql(term: str) -> str:
+    """SELECT doc_id, score for one term (BM25 double)."""
+    w = f"(SELECT {_w('df')} FROM dfs, g WHERE term = '{term}')"
+    return f"""
+  SELECT tf.doc_id,
+         ({w}) - ({w}) / (1 + tf.freq * {_INV}) AS score
+  FROM tf JOIN qdls q USING (doc_id), g
+  WHERE tf.term = '{term}'
+"""
+
+
+def _topk_sql(scored_sql: str, k: int) -> str:
+    return (
+        f"{_PRELUDE}, scored AS ({scored_sql}) "
+        f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+        f"ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"
+    )
+
+
+def _docset_sql(where_terms: str) -> str:
+    return (
+        f"{_PRELUDE} SELECT DISTINCT tf.doc_id FROM tf JOIN dfs USING (term) "
+        f"WHERE {where_terms} ORDER BY doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine-side query callables
+# ---------------------------------------------------------------------------
+
+
+def _q_term(term: str, k: int):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return _topk_rounded(s.scored(TermQ(term)), k)
+
+    return fn
+
+
+def _q_bool(builder, k: int):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return _topk_rounded(s.scored(builder()), k)
+
+    return fn
+
+
+def _q_docset(builder):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return _docset_sorted(s.doc_set(builder()))
+
+    return fn
+
+
+def _q_facet_lang(term: str):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        matches = s.doc_set(TermQ(term))
+        return (
+            matches.join(s.index.docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("lang")
+        )
+
+    return fn
+
+
+def _q_group_top_per_lang(term: str):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        scored = s.scored(TermQ(term)).withColumn("score_r", F.round("score", 4))
+        joined = scored.join(s.index.docs.select("doc_id", "lang"), "doc_id")
+        w = W.partitionBy("lang").orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return (
+            joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("lang", "doc_id", "score_r")
+        )
+
+    return fn
+
+
+def _q_total_hits(terms: tuple):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        n = s.count(BoolQ(should=tuple(TermQ(t) for t in terms)))
+        return spark.createDataFrame([(n,)], T.StructType([T.StructField("total", T.LongType())]))
+
+    return fn
+
+
+def _q_sort_field(term: str, k: int):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return (
+            s.doc_set(TermQ(term))
+            .join(s.index.docs.select("doc_id", "n_chars"), "doc_id")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "n_chars")
+        )
+
+    return fn
+
+
+def _q_search_after(term: str, k: int):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        scored = s.scored(TermQ(term)).withColumn("score_r", F.round("score", 4))
+        page1 = (
+            scored.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(k).collect()
+        )
+        if len(page1) < k:
+            return spark.createDataFrame([], "doc_id long, score_r double")
+        a_s, a_d = page1[-1]["score_r"], page1[-1]["doc_id"]
+        below = (F.col("score_r") < a_s) | (
+            (F.col("score_r") == a_s) & (F.col("doc_id") > a_d)
+        )
+        return (
+            scored.filter(below)
+            .orderBy(F.desc("score_r"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score_r")
+        )
+
+    return fn
+
+
+def _q_phrase(terms: tuple, k: int):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return _topk_rounded(s.scored(PhraseQ(terms)), k)
+
+    return fn
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the full index on sf0.001 and run a scored boolean
+    query (OR of two terms, lang-filtered) through the compressed postings."""
+    sf_dir = "/root/testdata/sf0.001"
+    s = _searcher(spark, sf_dir)
+    q = BoolQ(should=(TermQ("data"), TermQ("vector")), filter=(FieldFilter("lang", "=", "en"),))
+    return _topk_rounded(s.scored(q), 100)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_topk": _q_term("vector", 10),
+        "term_topk_hot": _q_term("the", 100),
+        "bool_or_topk": _q_bool(lambda: BoolQ(should=(TermQ("merge"), TermQ("sort"))), 20),
+        "bool_and_topk": _q_bool(lambda: BoolQ(must=(TermQ("filter"), TermQ("window"))), 20),
+        "bool_must_not": _q_bool(
+            lambda: BoolQ(must=(TermQ("merge"),), must_not=(TermQ("join"),)), 20
+        ),
+        "bool_filter_lang": _q_bool(
+            lambda: BoolQ(must=(TermQ("data"),), filter=(FieldFilter("lang", "=", "en"),)), 20
+        ),
+        "min_should_match": _q_bool(
+            lambda: BoolQ(
+                should=(TermQ("merge"), TermQ("sort"), TermQ("hash")), min_should_match=2
+            ),
+            20,
+        ),
+        "phrase_topk": _q_phrase(("data", "line"), 20),
+        "synonym_topk": _q_bool(lambda: SynonymQ(("merge", "join")), 20),
+        "dismax_topk": _q_bool(lambda: DisMaxQ((TermQ("merge"), TermQ("sort")), 0.1), 20),
+        "prefix_docs": _q_docset(lambda: PrefixQ("s")),
+        "wildcard_docs": _q_docset(lambda: WildcardQ("b?g")),
+        "fuzzy_docs": _q_docset(lambda: FuzzyQ("mergee", 1)),
+        "term_range_docs": _q_docset(lambda: TermRangeQ("q", "t", True, False)),
+        "in_set_docs": _q_docset(lambda: TermInSetQ(("spark", "vector"))),
+        "facet_lang_counts": _q_facet_lang("vector"),
+        "group_top_per_lang": _q_group_top_per_lang("merge"),
+        "total_hits": _q_total_hits(("merge", "sort", "hash")),
+        "sort_by_field": _q_sort_field("vector", 10),
+        "search_after_page2": _q_search_after("the", 10),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    or_sql = (
+        f"SELECT doc_id, sum(score) AS score FROM ("
+        f"{_term_scored_sql('merge')} UNION ALL {_term_scored_sql('sort')}"
+        f") GROUP BY doc_id"
+    )
+    and_sql = (
+        f"SELECT a.doc_id, a.score + b.score AS score FROM ({_term_scored_sql('filter')}) a "
+        f"JOIN ({_term_scored_sql('window')}) b USING (doc_id)"
+    )
+    not_sql = (
+        f"SELECT doc_id, score FROM ({_term_scored_sql('merge')}) a WHERE NOT EXISTS ("
+        f"SELECT 1 FROM tf x WHERE x.term = 'join' AND x.doc_id = a.doc_id)"
+    )
+    filter_lang_sql = (
+        f"SELECT a.doc_id, a.score FROM ({_term_scored_sql('data')}) a "
+        f"JOIN documents d ON d.doc_id = a.doc_id WHERE d.lang = 'en'"
+    )
+    msm_sql = (
+        f"SELECT doc_id, sum(score) AS score FROM ("
+        f"{_term_scored_sql('merge')} UNION ALL {_term_scored_sql('sort')} "
+        f"UNION ALL {_term_scored_sql('hash')}"
+        f") GROUP BY doc_id HAVING count(*) >= 2"
+    )
+    # phrase "data line": positions via generate_series over the token list;
+    # freq = #i with toks[i]='data' and toks[i+1]='line'; weight = summed idf
+    phrase_scored = f"""
+  SELECT p.doc_id,
+         (wsum.w0) - (wsum.w0) / (1 + p.freq * {_INV}) AS score
+  FROM (
+    SELECT a.doc_id, count(*) AS freq
+    FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+          FROM tok) a
+    WHERE a.toks[a.pos] = 'data' AND a.pos < len(a.toks)
+      AND a.toks[a.pos + 1] = 'line'
+    GROUP BY a.doc_id
+  ) p
+  JOIN qdls q USING (doc_id), g,
+       (SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data')
+             + (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum
+"""
+    # synonym (merge, join): df = max of dfs, freq = sum
+    syn_sql = f"""
+  SELECT s.doc_id,
+         wmax - wmax / (1 + s.freq * {_INV}) AS score
+  FROM (SELECT doc_id, sum(freq) AS freq FROM tf WHERE term IN ('merge','join')
+        GROUP BY doc_id) s
+  JOIN qdls q USING (doc_id), g,
+       (SELECT {_w("(SELECT max(df) FROM dfs WHERE term IN ('merge','join'))")} AS wmax
+        FROM g) wm
+"""
+    dismax_sql = (
+        f"SELECT doc_id, mx + 0.1 * (sm - mx) AS score FROM ("
+        f"SELECT doc_id, max(score) AS mx, sum(score) AS sm FROM ("
+        f"{_term_scored_sql('merge')} UNION ALL {_term_scored_sql('sort')}"
+        f") GROUP BY doc_id)"
+    )
+    return {
+        "term_topk": _topk_sql(_term_scored_sql("vector"), 10),
+        "term_topk_hot": _topk_sql(_term_scored_sql("the"), 100),
+        "bool_or_topk": _topk_sql(or_sql, 20),
+        "bool_and_topk": _topk_sql(and_sql, 20),
+        "bool_must_not": _topk_sql(not_sql, 20),
+        "bool_filter_lang": _topk_sql(filter_lang_sql, 20),
+        "min_should_match": _topk_sql(msm_sql, 20),
+        "phrase_topk": _topk_sql(phrase_scored, 20),
+        "synonym_topk": _topk_sql(syn_sql, 20),
+        "dismax_topk": _topk_sql(dismax_sql, 20),
+        "prefix_docs": _docset_sql("tf.term LIKE 's%'"),
+        "wildcard_docs": _docset_sql("tf.term LIKE 'b_g'"),
+        "fuzzy_docs": _docset_sql("levenshtein(tf.term, 'mergee') <= 1"),
+        "term_range_docs": _docset_sql("tf.term >= 'q' AND tf.term < 't'"),
+        "in_set_docs": _docset_sql("tf.term IN ('spark', 'vector')"),
+        "facet_lang_counts": (
+            f"{_PRELUDE} SELECT d.lang, count(*) AS cnt FROM "
+            f"(SELECT DISTINCT doc_id FROM tf WHERE term = 'vector') m "
+            f"JOIN documents d USING (doc_id) GROUP BY d.lang ORDER BY d.lang"
+        ),
+        "group_top_per_lang": (
+            f"{_PRELUDE}, scored AS ({_term_scored_sql('merge')}) "
+            f"SELECT lang, doc_id, score_r FROM ("
+            f"SELECT d.lang, s.doc_id, round(s.score, 4) AS score_r, "
+            f"row_number() OVER (PARTITION BY d.lang "
+            f"ORDER BY round(s.score, 4) DESC, s.doc_id) AS rn "
+            f"FROM scored s JOIN documents d USING (doc_id)) WHERE rn = 1"
+        ),
+        "total_hits": (
+            f"{_PRELUDE} SELECT count(*) AS total FROM ("
+            f"SELECT DISTINCT doc_id FROM tf WHERE term IN ('merge','sort','hash'))"
+        ),
+        "sort_by_field": (
+            f"{_PRELUDE} SELECT m.doc_id, d.n_chars FROM "
+            f"(SELECT DISTINCT doc_id FROM tf WHERE term = 'vector') m "
+            f"JOIN documents d USING (doc_id) "
+            f"ORDER BY d.n_chars DESC, m.doc_id LIMIT 10"
+        ),
+        "search_after_page2": (
+            f"{_PRELUDE}, scored AS ({_term_scored_sql('the')}) "
+            f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+            f"ORDER BY round(score, 4) DESC, doc_id LIMIT 10 OFFSET 10"
+        ),
+    }

@@ -1,0 +1,428 @@
+"""Distributed inverted-index build: the IndexWriter analog.
+
+Pipeline (reference lifecycle at index/IndexWriter.java:1476 ->
+DocumentsWriterPerThread.java:209-247 -> Lucene90PostingsWriter, re-shaped
+for Spark's execution model; see SURVEY.md §3.1):
+
+stage0  corpus snapshot + deterministic global docIDs
+        Reference docIDs are ingest-order ints
+        (DocumentsWriterPerThread.java:239). We make that order explicit
+        and cluster-reproducible: rank over a stable key. Implemented
+        scalably as repartitionByRange(key) + sortWithinPartitions + a
+        per-partition-count offset pass (no single-partition window).
+        Written to <index>/corpus — the stored-fields analog
+        (Lucene90StoredFieldsFormat.java:40-54; Parquet already gives us
+        compressed columnar row storage) and the lineage checkpoint.
+
+stage1  tokenize + invert + encode
+        mapInPandas(tokenize batch, count freqs per (doc,term)) is the
+        DWPT in-RAM hash analog (index/TermsHashPerField.java); the
+        shuffle to (bucket(term), salt(docid-range)) is the SegmentMerger
+        analog (index/SegmentMerger.java:107-142) — *salted* so a hot
+        term ("the", "license") spreads over many reducers, a skew the
+        single-node reference never faces. Each (term, salt) group
+        becomes one postings row holding FOR/PFor-compressed blocks
+        (codec.py). Posting rows stay sharded by docID range — shards
+        are disjoint and mergeable by concatenation, so queries never
+        need a giant single row per term (Lucene's analog: one term's
+        postings span segments).
+
+stage2  docs table (doc_id, dl, norm, keyword cols) — derived from the
+        inverted stream (dl = sum of freqs), no second tokenize pass.
+
+stage3  term_stats (term, df, ttf, max block impact) — the terms
+        dictionary analog (blocktree Lucene90BlockTreeTermsWriter.java:198;
+        we need no FST: term lookup is a bucket-pruned Parquet filter,
+        and the stats table is small enough to broadcast).
+
+manifest.json — SegmentInfos analog (index/SegmentInfos.java:113):
+        global stats (N, sumTotalTermFreq), build params, per-stage
+        lineage (row counts, input), completion flags for resume.
+        Commit = atomic rename, like Lucene's segments_N protocol.
+
+Every build stage is idempotent and individually resumable: a stage whose
+output + manifest entry exist is skipped on re-run (checkpoint-resume with
+per-partition lineage recorded per stage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.analysis import analyze_batch
+from lucene_spark.codec import encode_posting_blocks, encode_value_stream
+
+BLOCK_STRUCT = T.StructType(
+    [
+        T.StructField("num", T.IntegerType()),
+        T.StructField("first_docid", T.LongType()),
+        T.StructField("last_docid", T.LongType()),
+        T.StructField("bpv_docs", T.IntegerType()),
+        T.StructField("docs", T.BinaryType()),
+        T.StructField("bpv_freqs", T.IntegerType()),
+        T.StructField("freqs", T.BinaryType()),
+        T.StructField("fexc", T.BinaryType()),
+        T.StructField("norms", T.BinaryType()),
+        T.StructField(
+            "impacts",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("freq", T.IntegerType()),
+                        T.StructField("norm", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("ttf", T.LongType()),
+        T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
+        T.StructField("pos", T.BinaryType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+
+INVERTED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("freq", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        T.StructField("norm", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("salt", T.IntegerType()),
+    ]
+)
+
+
+def term_bucket_py(terms: pd.Series, num_buckets: int) -> np.ndarray:
+    """Stable term -> bucket hash (md5 low 8 bytes, little-endian).
+
+    Matches DuckDB's md5_number_lower so oracles can reproduce it.
+    """
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+            % num_buckets
+            for t in terms
+        ),
+        dtype=np.int64,
+        count=len(terms),
+    )
+
+
+def _assign_doc_ids(df: DataFrame, order_cols: list[str], parts: int) -> DataFrame:
+    """Deterministic global rank without a single-partition window.
+
+    repartitionByRange + sortWithinPartitions gives a total order across
+    partitions; a cheap count-per-partition pass yields offsets; then
+    doc_id = offset[pid] + local_row_index via mapInPandas. Scales to any
+    corpus size (the offsets list is one int per partition).
+    """
+    sdf = df.repartitionByRange(parts, *[F.col(c) for c in order_cols]).sortWithinPartitions(
+        *order_cols
+    )
+    sdf = sdf.persist()
+    counts = (
+        sdf.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r["__pid"]: r["count"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    out_schema = T.StructType(sdf.schema.fields + [T.StructField("doc_id", T.LongType())])
+    boffsets = {int(k): int(v) for k, v in offsets.items()}
+
+    def add_ids(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf["doc_id"] = np.arange(seen, seen + len(pdf), dtype=np.int64) + boffsets.get(pid, 0)
+            seen += len(pdf)
+            yield pdf
+
+    return sdf.mapInPandas(add_ids, schema=out_schema)
+
+
+def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions: bool):
+    """mapInPandas fn: corpus rows -> (term, doc_id, freq, positions, norm, dl, bucket, salt)."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            an = analyze_batch(pdf[text_col])
+            doc_ids = pdf["doc_id"].to_numpy()
+            rows_term, rows_doc, rows_freq, rows_pos = [], [], [], []
+            rows_norm, rows_dl = [], []
+            for i in range(len(pdf)):
+                terms = an["terms"].iat[i]
+                if not terms:
+                    continue
+                positions = an["positions"].iat[i]
+                agg: dict[str, list[int]] = {}
+                for t, p in zip(terms, positions):
+                    agg.setdefault(t, []).append(p)
+                norm = int(an["norm"].iat[i])
+                dl = int(an["dl"].iat[i])
+                for t, plist in agg.items():
+                    rows_term.append(t)
+                    rows_doc.append(doc_ids[i])
+                    rows_freq.append(len(plist))
+                    rows_pos.append(plist if with_positions else [])
+                    rows_norm.append(norm)
+                    rows_dl.append(dl)
+            out = pd.DataFrame(
+                {
+                    "term": rows_term,
+                    "doc_id": np.array(rows_doc, dtype=np.int64),
+                    "freq": np.array(rows_freq, dtype=np.int32),
+                    "positions": rows_pos,
+                    "norm": np.array(rows_norm, dtype=np.int32),
+                    "dl": np.array(rows_dl, dtype=np.int32),
+                }
+            )
+            if len(out):
+                out["bucket"] = term_bucket_py(out["term"], num_buckets).astype(np.int32)
+                out["salt"] = (out["doc_id"] // salt_rows).astype(np.int32)
+            else:
+                out["bucket"] = np.array([], dtype=np.int32)
+                out["salt"] = np.array([], dtype=np.int32)
+            yield out
+
+    return fn
+
+
+def _encode_group(with_positions: bool):
+    """applyInPandas fn over (bucket, salt): encode every term in the group."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        for term, g in pdf.groupby("term", sort=False):
+            doc_ids = g["doc_id"].to_numpy()
+            freqs = g["freq"].to_numpy()
+            norms = g["norm"].to_numpy()
+            blocks = encode_posting_blocks(doc_ids, freqs, norms)
+            if with_positions:
+                deltas = []
+                for plist in g["positions"]:
+                    arr = np.asarray(plist, dtype=np.int64)
+                    deltas.append(np.diff(arr, prepend=np.int64(0)) if len(arr) else arr)
+                pos_bin = encode_value_stream(
+                    np.concatenate(deltas).astype(np.uint64) if deltas else np.zeros(0, np.uint64)
+                )
+            else:
+                pos_bin = b""
+            out_rows.append(
+                {
+                    "term": term,
+                    "salt": int(g["salt"].iat[0]),
+                    "df": int(len(doc_ids)),
+                    "ttf": int(freqs.sum()),
+                    "blocks": blocks,
+                    "pos": pos_bin,
+                    "bucket": int(g["bucket"].iat[0]),
+                }
+            )
+        return pd.DataFrame(
+            out_rows, columns=["term", "salt", "df", "ttf", "blocks", "pos", "bucket"]
+        )
+
+    return fn
+
+
+def _stage_done(index_dir: str, stage: str) -> bool:
+    mf = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(mf):
+        return False
+    with open(mf) as f:
+        manifest = json.load(f)
+    return stage in manifest.get("stages", {})
+
+
+def _update_manifest(index_dir: str, stage: str, info: dict, extra: dict | None = None):
+    mf = os.path.join(index_dir, "manifest.json")
+    manifest = {"stages": {}}
+    if os.path.exists(mf):
+        with open(mf) as f:
+            manifest = json.load(f)
+    manifest.setdefault("stages", {})[stage] = info
+    if extra:
+        manifest.update(extra)
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, mf)  # atomic commit, segments_N-style
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    text_col: str = "content",
+    doc_id_col: str | None = None,
+    order_cols: list[str] | None = None,
+    keep_cols: list[str] | None = None,
+    num_buckets: int = 8,
+    salt_rows: int = 1 << 14,
+    with_positions: bool = True,
+    corpus_parts: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build the full index under ``index_dir``. Returns the manifest.
+
+    ``doc_id_col``: pass an existing deterministic id column to skip rank
+    assignment; else ``order_cols`` defines reference ingest order.
+    ``salt_rows``: docID-range shard width — postings for one term are
+    split into ceil(maxDoc/salt_rows) disjoint shards, defusing hot-term
+    skew during the merge shuffle and bounding row size at query time.
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    t0 = time.time()
+    keep_cols = keep_cols or []
+    corpus_path = os.path.join(index_dir, "corpus")
+
+    # ---- stage0: snapshot + docIDs ----
+    if not (resume and _stage_done(index_dir, "stage0_corpus")):
+        if doc_id_col:
+            snap = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+            if doc_id_col != "doc_id":
+                snap = snap.drop(doc_id_col)
+        else:
+            parts = corpus_parts or spark.sparkContext.defaultParallelism
+            snap = _assign_doc_ids(corpus, order_cols or corpus.columns, parts)
+        snap = snap.withColumn("sha256", F.sha2(F.col(text_col), 256))
+        snap.write.mode("overwrite").parquet(corpus_path)
+        n_docs = spark.read.parquet(corpus_path).count()
+        _update_manifest(
+            index_dir,
+            "stage0_corpus",
+            {"rows": n_docs, "path": corpus_path, "elapsed_sec": time.time() - t0},
+        )
+
+    corpus_ids = spark.read.parquet(corpus_path)
+    n_docs = corpus_ids.count()
+
+    # ---- stage1: invert + encode postings ----
+    postings_path = os.path.join(index_dir, "postings")
+    docs_path = os.path.join(index_dir, "docs")
+    if not (resume and _stage_done(index_dir, "stage1_postings")):
+        t1 = time.time()
+        inverted = corpus_ids.select("doc_id", text_col).mapInPandas(
+            _invert_map(text_col, salt_rows, num_buckets, with_positions),
+            schema=INVERTED_SCHEMA,
+        )
+        # persist: both postings and docs tables derive from one tokenize pass
+        from pyspark import StorageLevel
+
+        inverted = inverted.persist(StorageLevel.DISK_ONLY)
+        try:
+            postings = (
+                inverted.repartition(
+                    max(spark.sparkContext.defaultParallelism * 2, num_buckets),
+                    "bucket",
+                    "salt",
+                )
+                .groupBy("bucket", "salt")
+                .applyInPandas(_encode_group(with_positions), schema=POSTINGS_SCHEMA)
+            )
+            (
+                postings.write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(postings_path)
+            )
+            # docs table from the same inverted stream (dl = Σfreq), plus
+            # zero-token docs recovered from the snapshot with dl=0, norm=0
+            docs_from_terms = inverted.groupBy("doc_id").agg(
+                F.first("dl").alias("dl"), F.first("norm").alias("norm")
+            )
+            keyword = corpus_ids.select("doc_id", *keep_cols)
+            docs = (
+                keyword.join(docs_from_terms, "doc_id", "left")
+                .fillna({"dl": 0, "norm": 0})
+                .withColumn("dl", F.col("dl").cast("int"))
+                .withColumn("norm", F.col("norm").cast("int"))
+            )
+            docs.write.mode("overwrite").parquet(docs_path)
+        finally:
+            inverted.unpersist()
+        _update_manifest(
+            index_dir,
+            "stage1_postings",
+            {
+                "postings_rows": spark.read.parquet(postings_path).count(),
+                "docs_rows": spark.read.parquet(docs_path).count(),
+                "path": postings_path,
+                "elapsed_sec": time.time() - t1,
+            },
+        )
+
+    # ---- stage3: term stats + global stats ----
+    stats_path = os.path.join(index_dir, "term_stats")
+    if not (resume and _stage_done(index_dir, "stage3_stats")):
+        t3 = time.time()
+        postings = spark.read.parquet(postings_path)
+        stats = postings.groupBy("term").agg(
+            F.sum("df").alias("df"),
+            F.sum("ttf").alias("ttf"),
+            F.first("bucket").alias("bucket"),
+        )
+        stats.write.mode("overwrite").parquet(stats_path)
+        docs = spark.read.parquet(docs_path)
+        gl = docs.agg(
+            F.count(F.lit(1)).alias("N"),
+            F.sum("dl").alias("sum_dl"),
+            F.count(F.when(F.col("dl") > 0, 1)).alias("doc_count_field"),
+        ).collect()[0]
+        _update_manifest(
+            index_dir,
+            "stage3_stats",
+            {"terms": spark.read.parquet(stats_path).count(), "elapsed_sec": time.time() - t3},
+            extra={
+                "N": int(gl["N"]),
+                "sum_total_term_freq": int(gl["sum_dl"] or 0),
+                "doc_count_field": int(gl["doc_count_field"]),
+                "num_buckets": num_buckets,
+                "salt_rows": salt_rows,
+                "with_positions": with_positions,
+                "text_col": text_col,
+                "keep_cols": keep_cols,
+                "paths": {
+                    "corpus": corpus_path,
+                    "postings": postings_path,
+                    "docs": docs_path,
+                    "term_stats": stats_path,
+                },
+                "built_docs": n_docs,
+                "total_elapsed_sec": time.time() - t0,
+            },
+        )
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)

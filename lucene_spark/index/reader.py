@@ -1,0 +1,105 @@
+"""Point-in-time index view — the DirectoryReader analog.
+
+`index/DirectoryReader.java` opens the committed SegmentInfos; we read
+the committed manifest.json and expose lazy DataFrames over the Parquet
+tables it names. A reopened Index after an incremental append sees the
+new manifest version (NRT-reopen analog, search/SearcherManager.java).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark import bm25
+
+
+class Index:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        p = self.manifest["paths"]
+        self._postings_path = p["postings"]
+        self._docs_path = p["docs"]
+        self._stats_path = p["term_stats"]
+        self._corpus_path = p["corpus"]
+        self.N = self.manifest["N"]
+        self.doc_count = self.manifest["doc_count_field"]
+        self.sum_ttf = self.manifest["sum_total_term_freq"]
+        self.num_buckets = self.manifest["num_buckets"]
+        # float32 avgdl + 256-entry norm cache (BM25Similarity.java:114-117,211-214)
+        self.avgdl_f32 = bm25.avg_field_length(self.sum_ttf, self.doc_count)
+        self.cache_f32 = bm25.norm_cache(self.avgdl_f32)
+        # double variant for oracle-checkable scoring
+        self.avgdl_dbl = self.sum_ttf / float(self.doc_count) if self.doc_count else 0.0
+
+    # --- lazy tables -------------------------------------------------------
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self._postings_path)
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self._docs_path)
+
+    @property
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(self._stats_path)
+
+    @property
+    def corpus(self) -> DataFrame:
+        return self.spark.read.parquet(self._corpus_path)
+
+    # --- term helpers ------------------------------------------------------
+
+    @staticmethod
+    def bucket_of(term: str, num_buckets: int) -> int:
+        return int.from_bytes(hashlib.md5(term.encode()).digest()[8:16], "little") % num_buckets
+
+    def postings_for_terms(self, terms: list[str]) -> DataFrame:
+        """Bucket-pruned posting rows for exact terms.
+
+        The bucket partition column prunes parquet directories (Lucene
+        analog: the terms-dict FST routes to one block,
+        blocktree/Lucene90BlockTreeTermsWriter.java:198).
+        """
+        buckets = sorted({self.bucket_of(t, self.num_buckets) for t in terms})
+        return self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+        )
+
+    def stats_for_terms(self, terms: list[str]) -> dict:
+        """{term: (df, ttf)} via the stats table (collects <= len(terms) rows).
+
+        The global stats drive the Weight (TermQuery.java:61-64 collects
+        index-global termStatistics once, before per-segment scoring)."""
+        if not terms:
+            return {}
+        buckets = sorted({self.bucket_of(t, self.num_buckets) for t in terms})
+        rows = (
+            self.term_stats.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+            )
+            .select("term", "df", "ttf")
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+
+    def expand_terms(self, predicate) -> list[str]:
+        """MultiTermQuery rewrite: term-dictionary scan by Catalyst predicate
+        (MultiTermQueryConstantScoreWrapper.java). Returns matching terms."""
+        return [r["term"] for r in self.term_stats.filter(predicate).select("term").collect()]
+
+    def fetch(self, hits: DataFrame, cols: list[str] | None = None) -> DataFrame:
+        """Stored-field fetch: join top-k hits back to the corpus snapshot
+        (broadcast of k rows; Lucene90StoredFieldsFormat analog)."""
+        corpus = self.corpus if cols is None else self.corpus.select("doc_id", *cols)
+        return F.broadcast(hits).join(corpus, "doc_id", "inner")

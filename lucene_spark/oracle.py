@@ -1,0 +1,103 @@
+"""Single-node naive BM25 oracle — the golden "simple implementation".
+
+The reference validates its optimized scorers against deliberately naive
+ones (core tests TestBoolean2.java, CheckHits); this module plays that
+role for the Spark engine: a direct dict-of-lists inverted index with the
+exact float32 arithmetic of bm25.py. Tests assert the Spark engine's
+(doc_id, score) results equal this oracle's bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from lucene_spark import bm25
+from lucene_spark.analysis import tokenize
+from lucene_spark.smallfloat import int_to_byte4
+
+
+class PandasOracle:
+    def __init__(self, docs: pd.DataFrame, text_col: str = "text", id_col: str = "doc_id"):
+        self.postings: dict[str, dict[int, list[int]]] = {}
+        self.norms: dict[int, int] = {}
+        self.dls: dict[int, int] = {}
+        n_with_field = 0
+        sum_ttf = 0
+        for _, row in docs.iterrows():
+            doc_id = int(row[id_col])
+            terms, positions = tokenize(row[text_col])
+            self.dls[doc_id] = len(terms)
+            self.norms[doc_id] = int(int_to_byte4([len(terms)])[0])
+            if terms:
+                n_with_field += 1
+                sum_ttf += len(terms)
+            for t, p in zip(terms, positions):
+                self.postings.setdefault(t, {}).setdefault(doc_id, []).append(p)
+        self.N = len(docs)
+        self.doc_count = n_with_field
+        self.sum_ttf = sum_ttf
+        self.avgdl = bm25.avg_field_length(sum_ttf, n_with_field)
+        self.cache = bm25.norm_cache(self.avgdl)
+
+    # --- scoring primitives ---
+
+    def _weight(self, df: int, boost: float = 1.0) -> np.float32:
+        return np.float32(boost) * bm25.idf(df, self.doc_count)
+
+    def term_scores(self, term: str, boost: float = 1.0) -> dict[int, np.float32]:
+        plist = self.postings.get(term, {})
+        if not plist:
+            return {}
+        w = self._weight(len(plist), boost)
+        out = {}
+        for doc_id, positions in plist.items():
+            s = bm25.score(
+                np.array([len(positions)]), np.array([self.norms[doc_id]]), w, self.cache
+            )
+            out[doc_id] = s[0]
+        return out
+
+    def phrase_scores(self, terms: list[str], boost: float = 1.0) -> dict[int, np.float32]:
+        plists = [self.postings.get(t, {}) for t in terms]
+        if any(not p for p in plists):
+            return {}
+        w = np.float32(boost) * bm25.combined_idf(
+            [len(p) for p in plists], self.doc_count
+        )
+        docs = set(plists[0])
+        for p in plists[1:]:
+            docs &= set(p)
+        out = {}
+        for d in docs:
+            cand = np.asarray(plists[0][d], dtype=np.int64)
+            for i in range(1, len(terms)):
+                cand = np.intersect1d(cand, np.asarray(plists[i][d], dtype=np.int64) - i)
+            freq = int((cand >= 0).sum())
+            if freq:
+                s = bm25.score(np.array([freq]), np.array([self.norms[d]]), w, self.cache)
+                out[d] = s[0]
+        return out
+
+    def or_scores(self, clause_scores: list[dict]) -> dict[int, np.float32]:
+        """Double accumulate, cast float (DisjunctionSumScorer.java:38-44)."""
+        acc: dict[int, float] = {}
+        for cs in clause_scores:
+            for d, s in cs.items():
+                acc[d] = acc.get(d, 0.0) + float(s)
+        return {d: np.float32(v) for d, v in acc.items()}
+
+    def and_scores(self, clause_scores: list[dict]) -> dict[int, np.float32]:
+        docs = set(clause_scores[0])
+        for cs in clause_scores[1:]:
+            docs &= set(cs)
+        out = {}
+        for d in docs:
+            out[d] = np.float32(sum(float(cs[d]) for cs in clause_scores))
+        return out
+
+    @staticmethod
+    def top_k(scores: dict[int, np.float32], k: int) -> list[tuple[int, float]]:
+        """(score desc, docID asc) — HitQueue.java:78-84 tie-break."""
+        items = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return [(d, float(s)) for d, s in items[:k]]

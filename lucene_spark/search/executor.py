@@ -1,0 +1,587 @@
+"""Physical query execution over the postings tables — the
+IndexSearcher / Weight / Scorer analog (search/IndexSearcher.java:660-712).
+
+Execution shape per SURVEY.md §3.2: driver-side plan build reads global
+term stats (a tiny collect — the createWeight statistics pass,
+TermQuery.java:61-64), then one bucket-pruned scan of the postings
+Parquet decodes and scores blocks inside an Arrow-batched mapInPandas
+(numpy float32 BM25, bm25.py), per-partition top-k happens inside
+Spark's TakeOrderedAndProject, and the driver merge applies the
+(score desc, docID asc) tie-break of search/HitQueue.java:78-84.
+
+Block-max pruning: for top-k term queries the decode UDF skips blocks
+whose competitive-impact max score cannot beat the running local top-k
+threshold — the ImpactsDISI.advanceShallow effect
+(search/ImpactsDISI.java:61-91) at block granularity. Correctness never
+depends on it (verified by tests with pruning on/off).
+
+Two scoring modes:
+- 'lucene': float32-exact reference arithmetic (BM25Similarity.java:246).
+- 'double': same formula in float64 — used only for cross-checking
+  results against an ANSI-SQL oracle that computes in double.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark import bm25
+from lucene_spark.codec import decode_block, decode_value_stream
+from lucene_spark.index.reader import Index
+from lucene_spark.search import plans as P
+from lucene_spark.smallfloat import LENGTH_TABLE
+
+_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+_DOCS_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType())])
+_FREQ_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("freq", T.IntegerType()),
+        T.StructField("norm", T.IntegerType()),
+    ]
+)
+_POS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        T.StructField("norm", T.IntegerType()),
+    ]
+)
+
+
+def _decode_positions_row(pos_bin: bytes, freqs: np.ndarray) -> list:
+    """pos stream -> list of per-doc position arrays (delta decode)."""
+    d = decode_value_stream(bytes(pos_bin)).astype(np.int64)
+    if len(d) == 0:
+        return [np.zeros(0, np.int64) for _ in freqs]
+    c = np.cumsum(d)
+    starts = np.concatenate([[0], np.cumsum(freqs)[:-1]]).astype(np.int64)
+    base = np.repeat(c[starts] - d[starts], freqs)
+    pos = c - base
+    return np.split(pos, np.cumsum(freqs)[:-1])
+
+
+class Searcher:
+    def __init__(self, index: Index, scoring: str = "lucene"):
+        assert scoring in ("lucene", "double")
+        self.index = index
+        self.scoring = scoring
+
+    # ------------------------------------------------------------------
+    # weights (createWeight analog: one-time global stats)
+    # ------------------------------------------------------------------
+
+    def _weight(self, df: int, boost: float) -> float:
+        """weight = boost * idf (BM25Similarity.java:242)."""
+        if self.scoring == "lucene":
+            return float(np.float32(boost) * bm25.idf(df, self.index.doc_count))
+        return boost * bm25.idf_double(df, self.index.doc_count)
+
+    def _combined_weight(self, dfs: list[int], boost: float) -> float:
+        """Multi-term weight: per-term float idfs summed in double
+        (BM25Similarity.java:191-200)."""
+        if self.scoring == "lucene":
+            return float(np.float32(boost) * bm25.combined_idf(dfs, self.index.doc_count))
+        return boost * sum(bm25.idf_double(n, self.index.doc_count) for n in dfs)
+
+    # ------------------------------------------------------------------
+    # decode UDFs
+    # ------------------------------------------------------------------
+
+    def _score_arrays(self, freqs, norms, weight):
+        if self.scoring == "lucene":
+            return bm25.score(freqs, norms, np.float32(weight), self.index.cache_f32).astype(
+                np.float64
+            )
+        qdl = LENGTH_TABLE[np.asarray(norms, dtype=np.int64) & 0xFF]
+        return bm25.score_double(freqs, qdl, weight, self.index.avgdl_dbl)
+
+    def _scored_term_rows(self, terms_weights: dict[str, float], k: int | None) -> DataFrame:
+        """postings rows for terms -> (doc_id, score) with block-max pruning.
+
+        Pruning (single-term top-k only, k given): skip blocks whose
+        impact-derived max score can't enter the local running top-k
+        (ImpactsDISI.java:61-91 / MaxScoreCache.java:70-108 effect)."""
+        rows = self.index.postings_for_terms(list(terms_weights))
+        scoring = self.scoring
+        cache_f32 = self.index.cache_f32
+        avgdl_dbl = self.index.avgdl_dbl
+        prune = k is not None and len(terms_weights) == 1
+
+        def fn(iterator):
+            topk = []  # running local scores for pruning
+
+            def block_max(impacts, weight):
+                f = np.array([p["freq"] for p in impacts], dtype=np.float32)
+                nm = np.array([p["norm"] for p in impacts], dtype=np.int64)
+                if scoring == "lucene":
+                    return float(np.max(bm25.score(f, nm, np.float32(weight), cache_f32)))
+                qdl = LENGTH_TABLE[nm & 0xFF]
+                return float(np.max(bm25.score_double(f, qdl, weight, avgdl_dbl)))
+
+            for pdf in iterator:
+                out_docs, out_scores = [], []
+                for _, row in pdf.iterrows():
+                    w = terms_weights[row["term"]]
+                    for blk in row["blocks"]:
+                        if prune and len(topk) >= k and len(blk["impacts"]) > 0:
+                            if block_max(blk["impacts"], w) <= topk[0]:
+                                continue  # non-competitive block skipped
+                        d, f, nm = decode_block(blk)
+                        if scoring == "lucene":
+                            s = bm25.score(f, nm, np.float32(w), cache_f32).astype(np.float64)
+                        else:
+                            qdl = LENGTH_TABLE[nm.astype(np.int64) & 0xFF]
+                            s = bm25.score_double(f, qdl, w, avgdl_dbl)
+                        out_docs.append(d)
+                        out_scores.append(s)
+                        if prune:
+                            import heapq
+
+                            for v in s:
+                                if len(topk) < k:
+                                    heapq.heappush(topk, float(v))
+                                elif v > topk[0]:
+                                    heapq.heapreplace(topk, float(v))
+                if out_docs:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(out_docs),
+                            "score": np.concatenate(out_scores),
+                        }
+                    )
+
+        return rows.mapInPandas(fn, schema=_SCORE_SCHEMA)
+
+    def _doc_rows(self, terms: list[str]) -> DataFrame:
+        """Decoded (doc_id) rows for a term set — non-scoring (FILTER path)."""
+        rows = self.index.postings_for_terms(terms)
+
+        def fn(iterator):
+            for pdf in iterator:
+                outs = [decode_block(blk)[0] for _, row in pdf.iterrows() for blk in row["blocks"]]
+                if outs:
+                    yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+        return rows.mapInPandas(fn, schema=_DOCS_SCHEMA)
+
+    def _doc_rows_for_predicate(self, predicate) -> DataFrame:
+        """MultiTermQuery constant-score path: semi-join the postings scan
+        against the matching slice of the terms dictionary (broadcast),
+        then decode docIDs (MultiTermQueryConstantScoreWrapper.java)."""
+        matching = self.index.term_stats.filter(predicate).select("term", "bucket")
+        rows = self.index.postings.join(
+            F.broadcast(matching), ["term", "bucket"], "left_semi"
+        )
+
+        def fn(iterator):
+            for pdf in iterator:
+                outs = [decode_block(blk)[0] for _, row in pdf.iterrows() for blk in row["blocks"]]
+                if outs:
+                    yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+        return rows.mapInPandas(fn, schema=_DOCS_SCHEMA)
+
+    def _freq_rows(self, terms: list[str]) -> DataFrame:
+        """(doc_id, term, freq, norm) rows — synonym/blended scoring input."""
+        rows = self.index.postings_for_terms(terms)
+
+        def fn(iterator):
+            for pdf in iterator:
+                parts = []
+                for _, row in pdf.iterrows():
+                    for blk in row["blocks"]:
+                        d, f, nm = decode_block(blk)
+                        parts.append(
+                            pd.DataFrame(
+                                {
+                                    "doc_id": d,
+                                    "term": row["term"],
+                                    "freq": f.astype(np.int32),
+                                    "norm": nm.astype(np.int32),
+                                }
+                            )
+                        )
+                if parts:
+                    yield pd.concat(parts)
+
+        return rows.mapInPandas(fn, schema=_FREQ_SCHEMA)
+
+    def _position_rows(self, terms: list[str]) -> DataFrame:
+        """(doc_id, idx, positions, norm) for phrase matching; idx = index of
+        the term in ``terms``. Two-phase: positions only decoded here, for
+        phrase terms (TwoPhaseIterator / ExactPhraseMatcher pattern)."""
+        if not self.index.manifest.get("with_positions", True):
+            raise ValueError("index built without positions; phrase queries unavailable")
+        rows = self.index.postings_for_terms(terms)
+        idx_of = {t: i for i, t in enumerate(terms)}
+
+        def fn(iterator):
+            for pdf in iterator:
+                out = {"doc_id": [], "idx": [], "positions": [], "norm": []}
+                for _, row in pdf.iterrows():
+                    freqs_all, docs_all, norms_all = [], [], []
+                    for blk in row["blocks"]:
+                        d, f, nm = decode_block(blk)
+                        docs_all.append(d), freqs_all.append(f), norms_all.append(nm)
+                    if not docs_all:
+                        continue
+                    d = np.concatenate(docs_all)
+                    f = np.concatenate(freqs_all)
+                    nm = np.concatenate(norms_all)
+                    plists = _decode_positions_row(row["pos"], f)
+                    i = idx_of[row["term"]]
+                    out["doc_id"].extend(d.tolist())
+                    out["idx"].extend([i] * len(d))
+                    out["positions"].extend([p.astype(np.int32).tolist() for p in plists])
+                    out["norm"].extend(nm.astype(np.int64).tolist())
+                if out["doc_id"]:
+                    yield pd.DataFrame(out)
+
+        return rows.mapInPandas(fn, schema=_POS_SCHEMA)
+
+    # ------------------------------------------------------------------
+    # scored plans
+    # ------------------------------------------------------------------
+
+    def scored(self, q, k: int | None = None) -> DataFrame:
+        """Plan node -> DataFrame(doc_id, score). Recursive Weight tree."""
+        q = P.rewrite(q)
+        if isinstance(q, P.TermQ):
+            stats = self.index.stats_for_terms([q.term])
+            if q.term not in stats:
+                return self._empty_scored()
+            w = self._weight(stats[q.term][0], q.boost)
+            return self._scored_term_rows({q.term: w}, k)
+        if isinstance(q, P.SynonymQ):
+            return self._synonym_scored(q)
+        if isinstance(q, P.PhraseQ):
+            return self._phrase_scored(q)
+        if isinstance(q, P.BoolQ):
+            return self._bool_scored(q)
+        if isinstance(q, P.DisMaxQ):
+            return self._dismax_scored(q)
+        if isinstance(q, P.ConstScoreQ):
+            return self.doc_set(q.inner).withColumn("score", F.lit(float(q.boost)))
+        if isinstance(q, P.BoostQ):
+            inner = self.scored(q.inner, k)
+            if self.scoring == "lucene":
+                boosted = (F.col("score").cast("float") * F.lit(np.float32(q.boost)).cast("float"))
+                return inner.withColumn("score", boosted.cast("double"))
+            return inner.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+        if isinstance(q, P.MatchAllQ):
+            return self.index.docs.select("doc_id").withColumn("score", F.lit(float(q.boost)))
+        if isinstance(q, (P.PrefixQ, P.WildcardQ, P.RegexpQ, P.FuzzyQ, P.TermRangeQ, P.TermInSetQ)):
+            # CONSTANT_SCORE_REWRITE default (MultiTermQuery.java:53-83)
+            return self.doc_set(q).withColumn("score", F.lit(float(q.boost)))
+        raise TypeError(f"unsupported query node: {q!r}")
+
+    def _empty_scored(self) -> DataFrame:
+        return self.index.spark.createDataFrame([], _SCORE_SCHEMA)
+
+    def _sum_as_float(self, col):
+        """Disjunction sum: float32 clause scores accumulated in double,
+        result cast to float (DisjunctionSumScorer.java:38-44)."""
+        s = F.sum(col)
+        if self.scoring == "lucene":
+            return s.cast("float").cast("double")
+        return s
+
+    def _synonym_scored(self, q: P.SynonymQ) -> DataFrame:
+        """SynonymQuery.java:198-214: one pseudo-term, df = max(term dfs),
+        per-doc freq = sum of term freqs, scored once."""
+        terms = list(dict.fromkeys(q.terms))
+        stats = self.index.stats_for_terms(terms)
+        if not stats:
+            return self._empty_scored()
+        df_max = max(s[0] for s in stats.values())
+        w = self._weight(df_max, q.boost)
+        freqs = self._freq_rows([t for t in terms if t in stats])
+        agg = freqs.groupBy("doc_id").agg(
+            F.sum("freq").alias("freq"), F.first("norm").alias("norm")
+        )
+        return self._score_freq_df(agg, w)
+
+    def _score_freq_df(self, df: DataFrame, weight: float) -> DataFrame:
+        """(doc_id, freq, norm) -> (doc_id, score) via vectorized UDF."""
+        scoring = self.scoring
+        cache_f32 = self.index.cache_f32
+        avgdl_dbl = self.index.avgdl_dbl
+
+        @F.pandas_udf(T.DoubleType())
+        def score_udf(freq: pd.Series, norm: pd.Series) -> pd.Series:
+            f = freq.to_numpy()
+            nm = norm.to_numpy()
+            if scoring == "lucene":
+                s = bm25.score(f, nm, np.float32(weight), cache_f32).astype(np.float64)
+            else:
+                qdl = LENGTH_TABLE[nm.astype(np.int64) & 0xFF]
+                s = bm25.score_double(f, qdl, weight, avgdl_dbl)
+            return pd.Series(s)
+
+        return df.select("doc_id", score_udf("freq", "norm").alias("score"))
+
+    def _phrase_scored(self, q: P.PhraseQ) -> DataFrame:
+        """Exact phrase (slop=0): conjunction on docID, then positional
+        verify; freq = #occurrences; weight = summed idf
+        (PhraseQuery.java:71, ExactPhraseMatcher.java:39,166)."""
+        if q.slop != 0:
+            raise NotImplementedError("sloppy phrase lands in a later round")
+        terms = list(q.terms)
+        uniq = list(dict.fromkeys(terms))
+        stats = self.index.stats_for_terms(uniq)
+        if any(t not in stats for t in uniq):
+            return self._empty_scored()
+        w = self._combined_weight([stats[t][0] for t in terms], q.boost)
+        pos = self._position_rows(uniq)
+        nuniq = len(uniq)
+        grouped = (
+            pos.groupBy("doc_id")
+            .agg(
+                F.collect_list(F.struct("idx", "positions")).alias("plists"),
+                F.first("norm").alias("norm"),
+                F.count("idx").alias("nterms"),
+            )
+            .filter(F.col("nterms") == nuniq)
+        )
+        offsets_by_idx = [[] for _ in range(nuniq)]
+        idx_of = {t: i for i, t in enumerate(uniq)}
+        for off, t in enumerate(terms):
+            offsets_by_idx[idx_of[t]].append(off)
+
+        @F.pandas_udf(T.IntegerType())
+        def phrase_freq(plists: pd.Series) -> pd.Series:
+            out = np.zeros(len(plists), dtype=np.int32)
+            for r, entries in enumerate(plists):
+                arrs = [None] * nuniq
+                for e in entries:
+                    arrs[e["idx"]] = np.asarray(e["positions"], dtype=np.int64)
+                cand = None
+                for i in range(nuniq):
+                    for off in offsets_by_idx[i]:
+                        shifted = arrs[i] - off
+                        cand = shifted if cand is None else np.intersect1d(
+                            cand, shifted, assume_unique=True
+                        )
+                out[r] = 0 if cand is None else len(cand[cand >= 0])
+            return pd.Series(out)
+
+        matched = grouped.withColumn("freq", phrase_freq("plists")).filter(F.col("freq") > 0)
+        return self._score_freq_df(matched.select("doc_id", "freq", "norm"), w)
+
+    def _bool_scored(self, q: P.BoolQ) -> DataFrame:
+        """BooleanQuery semantics (BooleanQuery.java:77-176,
+        Boolean2ScorerSupplier.java:100-248): score = Σ scoring clauses;
+        MUST = scoring intersection, SHOULD = scoring union (optional when
+        MUST present), FILTER = non-scoring semi join, MUST_NOT = anti join."""
+        spark = self.index.spark
+        scored_parts = []
+        # MUST: intersection of scored clauses
+        must_df = None
+        for c in q.must:
+            s = self.scored(c).withColumnRenamed("score", "s")
+            if must_df is None:
+                must_df = s.withColumnRenamed("s", "score")
+            else:
+                must_df = (
+                    must_df.join(s, "doc_id", "inner")
+                    .withColumn("score", F.col("score") + F.col("s"))
+                    .drop("s")
+                )
+        # SHOULD: union + groupBy sum (+count for minShouldMatch)
+        should_df = None
+        if q.should:
+            u = None
+            for c in q.should:
+                s = self.scored(c)
+                u = s if u is None else u.unionByName(s)
+            should_df = u.groupBy("doc_id").agg(
+                self._sum_as_float(F.col("score")).alias("score"),
+                F.count(F.lit(1)).alias("n_should"),
+            )
+            msm = q.min_should_match
+            if must_df is None and msm < 1:
+                msm = 1  # pure disjunction: at least one clause matches by construction
+            if msm > 0:
+                should_df = should_df.filter(F.col("n_should") >= msm)
+            should_df = should_df.drop("n_should")
+
+        if must_df is not None and should_df is not None:
+            if q.min_should_match > 0:
+                # SHOULD becomes required at msm (BooleanQuery.java:96)
+                base = must_df.join(
+                    should_df.withColumnRenamed("score", "s2"), "doc_id", "inner"
+                )
+            else:
+                base = must_df.join(
+                    should_df.withColumnRenamed("score", "s2"), "doc_id", "left"
+                ).fillna({"s2": 0.0})
+            combined = base.withColumn("score", F.col("score") + F.col("s2")).drop("s2")
+            if self.scoring == "lucene":
+                combined = combined.withColumn(
+                    "score", F.col("score").cast("float").cast("double")
+                )
+        elif must_df is not None:
+            combined = must_df
+            if len(q.must) > 1 and self.scoring == "lucene":
+                combined = combined.withColumn(
+                    "score", F.col("score").cast("float").cast("double")
+                )
+        elif should_df is not None:
+            combined = should_df
+        else:
+            # filter-only query: constant score 0 over the filter set
+            combined = None
+
+        # FILTER clauses: non-scoring required (BooleanWeight.java:31)
+        filter_sets = [self.doc_set(c) for c in q.filter]
+        if combined is None:
+            if not filter_sets:
+                return self._empty_scored()
+            base = filter_sets[0]
+            for fs in filter_sets[1:]:
+                base = base.join(fs, "doc_id", "left_semi")
+            combined = base.withColumn("score", F.lit(0.0))
+        else:
+            for fs in filter_sets:
+                combined = combined.join(fs, "doc_id", "left_semi")
+        # MUST_NOT: anti join (ReqExclScorer semantics)
+        for c in q.must_not:
+            combined = combined.join(self.doc_set(c), "doc_id", "left_anti")
+        if q.boost != 1.0:
+            if self.scoring == "lucene":
+                combined = combined.withColumn(
+                    "score",
+                    (F.col("score").cast("float") * F.lit(np.float32(q.boost)).cast("float")).cast(
+                        "double"
+                    ),
+                )
+            else:
+                combined = combined.withColumn("score", F.col("score") * F.lit(float(q.boost)))
+        return combined.select("doc_id", "score")
+
+    def _dismax_scored(self, q: P.DisMaxQ) -> DataFrame:
+        """DisjunctionMaxQuery.java:45: max + tiebreak * (sum - max)."""
+        u = None
+        for c in q.clauses:
+            s = self.scored(c)
+            u = s if u is None else u.unionByName(s)
+        if u is None:
+            return self._empty_scored()
+        agg = u.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        if self.scoring == "lucene":
+            expr = (
+                F.col("mx").cast("float")
+                + F.lit(np.float32(q.tiebreak)).cast("float")
+                * (F.col("sm").cast("float") - F.col("mx").cast("float"))
+            ).cast("double")
+        else:
+            expr = F.col("mx") + F.lit(float(q.tiebreak)) * (F.col("sm") - F.col("mx"))
+        return agg.select("doc_id", expr.alias("score"))
+
+    # ------------------------------------------------------------------
+    # non-scoring doc sets
+    # ------------------------------------------------------------------
+
+    def doc_set(self, q) -> DataFrame:
+        """Plan node -> distinct DataFrame(doc_id), no scores (FILTER path)."""
+        q = P.rewrite(q)
+        if isinstance(q, P.TermQ):
+            return self._doc_rows([q.term]).distinct()
+        if isinstance(q, (P.SynonymQ, P.TermInSetQ)):
+            return self._doc_rows(list(q.terms)).distinct()
+        if isinstance(q, P.PrefixQ):
+            return self._doc_rows_for_predicate(F.col("term").startswith(q.prefix)).distinct()
+        if isinstance(q, P.WildcardQ):
+            like = q.pattern.replace("%", r"\%").replace("_", r"\_")
+            like = like.replace("*", "%").replace("?", "_")
+            return self._doc_rows_for_predicate(F.col("term").like(like)).distinct()
+        if isinstance(q, P.RegexpQ):
+            return self._doc_rows_for_predicate(F.col("term").rlike(q.pattern)).distinct()
+        if isinstance(q, P.FuzzyQ):
+            pred = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+            if q.prefix_len:
+                pred = pred & F.col("term").startswith(q.term[: q.prefix_len])
+            return self._doc_rows_for_predicate(pred).distinct()
+        if isinstance(q, P.TermRangeQ):
+            lo = F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+            hi = F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+            return self._doc_rows_for_predicate(lo & hi).distinct()
+        if isinstance(q, P.FieldFilter):
+            col = F.col(q.col)
+            if q.op == "=":
+                pred = col == q.value
+            elif q.op == "in":
+                pred = col.isin(list(q.value))
+            elif q.op == "between":
+                pred = col.between(q.value[0], q.value[1])
+            else:
+                raise ValueError(q.op)
+            return self.index.docs.filter(pred).select("doc_id")
+        if isinstance(q, P.MatchAllQ):
+            return self.index.docs.select("doc_id")
+        if isinstance(q, (P.ConstScoreQ, P.BoostQ)):
+            return self.doc_set(q.inner)
+        if isinstance(q, P.PhraseQ):
+            return self._phrase_scored(q).select("doc_id")
+        if isinstance(q, P.BoolQ):
+            base = None
+            for c in list(q.must) + list(q.filter):
+                s = self.doc_set(c)
+                base = s if base is None else base.join(s, "doc_id", "left_semi")
+            if base is None and q.should:
+                u = None
+                for c in q.should:
+                    s = self.doc_set(c)
+                    u = s if u is None else u.unionByName(s)
+                base = u.distinct()
+            if base is None:
+                return self.index.spark.createDataFrame([], _DOCS_SCHEMA)
+            for c in q.must_not:
+                base = base.join(self.doc_set(c), "doc_id", "left_anti")
+            return base
+        raise TypeError(f"unsupported query node: {q!r}")
+
+    # ------------------------------------------------------------------
+    # collectors
+    # ------------------------------------------------------------------
+
+    def top_k(self, q, k: int, field_filters: tuple = ()) -> DataFrame:
+        """Top-k by (score desc, docID asc) — TopScoreDocCollector +
+        HitQueue tie-break (search/HitQueue.java:78-84). Spark physical
+        plan: per-partition top-k + driver merge (TakeOrderedAndProject),
+        exactly the CollectorManager reduce contract
+        (IndexSearcher.java:660-712)."""
+        scored = self.scored(q, k=k)
+        for ff in field_filters:
+            scored = scored.join(self.doc_set(ff), "doc_id", "left_semi")
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_after(self, q, k: int, after_score: float, after_doc: int,
+                     field_filters: tuple = ()) -> DataFrame:
+        """Cursor pagination (IndexSearcher.searchAfter:470-520): resume
+        strictly below the (score, docID) mark."""
+        scored = self.scored(q)
+        for ff in field_filters:
+            scored = scored.join(self.doc_set(ff), "doc_id", "left_semi")
+        below = (F.col("score") < after_score) | (
+            (F.col("score") == after_score) & (F.col("doc_id") > after_doc)
+        )
+        return scored.filter(below).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def count(self, q) -> int:
+        """TotalHitCountCollector analog."""
+        return self.doc_set(q).count()

