@@ -1,0 +1,105 @@
+"""Headline benchmark: index build + BM25 query suite at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total suite sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Workload mirrors the reference benchmark harness shapes
+(lucene/benchmark/conf/standard.alg "Populate" + query-terms/phrases/
+wildcards query mixes) re-expressed over the `documents` testdata table:
+a full index build (tokenize -> invert -> salted merge -> FOR/PFor block
+encode -> Parquet postings), then the top-k query set through the
+float32-exact scoring path with block-max pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    from lucene_spark.index import Index, build_index
+    from lucene_spark.search import BoolQ, PhraseQ, Searcher, SynonymQ, TermQ, WildcardQ
+    from lucene_spark.session import get_spark
+
+    spark = get_spark("lucene_spark_bench", cpus=cpus)
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+
+    idx_dir = os.path.join(REPO, ".cache", f"bench_idx_{sf}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    build_index(
+        spark,
+        docs,
+        idx_dir,
+        text_col="text",
+        doc_id_col="doc_id",
+        keep_cols=["lang", "source", "n_chars"],
+        num_buckets=8,
+        salt_rows=2048,
+        resume=False,
+    )
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+
+    searcher = Searcher(Index(spark, idx_dir), scoring="lucene")
+
+    queries = {
+        "term_topk": (TermQ("vector"), 10),
+        "term_topk_hot": (TermQ("the"), 100),
+        "bool_or_topk": (BoolQ(should=(TermQ("merge"), TermQ("sort"))), 20),
+        "bool_and_topk": (BoolQ(must=(TermQ("filter"), TermQ("window"))), 20),
+        "bool_not_topk": (BoolQ(must=(TermQ("merge"),), must_not=(TermQ("join"),)), 20),
+        "msm_topk": (
+            BoolQ(should=(TermQ("merge"), TermQ("sort"), TermQ("hash")), min_should_match=2),
+            20,
+        ),
+        "phrase_topk": (PhraseQ(("data", "line")), 20),
+        "synonym_topk": (SynonymQ(("merge", "join")), 20),
+    }
+    for name, (q, k) in queries.items():
+        t0 = time.time()
+        searcher.top_k(q, k).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    searcher.doc_set(WildcardQ("b?g")).count()
+    timings["wildcard_docs"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "index-build + BM25 top-k query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_docs": n_docs,
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
