@@ -171,48 +171,74 @@ def _assign_doc_ids(df: DataFrame, order_cols: list[str], parts: int) -> DataFra
 
 
 def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions: bool):
-    """mapInPandas fn: corpus rows -> (term, doc_id, freq, positions, norm, dl, bucket, salt)."""
+    """mapInPandas fn: corpus rows -> (term, doc_id, freq, positions, norm, dl, bucket, salt).
+
+    Fully vectorized per Arrow batch (the DWPT in-RAM hash analog,
+    index/TermsHashPerField.java, as a lexsort + run-length group-by):
+    flatten every doc's token stream, factorize terms once per batch,
+    lexsort by (doc, term, pos), and cut runs with np.diff — no per-token
+    Python in the hot path. Buckets are md5-hashed per *unique* term.
+    """
+    from itertools import chain
+
+    _empty = pd.DataFrame(
+        {
+            "term": pd.array([], dtype=object),
+            "doc_id": np.array([], dtype=np.int64),
+            "freq": np.array([], dtype=np.int32),
+            "positions": pd.array([], dtype=object),
+            "norm": np.array([], dtype=np.int32),
+            "dl": np.array([], dtype=np.int32),
+            "bucket": np.array([], dtype=np.int32),
+            "salt": np.array([], dtype=np.int32),
+        }
+    )
 
     def fn(iterator):
         for pdf in iterator:
             an = analyze_batch(pdf[text_col])
             doc_ids = pdf["doc_id"].to_numpy()
-            rows_term, rows_doc, rows_freq, rows_pos = [], [], [], []
-            rows_norm, rows_dl = [], []
-            for i in range(len(pdf)):
-                terms = an["terms"].iat[i]
-                if not terms:
-                    continue
-                positions = an["positions"].iat[i]
-                agg: dict[str, list[int]] = {}
-                for t, p in zip(terms, positions):
-                    agg.setdefault(t, []).append(p)
-                norm = int(an["norm"].iat[i])
-                dl = int(an["dl"].iat[i])
-                for t, plist in agg.items():
-                    rows_term.append(t)
-                    rows_doc.append(doc_ids[i])
-                    rows_freq.append(len(plist))
-                    rows_pos.append(plist if with_positions else [])
-                    rows_norm.append(norm)
-                    rows_dl.append(dl)
-            out = pd.DataFrame(
+            counts = an["dl"].to_numpy()  # tokens per doc
+            total = int(counts.sum())
+            if total == 0:
+                yield _empty
+                continue
+            terms_flat = pd.Series(list(chain.from_iterable(an["terms"])), dtype=object)
+            pos_flat = np.fromiter(
+                chain.from_iterable(an["positions"]), dtype=np.int64, count=total
+            )
+            doc_rep = np.repeat(doc_ids, counts)
+            norm_rep = np.repeat(an["norm"].to_numpy(), counts)
+            dl_rep = np.repeat(counts, counts)
+            term_codes, uniq = pd.factorize(terms_flat, sort=False)
+            order = np.lexsort((pos_flat, term_codes, doc_rep))
+            tc = term_codes[order]
+            dc = doc_rep[order]
+            ps = pos_flat[order]
+            # run boundaries where (doc, term) changes
+            change = np.empty(total, dtype=bool)
+            change[0] = True
+            change[1:] = (dc[1:] != dc[:-1]) | (tc[1:] != tc[:-1])
+            starts = np.flatnonzero(change)
+            freqs = np.diff(np.append(starts, total)).astype(np.int32)
+            uniq_buckets = term_bucket_py(pd.Series(uniq), num_buckets).astype(np.int32)
+            if with_positions:
+                positions = [a.astype(np.int32) for a in np.split(ps, starts[1:])]
+            else:
+                empty32 = np.zeros(0, np.int32)
+                positions = [empty32] * len(starts)
+            yield pd.DataFrame(
                 {
-                    "term": rows_term,
-                    "doc_id": np.array(rows_doc, dtype=np.int64),
-                    "freq": np.array(rows_freq, dtype=np.int32),
-                    "positions": rows_pos,
-                    "norm": np.array(rows_norm, dtype=np.int32),
-                    "dl": np.array(rows_dl, dtype=np.int32),
+                    "term": uniq.take(tc[starts]),
+                    "doc_id": dc[starts],
+                    "freq": freqs,
+                    "positions": positions,
+                    "norm": norm_rep[order][starts].astype(np.int32),
+                    "dl": dl_rep[order][starts].astype(np.int32),
+                    "bucket": uniq_buckets[tc[starts]],
+                    "salt": (dc[starts] // salt_rows).astype(np.int32),
                 }
             )
-            if len(out):
-                out["bucket"] = term_bucket_py(out["term"], num_buckets).astype(np.int32)
-                out["salt"] = (out["doc_id"] // salt_rows).astype(np.int32)
-            else:
-                out["bucket"] = np.array([], dtype=np.int32)
-                out["salt"] = np.array([], dtype=np.int32)
-            yield out
 
     return fn
 
