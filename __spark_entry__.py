@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 from lucene_spark.index import Index, build_index
+from lucene_spark.pipeline import dedup, multimodal, similarity, textstats
 from lucene_spark.search import (
     BoolQ,
     DisMaxQ,
@@ -259,6 +260,44 @@ def _q_phrase(terms: tuple, k: int):
     return fn
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline query callables (lucene_spark.pipeline)
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_df(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _q_pipeline(fn):
+    def q(spark, sf_dir):
+        return fn(spark, sf_dir)
+
+    return q
+
+
+def _q_ann_cosine(query_id: int, k: int):
+    def q(spark, sf_dir):
+        emb = _emb_df(spark, sf_dir)
+        qv = emb.filter(F.col("vec_id") == query_id).select("embedding").collect()[0][0]
+        return similarity.cosine_topk(emb, list(qv), k)
+
+    return q
+
+
+def _q_ann_lsh(query_id: int, k: int):
+    def q(spark, sf_dir):
+        emb = _emb_df(spark, sf_dir)
+        qv = emb.filter(F.col("vec_id") == query_id).select("embedding").collect()[0][0]
+        return similarity.ann_topk(emb, list(qv), k, nbits=8, probe_hamming=1)
+
+    return q
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the full index on sf0.001 and run a scored boolean
     query (OR of two terms, lang-filtered) through the compressed postings."""
@@ -299,6 +338,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_hits": _q_total_hits(("merge", "sort", "hash")),
         "sort_by_field": _q_sort_field("vector", 10),
         "search_after_page2": _q_search_after("the", 10),
+        # --- training-data pipeline ops (lucene_spark.pipeline) ---
+        "text_token_counts": _q_pipeline(
+            lambda s, d: textstats.with_token_counts(_docs_df(s, d)).orderBy("doc_id")
+        ),
+        "text_quality": _q_pipeline(
+            lambda s, d: textstats.with_quality(_docs_df(s, d)).orderBy("doc_id")
+        ),
+        "text_lang_id": _q_pipeline(
+            lambda s, d: textstats.with_lang_id(_docs_df(s, d)).orderBy("doc_id")
+        ),
+        "text_fingerprint": _q_pipeline(
+            lambda s, d: textstats.with_fingerprint(_docs_df(s, d)).orderBy("doc_id")
+        ),
+        "dedup_exact": _q_pipeline(
+            lambda s, d: dedup.exact_duplicates(_docs_df(s, d)).orderBy("dup_doc_id")
+        ),
+        "dedup_jaccard_pairs": _q_pipeline(
+            lambda s, d: dedup.jaccard_pairs(
+                dedup.shingle_hashes(_docs_df(s, d)), 0.3
+            ).orderBy("doc_a", "doc_b")
+        ),
+        "dedup_minhash_pairs": _q_pipeline(
+            lambda s, d: dedup.minhash_dedup_pairs(_docs_df(s, d), tau=0.3).orderBy(
+                "doc_a", "doc_b"
+            )
+        ),
+        "dedup_simhash": _q_pipeline(
+            lambda s, d: dedup.simhash(_docs_df(s, d)).orderBy("doc_id")
+        ),
+        "dedup_simhash_pairs": _q_pipeline(
+            lambda s, d: dedup.simhash_pairs(
+                dedup.simhash(_docs_df(s, d)), 8
+            ).orderBy("doc_a", "doc_b")
+        ),
+        "dedup_embedding_pairs": _q_pipeline(
+            lambda s, d: dedup.embedding_dup_pairs(_emb_df(s, d), 0.2).orderBy(
+                "id_a", "id_b"
+            )
+        ),
+        "ann_cosine_topk": _q_ann_cosine(0, 10),
+        "ann_lsh_topk": _q_ann_lsh(0, 10),  # approximate: rows-only check
+        "knn_join": _q_pipeline(
+            lambda s, d: similarity.knn_join(
+                _emb_df(s, d),
+                _emb_df(s, d)
+                .filter(F.col("vec_id") < 3)
+                .select(F.col("vec_id").alias("qid"), "embedding"),
+                5,
+            ).orderBy("qid", "rank")
+        ),
+        "multimodal_asset_stats": _q_pipeline(
+            lambda s, d: multimodal.asset_stats(multimodal.make_assets(_docs_df(s, d)))
+        ),
     }
 
 
@@ -403,4 +495,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
             f"ORDER BY round(score, 4) DESC, doc_id LIMIT 10 OFFSET 10"
         ),
+        # --- training-data pipeline ops (no entry for ann_lsh_topk:
+        #     approximate by design -> rows-only check) ---
+        "text_token_counts": textstats.token_counts_sql(),
+        "text_quality": textstats.quality_sql(),
+        "text_lang_id": textstats.lang_id_sql(),
+        "text_fingerprint": textstats.fingerprint_sql(),
+        "dedup_exact": dedup.exact_duplicates_sql(),
+        "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(0.3),
+        "dedup_minhash_pairs": dedup.minhash_pairs_sql(0.3),
+        "dedup_simhash": dedup.simhash_sql(),
+        "dedup_simhash_pairs": dedup.simhash_pairs_sql(8),
+        "dedup_embedding_pairs": dedup.embedding_pairs_sql(0.2),
+        "ann_cosine_topk": similarity.cosine_topk_self_sql(0, 10),
+        "knn_join": similarity.knn_join_self_sql(3, 5),
+        "multimodal_asset_stats": multimodal.asset_stats_sql(),
     }

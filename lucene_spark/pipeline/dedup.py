@@ -1,0 +1,470 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- exact dedup        — one hash-shuffle on sha256(text) (map-side partial agg).
+- shingle/minhash    — per-doc signatures computed in one Arrow batch pass
+                       (no shuffle), then candidate generation is a
+                       groupBy on (band, signature) — only near-dup docs
+                       ever meet in the shuffle, never all pairs.
+- verification       — exact Jaccard on candidate pairs only (semi-joined
+                       shingle sets), the classic LSH verify step.
+- simhash            — per-doc 31-bit signature, pairs by Hamming<=d.
+- embedding          — exact cosine pairs for the oracle; random-hyperplane
+                       LSH buckets as the scale path (similarity.py).
+
+Hash contract (cross-engine stable, so every operator has a DuckDB
+oracle): base = md5_number_lower(s) mod (2^31-1), i.e. the low 8 md5
+digest bytes little-endian — identical in Python hashlib, DuckDB
+md5_number_lower, and nothing exceeds 2^62 in the (a*h+b) mod p
+permutations, so plain 64-bit arithmetic agrees everywhere. At
+production scale you would swap xxhash64 (JVM built-in) via hash_fn.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.pipeline.textstats import WORD_RE
+
+P31 = (1 << 31) - 1  # Mersenne prime 2^31-1
+SHINGLE_N = 3
+SIMHASH_BITS = 31
+
+
+def perm_seeds(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations,
+    derived from md5 so the oracle SQL can inline them as literals."""
+    out = []
+    for i in range(k):
+        d = hashlib.md5(f"minhash:{seed}:{i}".encode()).digest()
+        a = (int.from_bytes(d[:8], "little") % (P31 - 1)) + 1
+        b = int.from_bytes(d[8:16], "little") % P31
+        out.append((a, b))
+    return out
+
+
+def _md5_low64(strings: list[str]) -> np.ndarray:
+    """md5 low-8-bytes little-endian (DuckDB md5_number_lower analog)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little") for s in strings),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
+def _doc_shingle_hashes(text: str) -> np.ndarray:
+    """Distinct SHINGLE_N-gram token shingles -> base hashes mod P31."""
+    toks = WORD_RE_COMPILED.findall(text.lower())
+    if len(toks) < SHINGLE_N:
+        return np.zeros(0, np.uint64)
+    shingles = {
+        " ".join(toks[i : i + SHINGLE_N]) for i in range(len(toks) - SHINGLE_N + 1)
+    }
+    return _md5_low64(sorted(shingles)) % np.uint64(P31)
+
+
+WORD_RE_COMPILED = re.compile(WORD_RE)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(dup_doc_id, keeper_doc_id) pairs: docs whose sha256(text) collides
+    with an earlier (min doc_id) doc. One hash shuffle; partial agg
+    map-side. The keeper itself is not emitted."""
+    h = df.select(F.col("doc_id"), F.sha2(F.col(text_col), 256).alias("h"))
+    keepers = h.groupBy("h").agg(F.min("doc_id").alias("keeper_doc_id"))
+    return (
+        h.join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("keeper_doc_id"))
+        .select(F.col("doc_id").alias("dup_doc_id"), "keeper_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("sh", T.LongType())]
+)
+
+
+def shingle_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) distinct shingle hashes per doc — Arrow batch UDF."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            ids, hs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                h = _doc_shingle_hashes(text or "")
+                ids.append(np.full(len(h), doc_id, dtype=np.int64))
+                hs.append(h.astype(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(ids), "sh": np.concatenate(hs)}
+                )
+
+    return df.select("doc_id", text_col).mapInPandas(fn, schema=_SHINGLE_SCHEMA)
+
+
+def jaccard_pairs(
+    shingles: DataFrame, tau: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact shingle-Jaccard >= tau pairs (doc_a < doc_b, jac rounded 4dp).
+
+    Without `candidates`: pairs are generated from co-occurring shingles
+    (docs sharing no shingle can never pass tau>0 — the join IS the
+    candidate filter). With `candidates` (e.g. from minhash_candidates):
+    intersection counts are computed only for those pairs."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn(
+            "jac", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+        )
+        .filter(F.col("jac") >= tau)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jac"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("sig", T.StringType()),
+    ]
+)
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """(doc_id, band, sig): LSH band signatures. num_perm/bands rows per
+    doc per band; docs with < SHINGLE_N tokens produce no rows.
+
+    Per Arrow batch: shingle hashes (n,) x seeds (k,2) -> (k,n) permuted
+    matrix -> row-min = signature, split into `bands` groups of r =
+    num_perm/bands values, each band serialized as 'v1-v2-...-vr'."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    seeds = perm_seeds(num_perm, seed)
+    A = np.array([a for a, _ in seeds], dtype=np.uint64)[:, None]
+    B = np.array([b for _, b in seeds], dtype=np.uint64)[:, None]
+
+    def fn(iterator):
+        for pdf in iterator:
+            ids, band_ids, sigs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                h = _doc_shingle_hashes(text or "")
+                if len(h) == 0:
+                    continue
+                sig = ((A * h[None, :] + B) % np.uint64(P31)).min(axis=1)
+                for bi in range(bands):
+                    chunk = sig[bi * r : (bi + 1) * r]
+                    ids.append(doc_id)
+                    band_ids.append(bi)
+                    sigs.append("-".join(str(int(v)) for v in chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(ids, dtype=np.int64),
+                    "band": np.array(band_ids, dtype=np.int32),
+                    "sig": pd.array(sigs, dtype=object),
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(fn, schema=_BAND_SCHEMA)
+
+
+def minhash_candidates(bands_df: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one full band —
+    the LSH bucket join. Only bucket-mates meet in the shuffle."""
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    tau: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures -> banded candidates ->
+    exact-Jaccard verification >= tau."""
+    cands = minhash_candidates(minhash_bands(df, text_col, num_perm, bands, seed))
+    return jaccard_pairs(shingle_hashes(df, text_col), tau, candidates=cands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("simhash", T.LongType())]
+)
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """31-bit SimHash over word tokens weighted by term frequency:
+    bit b = 1 iff sum_t tf_t * (2*bit_b(h_t) - 1) > 0."""
+
+    def fn(iterator):
+        bits = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        for pdf in iterator:
+            ids, vals = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = WORD_RE_COMPILED.findall((text or "").lower())
+                if not toks:
+                    ids.append(doc_id)
+                    vals.append(0)
+                    continue
+                uniq, tf = np.unique(np.array(toks, dtype=object), return_counts=True)
+                h = _md5_low64(list(uniq)) % np.uint64(P31)
+                bm = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+                w = (2 * bm - 1) * tf[:, None]
+                sums = w.sum(axis=0)
+                sh = int(((sums > 0).astype(np.uint64) << bits).sum())
+                ids.append(doc_id)
+                vals.append(sh)
+            yield pd.DataFrame(
+                {"doc_id": np.array(ids, np.int64), "simhash": np.array(vals, np.int64)}
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(fn, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_pairs(sim_df: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming distance <= max_hamming.
+
+    All-pairs compare via a 16-bit prefix block join (two docs within
+    Hamming<=d on 31 bits share at least one of the two halves exactly
+    when d <= 1 per half — we use the standard multi-block trick with 2
+    blocks covering d<=1 exactly; for d>1 we fall back to the cross
+    join). At 100 TB you would split into d+1 blocks (pigeonhole)."""
+    a = sim_df.alias("a")
+    b = sim_df.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    if max_hamming <= 1:
+        # pigeonhole on 2 blocks: low 16 bits / high 15 bits
+        lo = lambda c: F.col(c).bitwiseAND(F.lit((1 << 16) - 1))  # noqa: E731
+        hi = lambda c: F.shiftright(F.col(c), 16)  # noqa: E731
+        blocked = a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ((lo("a.simhash") == lo("b.simhash")) | (hi("a.simhash") == hi("b.simhash"))),
+        )
+    else:
+        blocked = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    return (
+        blocked.filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (exact; LSH scale path in similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(emb: DataFrame, tau: float, id_col: str = "vec_id") -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine similarity >= tau. Exact
+    all-pairs in double precision via built-in higher-order functions
+    (JVM-side); the LSH-bucketed variant (similarity.lsh_buckets) bounds
+    the join at scale."""
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
+    n = emb.select(
+        F.col(id_col).alias("id"),
+        F.col("embedding").alias("e"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= tau)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS t
+  FROM documents),
+tokidx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {SHINGLE_N - 1})) AS i
+  FROM toks WHERE len(t) >= {SHINGLE_N}),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         md5_number_lower(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) % {P31} AS sh
+  FROM tokidx)
+"""
+
+
+def exact_duplicates_sql() -> str:
+    return """
+WITH h AS (SELECT doc_id, sha256(text) AS hh FROM documents),
+k AS (SELECT hh, min(doc_id) AS keeper_doc_id FROM h GROUP BY hh)
+SELECT h.doc_id AS dup_doc_id, k.keeper_doc_id
+FROM h JOIN k USING (hh) WHERE h.doc_id != k.keeper_doc_id
+ORDER BY dup_doc_id"""
+
+
+def jaccard_pairs_sql(tau: float) -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {tau}
+ORDER BY doc_a, doc_b"""
+
+
+def minhash_pairs_sql(tau: float, num_perm: int = 32, bands: int = 8, seed: int = 7) -> str:
+    r = num_perm // bands
+    seeds = perm_seeds(num_perm, seed)
+    seed_rows = ", ".join(f"({i}, {a}::UBIGINT, {b}::UBIGINT)" for i, (a, b) in enumerate(seeds))
+    return f"""
+WITH {_SHINGLES_CTE},
+seeds(i, a, b) AS (VALUES {seed_rows}),
+sig AS (
+  SELECT s.doc_id, d.i, min((d.a * s.sh + d.b) % {P31}) AS mh
+  FROM shingles s CROSS JOIN seeds d GROUP BY s.doc_id, d.i),
+bandsig AS (
+  SELECT doc_id, i // {r} AS band,
+         string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig
+  FROM sig GROUP BY doc_id, i // {r}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsig a JOIN bandsig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {tau}
+ORDER BY doc_a, doc_b"""
+
+
+_SIMHASH_CTE = f"""
+toksh AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS tok
+  FROM documents),
+tfh AS (
+  SELECT doc_id, md5_number_lower(tok) % {P31} AS h, count(*) AS c
+  FROM toksh GROUP BY doc_id, tok),
+bitsum AS (
+  SELECT doc_id, g.b,
+         sum(CASE WHEN (h >> g.b) & 1 = 1 THEN c ELSE -c END) AS s
+  FROM tfh, generate_series(0, {SIMHASH_BITS - 1}) AS g(b)
+  GROUP BY doc_id, g.b),
+shv AS (
+  SELECT d.doc_id, coalesce(x.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0 END)::BIGINT AS simhash
+    FROM bitsum GROUP BY doc_id) x USING (doc_id))
+"""
+
+
+def simhash_sql() -> str:
+    return f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM shv ORDER BY doc_id"
+
+
+def simhash_pairs_sql(max_hamming: int) -> str:
+    return f"""
+WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::INT AS hamming
+FROM shv a JOIN shv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {max_hamming}
+ORDER BY doc_a, doc_b"""
+
+
+def embedding_pairs_sql(tau: float) -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 4) AS cos FROM pairs
+WHERE cos >= {tau} ORDER BY id_a, id_b"""

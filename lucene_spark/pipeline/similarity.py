@@ -1,0 +1,226 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Two paths:
+- `cosine_topk`  — exact brute-force top-k, pure built-in higher-order
+  functions (zip_with + aggregate, JVM-side, whole-stage codegen). The
+  correctness baseline; one scan, TakeOrderedAndProject top-k, no shuffle.
+- `lsh_buckets` / `ann_topk` — random-hyperplane LSH: 100 TB path. Each
+  vector gets an nbits signature (one Arrow batch matmul); queries probe
+  buckets within Hamming radius `probe` of their own signature, so the
+  exact rerank touches only candidate buckets. Recall vs brute force is
+  asserted in tests (no oracle — the plan is approximate by design).
+
+The IVF alternative (k-means coarse quantizer) shares the same shape:
+signature -> centroid id; omitted because training state adds nothing
+to the Spark-plumbing story at this scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine similarity to `query_vec` (double precision,
+    rounded 4dp; ties broken by id asc). Built-in expressions only."""
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    qnorm = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    cos = _dot(F.col("embedding"), qlit) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qnorm)
+    )
+    return (
+        emb.select(F.col(id_col), F.round(cos, 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_self_sql(query_id: int, k: int, id_col: str = "vec_id") -> str:
+    """DuckDB oracle where the query vector is the embedding of row
+    `query_id` — keeps the SQL static across scale factors."""
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE {id_col} = {query_id}),
+s AS (
+  SELECT {id_col},
+         list_sum(list_transform(list_zip(embedding, qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(qv,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM embeddings, q)
+SELECT {id_col}, round(cos, 4) AS cos FROM s
+ORDER BY round(cos, 4) DESC, {id_col} LIMIT {k}"""
+
+
+def knn_join_self_sql(n_queries: int, k: int) -> str:
+    """DuckDB oracle for knn_join with queries = first n_queries vectors."""
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM n WHERE vec_id < {n_queries}),
+c AS (
+  SELECT q.qid, n.vec_id,
+         round(list_sum(list_transform(list_zip(n.embedding, q.qe),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * q.qn), 4) AS cos
+  FROM n CROSS JOIN q),
+r AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+  FROM c)
+SELECT qid, vec_id, cos, rank::INT AS rank FROM r WHERE rank <= {k}
+ORDER BY qid, rank"""
+
+
+def cosine_topk_sql(query_vec: list[float], k: int, id_col: str = "vec_id") -> str:
+    """DuckDB oracle for cosine_topk: same double arithmetic + rounding."""
+    qnorm = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    qlist = ", ".join(repr(float(v)) for v in query_vec)
+    return f"""
+WITH q(qv) AS (SELECT [{qlist}]),
+s AS (
+  SELECT {id_col},
+         list_sum(list_transform(list_zip(embedding, qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * {qnorm!r}) AS cos
+  FROM embeddings, q)
+SELECT {id_col}, round(cos, 4) AS cos FROM s
+ORDER BY round(cos, 4) DESC, {id_col} LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, nbits: int, seed: int = 11) -> np.ndarray:
+    """Deterministic (nbits, dim) Gaussian hyperplanes."""
+    return np.random.default_rng(seed).standard_normal((nbits, dim))
+
+
+def lsh_buckets(
+    emb: DataFrame, nbits: int = 16, seed: int = 11, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, bucket) sign-bit signatures — one vectorized matmul per Arrow
+    batch. At 100 TB the bucketed table is written partitioned by bucket
+    so a probe reads only its candidate partitions."""
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("bucket", T.LongType())]
+    )
+    # capture dim lazily from the first batch; hyperplanes are seed-deterministic
+    def fn(iterator):
+        R = None
+        weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if R is None:
+                R = hyperplanes(M.shape[1], nbits, seed)
+            bits = (M @ R.T) > 0
+            buckets = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "bucket": buckets.astype(np.int64)}
+            )
+
+    return emb.select(F.col(id_col), "embedding").mapInPandas(fn, schema=schema)
+
+
+def _probe_buckets(bucket: int, nbits: int, probe_hamming: int) -> list[int]:
+    """Buckets within Hamming distance <= probe_hamming (0, 1, or 2)."""
+    out = {bucket}
+    if probe_hamming >= 1:
+        for i in range(nbits):
+            out.add(bucket ^ (1 << i))
+    if probe_hamming >= 2:
+        for i in range(nbits):
+            for j in range(i + 1, nbits):
+                out.add(bucket ^ (1 << i) ^ (1 << j))
+    return sorted(out)
+
+
+def ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    nbits: int = 16,
+    seed: int = 11,
+    probe_hamming: int = 1,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: multi-table LSH probe + exact cosine rerank.
+
+    The standard scale recipe: `n_tables` independent hyperplane sets;
+    a vector is a candidate if ANY table buckets it within Hamming
+    `probe_hamming` of the query's bucket. Candidate union -> semi join
+    -> exact rerank over candidates only. At 100 TB the bucket table is
+    written partitioned by (table, bucket) so each probe is a partition-
+    pruned read."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cand_union = None
+    for t in range(n_tables):
+        tseed = seed + 1000 * t
+        R = hyperplanes(len(q), nbits, tseed)
+        qbits = (R @ q) > 0
+        qbucket = int((qbits.astype(np.uint64) << np.arange(nbits, dtype=np.uint64)).sum())
+        probes = _probe_buckets(qbucket, nbits, probe_hamming)
+        ids = (
+            lsh_buckets(emb, nbits, tseed, id_col)
+            .filter(F.col("bucket").isin(probes))
+            .select(F.col("id").alias(id_col))
+        )
+        cand_union = ids if cand_union is None else cand_union.unionByName(ids)
+    cands = emb.join(cand_union.distinct(), id_col, "left_semi")
+    return cosine_topk(cands, query_vec, k, id_col)
+
+
+def knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Batch k-NN: for every query row (qid, embedding), the exact top-k
+    corpus neighbors by cosine. Broadcast the (small) query side; rank
+    with a window — the standard blocked brute-force kNN join shape.
+
+    Output: (qid, vec_id, cos, rank)."""
+    from pyspark.sql import Window as W
+
+    a = emb.select(
+        F.col(id_col),
+        F.col("embedding").alias("e"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("na"),
+    )
+    b = queries.select(
+        F.col(qid_col),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nb"),
+    )
+    cos = _dot(F.col("e"), F.col("qe")) / (F.col("na") * F.col("nb"))
+    w = W.partitionBy(qid_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .withColumn("cos", F.round(cos, 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )

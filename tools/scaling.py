@@ -1,0 +1,173 @@
+"""Two-parallelism scaling run — the sandbox stand-in for N vs 4N executors.
+
+The north rule requires throughput scaling efficiency >= 0.8 between two
+cluster sizes. No real cluster exists here, so we run the SAME job (full
+index build + query suite over one deterministic synthetic corpus) at two
+local parallelism levels (default local[8] vs local[32]) in fresh JVMs,
+and report throughput at both plus
+
+    efficiency = throughput_high / (throughput_low * (high/low))
+
+Results land in BENCH_scaling.json and the measured-results section of
+BASELINE.md.
+
+Usage:
+    python tools/scaling.py --docs 100000 --levels 8,32
+    python tools/scaling.py --worker <cpus> <corpus_path> <idx_dir>  # internal
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _ensure_corpus(n_docs: int, seed: int = 42) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(REPO, ".cache", f"scaling_corpus_{n_docs}")
+    marker = os.path.join(path, "_done")
+    if os.path.exists(marker):
+        return path
+    from lucene_spark.corpus import make_corpus
+
+    print(f"[scaling] generating {n_docs}-doc corpus ...", file=sys.stderr)
+    pdf = make_corpus(n_docs, seed=seed)
+    os.makedirs(path, exist_ok=True)
+    # write in several row groups so Spark can split the scan
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(path, "corpus.parquet"),
+        row_group_size=max(1000, n_docs // 64),
+    )
+    open(marker, "w").close()
+    return path
+
+
+def _worker(cpus: int, corpus_path: str, idx_dir: str) -> None:
+    """Fresh-JVM measurement at one parallelism level. Prints one JSON line."""
+    from lucene_spark.index import Index, build_index
+    from lucene_spark.search import BoolQ, PhraseQ, Searcher, TermQ
+    from lucene_spark.session import get_spark
+
+    spark = get_spark(f"lucene_spark_scaling_{cpus}", cpus=cpus)
+    corpus = spark.read.parquet(os.path.join(corpus_path, "corpus.parquet"))
+    n_docs = corpus.count()
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        spark,
+        corpus,
+        idx_dir,
+        text_col="content",
+        order_cols=["repo", "path", "commit"],
+        keep_cols=["repo", "path", "lang"],
+        num_buckets=16,
+        salt_rows=1 << 14,
+        resume=False,
+    )
+    build_sec = time.time() - t0
+
+    searcher = Searcher(Index(spark, idx_dir), scoring="lucene")
+    suite = [
+        (TermQ("license"), 100),           # hot term (header stopword)
+        (TermQ("var_17"), 10),             # mid-frequency identifier
+        (BoolQ(must=(TermQ("public"), TermQ("class"))), 20),
+        (BoolQ(should=(TermQ("import"), TermQ("return"), TermQ("func"))), 20),
+        (PhraseQ(("apache", "license")), 20),
+    ]
+    rounds = 3
+    tq0 = time.time()
+    for _ in range(rounds):
+        for q, k in suite:
+            searcher.top_k(q, k).collect()
+    query_sec = time.time() - tq0
+    n_queries = rounds * len(suite)
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "build_sec": round(build_sec, 2),
+                "build_docs_per_sec": round(n_docs / build_sec, 1),
+                "query_sec": round(query_sec, 2),
+                "queries_per_sec": round(n_queries / query_sec, 2),
+                "n_queries": n_queries,
+            }
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("rest", nargs="*")
+    args = ap.parse_args()
+
+    if args.worker is not None:
+        _worker(args.worker, args.rest[0], args.rest[1])
+        return
+
+    levels = sorted(int(x) for x in args.levels.split(","))
+    corpus_path = _ensure_corpus(args.docs)
+    results = {}
+    for cpus in levels:
+        idx_dir = os.path.join(REPO, ".cache", f"scaling_idx_{args.docs}_{cpus}")
+        print(f"[scaling] running build+query at local[{cpus}] ...", file=sys.stderr)
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--worker",
+                str(cpus),
+                corpus_path,
+                idx_dir,
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(f"worker at local[{cpus}] failed")
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"[scaling] local[{cpus}]: {line}", file=sys.stderr)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    lo, hi = levels[0], levels[-1]
+    ratio = hi / lo
+    build_eff = results[hi]["build_docs_per_sec"] / (
+        results[lo]["build_docs_per_sec"] * ratio
+    )
+    query_eff = results[hi]["queries_per_sec"] / (
+        results[lo]["queries_per_sec"] * ratio
+    )
+    out = {
+        "workload": f"index build + top-k query suite, {args.docs} synthetic source-code docs",
+        "levels": results,
+        "parallelism_ratio": ratio,
+        "build_scaling_efficiency": round(build_eff, 3),
+        "query_scaling_efficiency": round(query_eff, 3),
+        "target": 0.8,
+    }
+    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
