@@ -132,12 +132,18 @@ def term_bucket_py(terms: pd.Series, num_buckets: int) -> np.ndarray:
 def _assign_doc_ids(df: DataFrame, order_cols: list[str], parts: int) -> DataFrame:
     """Deterministic global rank without a single-partition window.
 
-    repartitionByRange + sortWithinPartitions gives a total order across
-    partitions; a cheap count-per-partition pass yields offsets; then
-    doc_id = offset[pid] + local_row_index via mapInPandas. Scales to any
-    corpus size (the offsets list is one int per partition).
-    """
-    sdf = df.repartitionByRange(parts, *[F.col(c) for c in order_cols]).sortWithinPartitions(
+    Only the (small) key columns travel: project `order_cols`, range-
+    repartition + sort them for a total order, compute per-partition
+    offsets (one int per partition), stamp doc_id = offset + local index,
+    then join the ids back to the full rows. The wide columns (content)
+    never cross the Python boundary and at small scale never shuffle at
+    all (the id table broadcasts; at 10^12 rows AQE picks a shuffle join
+    — one text shuffle, same as sorting the corpus itself would cost).
+
+    `order_cols` must be a unique key (the reference ingest order is a
+    total order; repo/path/commit is unique by construction)."""
+    keys = df.select(*order_cols)
+    sdf = keys.repartitionByRange(parts, *[F.col(c) for c in order_cols]).sortWithinPartitions(
         *order_cols
     )
     sdf = sdf.persist()
@@ -167,7 +173,8 @@ def _assign_doc_ids(df: DataFrame, order_cols: list[str], parts: int) -> DataFra
             seen += len(pdf)
             yield pdf
 
-    return sdf.mapInPandas(add_ids, schema=out_schema)
+    ids = sdf.mapInPandas(add_ids, schema=out_schema)
+    return df.join(ids, order_cols)
 
 
 def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions: bool):
@@ -344,6 +351,12 @@ def build_index(
             parts = corpus_parts or spark.sparkContext.defaultParallelism
             snap = _assign_doc_ids(corpus, order_cols or corpus.columns, parts)
         snap = snap.withColumn("sha256", F.sha2(F.col(text_col), 256))
+        # range-cluster by doc_id: files align with docID ranges (the
+        # salt sharding in stage1 and stored-field fetches both benefit),
+        # and the file count matches the parallelism so the tokenize
+        # stage is never starved by a handful of wide input files.
+        snap_parts = corpus_parts or spark.sparkContext.defaultParallelism * 2
+        snap = snap.repartitionByRange(snap_parts, F.col("doc_id"))
         snap.write.mode("overwrite").parquet(corpus_path)
         n_docs = spark.read.parquet(corpus_path).count()
         _update_manifest(
@@ -364,40 +377,48 @@ def build_index(
             _invert_map(text_col, salt_rows, num_buckets, with_positions),
             schema=INVERTED_SCHEMA,
         )
-        # persist: both postings and docs tables derive from one tokenize pass
-        from pyspark import StorageLevel
+        # groupBy.applyInPandas hash-shuffles on (bucket, salt) itself —
+        # ONE shuffle of the inverted stream, no pre-repartition. Group
+        # count = num_buckets * ceil(maxDoc/salt_rows); tune salt_rows so
+        # groups >= cores at the target scale.
+        postings = inverted.groupBy("bucket", "salt").applyInPandas(
+            _encode_group(with_positions), schema=POSTINGS_SCHEMA
+        )
+        (
+            postings.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(postings_path)
+        )
+        # docs table straight from the snapshot: dl is a pure column
+        # expression over the same token regex as the analyzer (each
+        # >255-char run contributes ceil(len/255) pieces,
+        # StandardTokenizer.java:77), norm = SmallFloat.intToByte4(dl)
+        # via one vectorized Arrow UDF on ints. No dependency on the
+        # inverted stream -> tokenize output flows straight into the
+        # encode shuffle with nothing persisted.
+        from lucene_spark.analysis import TOKEN_REGEX_SQL
+        from lucene_spark.smallfloat import int_to_byte4
 
-        inverted = inverted.persist(StorageLevel.DISK_ONLY)
-        try:
-            postings = (
-                inverted.repartition(
-                    max(spark.sparkContext.defaultParallelism * 2, num_buckets),
-                    "bucket",
-                    "salt",
-                )
-                .groupBy("bucket", "salt")
-                .applyInPandas(_encode_group(with_positions), schema=POSTINGS_SCHEMA)
-            )
-            (
-                postings.write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(postings_path)
-            )
-            # docs table from the same inverted stream (dl = Σfreq), plus
-            # zero-token docs recovered from the snapshot with dl=0, norm=0
-            docs_from_terms = inverted.groupBy("doc_id").agg(
-                F.first("dl").alias("dl"), F.first("norm").alias("norm")
-            )
-            keyword = corpus_ids.select("doc_id", *keep_cols)
-            docs = (
-                keyword.join(docs_from_terms, "doc_id", "left")
-                .fillna({"dl": 0, "norm": 0})
-                .withColumn("dl", F.col("dl").cast("int"))
-                .withColumn("norm", F.col("norm").cast("int"))
-            )
-            docs.write.mode("overwrite").parquet(docs_path)
-        finally:
-            inverted.unpersist()
+        toks = F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_REGEX_SQL), F.lit(0)
+        )
+        dl_expr = F.coalesce(
+            F.aggregate(
+                F.transform(toks, lambda t: F.ceil(F.length(t) / 255).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        )
+
+        @F.pandas_udf(T.IntegerType())
+        def norm_udf(dl: pd.Series) -> pd.Series:
+            return pd.Series(int_to_byte4(dl.to_numpy().astype(np.int64)).astype(np.int32))
+
+        docs = corpus_ids.select(
+            "doc_id", *keep_cols, dl_expr.cast("int").alias("dl")
+        ).withColumn("norm", norm_udf(F.col("dl")))
+        docs.write.mode("overwrite").parquet(docs_path)
         _update_manifest(
             index_dir,
             "stage1_postings",

@@ -80,18 +80,28 @@ class Index:
         """{term: (df, ttf)} via the stats table (collects <= len(terms) rows).
 
         The global stats drive the Weight (TermQuery.java:61-64 collects
-        index-global termStatistics once, before per-segment scoring)."""
+        index-global termStatistics once, before per-segment scoring).
+        Looked-up stats are memoized on the reader — the terms-dictionary
+        -in-RAM analog (Lucene keeps the .tip FST on heap); absent terms
+        memoize as None so repeated misses cost nothing."""
         if not terms:
             return {}
-        buckets = sorted({self.bucket_of(t, self.num_buckets) for t in terms})
-        rows = (
-            self.term_stats.filter(
-                F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+        if not hasattr(self, "_stats_memo"):
+            self._stats_memo: dict[str, tuple | None] = {}
+        missing = [t for t in terms if t not in self._stats_memo]
+        if missing:
+            buckets = sorted({self.bucket_of(t, self.num_buckets) for t in missing})
+            rows = (
+                self.term_stats.filter(
+                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+                )
+                .select("term", "df", "ttf")
+                .collect()
             )
-            .select("term", "df", "ttf")
-            .collect()
-        )
-        return {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+            for t in missing:
+                self._stats_memo[t] = found.get(t)
+        return {t: self._stats_memo[t] for t in terms if self._stats_memo[t] is not None}
 
     def expand_terms(self, predicate) -> list[str]:
         """MultiTermQuery rewrite: term-dictionary scan by Catalyst predicate

@@ -28,6 +28,13 @@ def get_spark(app: str = "lucene_spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # local benches read small single-file parquet: a lower split size
+        # keeps all cores busy from the first scan. On a real cluster the
+        # default 128m is right — override via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("LUCENE_SPARK_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
