@@ -28,11 +28,14 @@ from lucene_spark.index import Index, build_index
 from lucene_spark.pipeline import dedup, multimodal, similarity, textstats
 from lucene_spark.search import (
     BoolQ,
+    CommonTermsQ,
     DisMaxQ,
     FieldFilter,
     FuzzyQ,
+    MultiPhraseQ,
     PhraseQ,
     PrefixQ,
+    RegexpQ,
     Searcher,
     SynonymQ,
     TermInSetQ,
@@ -298,6 +301,86 @@ def _q_ann_lsh(query_id: int, k: int):
     return q
 
 
+def _q_mlt(seed_doc: int, max_terms: int, k: int):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        q = s.more_like_this(seed_doc, max_terms=max_terms)
+        return _topk_rounded(s.scored(q), k)
+
+    return fn
+
+
+def _q_rescore(term: str, ph: tuple, n: int, weight: float):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        first = s.scored(TermQ(term)).withColumn("s1", F.round("score", 4))
+        top = (
+            first.orderBy(F.desc("s1"), F.asc("doc_id"))
+            .limit(n)
+            .select("doc_id", "s1")
+        )
+        second = s.scored(PhraseQ(ph)).select(
+            "doc_id", F.round("score", 4).alias("s2")
+        )
+        return (
+            F.broadcast(top)
+            .join(second, "doc_id", "left")
+            .fillna({"s2": 0.0})
+            .select(
+                "doc_id",
+                F.round(F.col("s1") + weight * F.col("s2"), 4).alias("score_r"),
+            )
+            .orderBy(F.desc("score_r"), F.asc("doc_id"))
+        )
+
+    return fn
+
+
+def _q_suggest(prefix: str, n: int):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.suggest(prefix, n)
+
+    return fn
+
+
+def _q_facet_range(term: str):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        matches = s.doc_set(TermQ(term))
+        bucket = (
+            F.when(F.col("n_chars") < 500, "0-499")
+            .when(F.col("n_chars") < 1000, "500-999")
+            .when(F.col("n_chars") < 2000, "1000-1999")
+            .otherwise("2000+")
+        )
+        return (
+            matches.join(s.index.docs.select("doc_id", "n_chars"), "doc_id")
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("bucket")
+        )
+
+    return fn
+
+
+def _q_join_parent(term: str):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        scored = s.scored(TermQ(term)).withColumn("score_r", F.round("score", 4))
+        return (
+            scored.join(s.index.docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.max("score_r").alias("parent_score"),
+                F.count(F.lit(1)).alias("n_children"),
+            )
+            .orderBy(F.desc("parent_score"), F.asc("source"))
+        )
+
+    return fn
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the full index on sf0.001 and run a scored boolean
     query (OR of two terms, lang-filtered) through the compressed postings."""
@@ -326,6 +409,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             20,
         ),
         "phrase_topk": _q_phrase(("data", "line"), 20),
+        "phrase_sloppy_topk": _q_bool(lambda: PhraseQ(("data", "line"), slop=2), 20),
+        "multiphrase_topk": _q_bool(
+            lambda: MultiPhraseQ((("data", "big"), ("line",))), 20
+        ),
+        "common_terms_topk": _q_bool(
+            lambda: CommonTermsQ(("the", "data", "spark"), max_df_ratio=0.2), 20
+        ),
+        "mlt_topk": _q_mlt(0, 5, 10),
+        "rescore_topk": _q_rescore("data", ("data", "line"), 20, 2.0),
+        "suggest_prefix": _q_suggest("s", 10),
+        "facet_range_nchars": _q_facet_range("vector"),
+        "join_parent_max": _q_join_parent("merge"),
+        "regexp_docs": _q_docset(lambda: RegexpQ("^b[aeiou]g$")),
         "synonym_topk": _q_bool(lambda: SynonymQ(("merge", "join")), 20),
         "dismax_topk": _q_bool(lambda: DisMaxQ((TermQ("merge"), TermQ("sort")), 0.1), 20),
         "prefix_docs": _q_docset(lambda: PrefixQ("s")),
@@ -451,8 +547,142 @@ def oracle_sql() -> dict[str, str]:
         f"{_term_scored_sql('merge')} UNION ALL {_term_scored_sql('sort')}"
         f") GROUP BY doc_id)"
     )
+    # sloppy phrase "data line"~2: anchor-greedy freq = sum 1/(1+d),
+    # d = nearest offset-adjusted 'line' position per 'data' anchor
+    sloppy_scored = f"""
+  SELECT p.doc_id,
+         (wsum.w0) - (wsum.w0) / (1 + p.freq * {_INV}) AS score
+  FROM (
+    SELECT b2.doc_id, sum(1.0 / (1 + b2.d)) AS freq FROM (
+      SELECT pa.doc_id, pa.a, min(abs(pb.b - pa.a)) AS d
+      FROM (SELECT doc_id, pos - 1 AS a FROM posr WHERE toks[pos] = 'data') pa
+      JOIN (SELECT doc_id, pos - 2 AS b FROM posr WHERE toks[pos] = 'line') pb
+        USING (doc_id)
+      GROUP BY pa.doc_id, pa.a) b2
+    WHERE b2.d <= 2 GROUP BY b2.doc_id
+  ) p
+  JOIN qdls q USING (doc_id), g,
+       (SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data')
+             + (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum
+"""
+    multiphrase_scored = f"""
+  SELECT p.doc_id,
+         (wsum.w0) - (wsum.w0) / (1 + p.freq * {_INV}) AS score
+  FROM (
+    SELECT doc_id, count(*) AS freq FROM
+      (SELECT DISTINCT doc_id, pos - 1 AS p FROM posr
+       WHERE toks[pos] IN ('data', 'big')) s0
+    JOIN (SELECT DISTINCT doc_id, pos - 2 AS p FROM posr
+          WHERE toks[pos] = 'line') s1 USING (doc_id, p)
+    WHERE p >= 0 GROUP BY doc_id
+  ) p
+  JOIN qdls q USING (doc_id), g,
+       (SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data')
+             + (SELECT {_w('df')} FROM dfs, g WHERE term = 'big')
+             + (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum
+"""
+    _POSR = ", posr AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM tok)"
+    ct_terms = "'the', 'data', 'spark'"
+    common_terms_scored = f"""
+  SELECT sc.doc_id, sum(sc.score) AS score FROM (
+    {_term_scored_sql('the')} UNION ALL {_term_scored_sql('data')}
+    UNION ALL {_term_scored_sql('spark')}
+  ) sc
+  JOIN (
+    SELECT doc_id FROM tf WHERE term IN (SELECT term FROM lt)
+    GROUP BY doc_id HAVING count(DISTINCT term) = (SELECT count(*) FROM lt)
+    UNION
+    SELECT DISTINCT doc_id FROM tf
+    WHERE (SELECT count(*) FROM lt) = 0 AND term IN ({ct_terms})
+  ) req USING (doc_id)
+  GROUP BY sc.doc_id
+"""
+    _LT = (
+        f", lt AS (SELECT term FROM dfs, g "
+        f"WHERE term IN ({ct_terms}) AND df <= 0.2 * g.doc_count)"
+    )
+    mlt_scored = f"""
+  SELECT gen.doc_id, sum(gen.w - gen.w / (1 + gen.freq * {_INV})) AS score
+  FROM (
+    SELECT tf.doc_id, tf.freq, tf.term,
+           ln(1 + (g.doc_count - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+    FROM tf JOIN dfs USING (term), g
+    WHERE tf.term IN (
+      SELECT t5.term FROM (
+        SELECT tf2.term,
+               -round(tf2.freq * ln(g.doc_count / CAST(dfs.df AS DOUBLE)), 6) AS nk
+        FROM tf tf2 JOIN dfs USING (term), g WHERE tf2.doc_id = 0
+        ORDER BY nk, tf2.term LIMIT 5) t5)
+  ) gen
+  JOIN qdls q ON q.doc_id = gen.doc_id, g
+  GROUP BY gen.doc_id
+"""
+    phrase_rounded = f"""
+  SELECT p.doc_id,
+         round((wsum.w0) - (wsum.w0) / (1 + p.freq * {_INV}), 4) AS s2
+  FROM (
+    SELECT s0.doc_id, count(*) AS freq FROM
+      (SELECT doc_id, pos - 1 AS p FROM posr WHERE toks[pos] = 'data') s0
+    JOIN (SELECT doc_id, pos - 2 AS p FROM posr WHERE toks[pos] = 'line') s1
+      USING (doc_id, p)
+    GROUP BY s0.doc_id
+  ) p
+  JOIN qdls q USING (doc_id), g,
+       (SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data')
+             + (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum
+"""
+    rescore_sql = f"""{_PRELUDE}{_POSR},
+top20 AS (
+  SELECT doc_id, round(score, 4) AS s1 FROM ({_term_scored_sql('data')})
+  ORDER BY round(score, 4) DESC, doc_id LIMIT 20),
+ph AS ({phrase_rounded})
+SELECT t.doc_id, round(t.s1 + 2.0 * coalesce(ph.s2, 0.0), 4) AS score_r
+FROM top20 t LEFT JOIN ph USING (doc_id)
+ORDER BY score_r DESC, t.doc_id"""
     return {
         "term_topk": _topk_sql(_term_scored_sql("vector"), 10),
+        "phrase_sloppy_topk": (
+            f"{_PRELUDE}{_POSR}, scored AS ({sloppy_scored}) "
+            f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+            f"ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
+        ),
+        "multiphrase_topk": (
+            f"{_PRELUDE}{_POSR}, scored AS ({multiphrase_scored}) "
+            f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+            f"ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
+        ),
+        "common_terms_topk": (
+            f"{_PRELUDE}{_LT}, scored AS ({common_terms_scored}) "
+            f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+            f"ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
+        ),
+        "mlt_topk": (
+            f"{_PRELUDE}, scored AS ({mlt_scored}) "
+            f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+            f"ORDER BY round(score, 4) DESC, doc_id LIMIT 10"
+        ),
+        "rescore_topk": rescore_sql,
+        "suggest_prefix": (
+            f"{_PRELUDE} SELECT term, CAST(sum(freq) AS BIGINT) AS weight "
+            f"FROM tf WHERE term LIKE 's%' GROUP BY term "
+            f"ORDER BY weight DESC, term LIMIT 10"
+        ),
+        "facet_range_nchars": (
+            f"{_PRELUDE} SELECT CASE WHEN d.n_chars < 500 THEN '0-499' "
+            f"WHEN d.n_chars < 1000 THEN '500-999' "
+            f"WHEN d.n_chars < 2000 THEN '1000-1999' ELSE '2000+' END AS bucket, "
+            f"count(*) AS cnt "
+            f"FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector') m "
+            f"JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY bucket"
+        ),
+        "join_parent_max": (
+            f"{_PRELUDE}, scored AS ({_term_scored_sql('merge')}) "
+            f"SELECT d.source, max(round(s.score, 4)) AS parent_score, "
+            f"count(*) AS n_children "
+            f"FROM scored s JOIN documents d USING (doc_id) "
+            f"GROUP BY d.source ORDER BY parent_score DESC, d.source"
+        ),
+        "regexp_docs": _docset_sql("regexp_matches(tf.term, '^b[aeiou]g$')"),
         "term_topk_hot": _topk_sql(_term_scored_sql("the"), 100),
         "bool_or_topk": _topk_sql(or_sql, 20),
         "bool_and_topk": _topk_sql(and_sql, 20),

@@ -79,6 +79,75 @@ class PandasOracle:
                 out[d] = s[0]
         return out
 
+    def multiphrase_scores(
+        self, slots: list[tuple], slop: int = 0, boost: float = 1.0
+    ) -> dict[int, np.float32]:
+        """Phrase over alternative-term slots, exact (slop=0) or sloppy
+        (anchor-greedy, weight 1/(1+matchLength)) — mirrors the engine's
+        documented semantics (executor._phrase_scored)."""
+        all_terms = [t for alt in slots for t in alt if t in self.postings]
+        live_slots = [
+            [t for t in alt if t in self.postings] for alt in slots
+        ]
+        if any(not alt for alt in live_slots):
+            return {}
+        w = np.float32(boost) * bm25.combined_idf(
+            [len(self.postings[t]) for t in all_terms], self.doc_count
+        )
+        # candidate docs: present in some term of every slot
+        doc_sets = [
+            set().union(*(self.postings[t].keys() for t in alt)) for alt in live_slots
+        ]
+        docs = set.intersection(*doc_sets)
+        out = {}
+        for d in docs:
+            slot_pos = []
+            for off, alt in enumerate(live_slots):
+                parts = [
+                    np.asarray(self.postings[t][d], dtype=np.int64) - off
+                    for t in alt
+                    if d in self.postings[t]
+                ]
+                if not parts:
+                    slot_pos = None
+                    break
+                slot_pos.append(np.unique(np.concatenate(parts)))
+            if slot_pos is None:
+                continue
+            if slop == 0:
+                cand = slot_pos[0]
+                for sp in slot_pos[1:]:
+                    cand = np.intersect1d(cand, sp, assume_unique=True)
+                freq = float(len(cand[cand >= 0]))
+            else:
+                freq = 0.0
+                for a in slot_pos[0]:
+                    picks = [int(a)]
+                    ok = True
+                    for sp in slot_pos[1:]:
+                        d_best = None
+                        j = int(np.searchsorted(sp, a))
+                        for jj in (j - 1, j):
+                            if 0 <= jj < len(sp):
+                                dd = abs(int(sp[jj]) - int(a))
+                                if d_best is None or dd < d_best[0]:
+                                    d_best = (dd, int(sp[jj]))
+                        if d_best is None:
+                            ok = False
+                            break
+                        picks.append(d_best[1])
+                    if not ok:
+                        continue
+                    ml = max(picks) - min(picks)
+                    if ml <= slop:
+                        freq += 1.0 / (1.0 + ml)
+            if freq:
+                s = bm25.score(
+                    np.array([freq]), np.array([self.norms[d]]), w, self.cache
+                )
+                out[d] = s[0]
+        return out
+
     def or_scores(self, clause_scores: list[dict]) -> dict[int, np.float32]:
         """Double accumulate, cast float (DisjunctionSumScorer.java:38-44)."""
         acc: dict[int, float] = {}

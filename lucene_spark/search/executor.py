@@ -266,8 +266,10 @@ class Searcher:
             return self._scored_term_rows({q.term: w}, k)
         if isinstance(q, P.SynonymQ):
             return self._synonym_scored(q)
-        if isinstance(q, P.PhraseQ):
+        if isinstance(q, (P.PhraseQ, P.MultiPhraseQ)):
             return self._phrase_scored(q)
+        if isinstance(q, P.CommonTermsQ):
+            return self.scored(self._rewrite_common_terms(q), k)
         if isinstance(q, P.BoolQ):
             return self._bool_scored(q)
         if isinstance(q, P.DisMaxQ):
@@ -332,49 +334,109 @@ class Searcher:
 
         return df.select("doc_id", score_udf("freq", "norm").alias("score"))
 
-    def _phrase_scored(self, q: P.PhraseQ) -> DataFrame:
-        """Exact phrase (slop=0): conjunction on docID, then positional
-        verify; freq = #occurrences; weight = summed idf
-        (PhraseQuery.java:71, ExactPhraseMatcher.java:39,166)."""
-        if q.slop != 0:
-            raise NotImplementedError("sloppy phrase lands in a later round")
-        terms = list(q.terms)
-        uniq = list(dict.fromkeys(terms))
+    def _phrase_scored(self, q) -> DataFrame:
+        """Phrase family (PhraseQuery.java:71, MultiPhraseQuery.java:53).
+
+        slots: one tuple of alternative terms per phrase position; a doc
+        matches when some term of every slot occurs at consecutive
+        (slop=0) or near (slop>0) positions. Two-phase: docID conjunction
+        on slot presence first, positions decoded only for survivors
+        (TwoPhaseIterator / ExactPhraseMatcher pattern).
+
+        slop=0: freq = #exact alignments (ExactPhraseMatcher.java:166).
+        slop>0: anchor-greedy sloppy matching — for every occurrence of
+        slot 0, pick per slot the offset-adjusted position closest to the
+        anchor; matchLength = max-min of the adjusted picks; the anchor
+        contributes sloppyWeight = 1/(1+matchLength) when matchLength <=
+        slop (PhraseScorer.java:75-81 weight; a documented simplification
+        of SloppyPhraseMatcher.java:169's repeat handling — for phrases
+        without repeated slots and slop windows smaller than the term
+        gap, the two agree)."""
+        if isinstance(q, P.MultiPhraseQ):
+            slots = [tuple(alt) for alt in q.positions]
+            weight_terms = [t for alt in slots for t in alt]
+        else:
+            slots = [(t,) for t in q.terms]
+            weight_terms = list(q.terms)
+        slop = q.slop
+        uniq = list(dict.fromkeys(t for alt in slots for t in alt))
         stats = self.index.stats_for_terms(uniq)
-        if any(t not in stats for t in uniq):
+        if isinstance(q, P.MultiPhraseQ):
+            # MultiPhrase: a slot matches if ANY alternative exists; drop
+            # missing alternatives, fail only if a whole slot is gone
+            slots = [tuple(t for t in alt if t in stats) for alt in slots]
+            if any(not alt for alt in slots):
+                return self._empty_scored()
+            weight_terms = [t for t in weight_terms if t in stats]
+            uniq = list(dict.fromkeys(t for alt in slots for t in alt))
+        elif any(t not in stats for t in uniq):
             return self._empty_scored()
-        w = self._combined_weight([stats[t][0] for t in terms], q.boost)
+        w = self._combined_weight([stats[t][0] for t in weight_terms], q.boost)
         pos = self._position_rows(uniq)
-        nuniq = len(uniq)
+        idx_of = {t: i for i, t in enumerate(uniq)}
+        nslots = len(slots)
+        # slot -> list of (term_idx, offset) pairs
+        slot_spec = [
+            [idx_of[t] for t in alt] for alt in slots
+        ]
         grouped = (
             pos.groupBy("doc_id")
             .agg(
                 F.collect_list(F.struct("idx", "positions")).alias("plists"),
                 F.first("norm").alias("norm"),
-                F.count("idx").alias("nterms"),
+                F.count_distinct(F.col("idx")).alias("nterms"),
             )
-            .filter(F.col("nterms") == nuniq)
         )
-        offsets_by_idx = [[] for _ in range(nuniq)]
-        idx_of = {t: i for i, t in enumerate(uniq)}
-        for off, t in enumerate(terms):
-            offsets_by_idx[idx_of[t]].append(off)
+        if all(len(alt) == 1 for alt in slots):
+            # cheap docID conjunction before the positional verify
+            grouped = grouped.filter(F.col("nterms") >= len(uniq))
 
-        @F.pandas_udf(T.IntegerType())
+        @F.pandas_udf(T.DoubleType())
         def phrase_freq(plists: pd.Series) -> pd.Series:
-            out = np.zeros(len(plists), dtype=np.int32)
+            out = np.zeros(len(plists), dtype=np.float64)
             for r, entries in enumerate(plists):
-                arrs = [None] * nuniq
+                arrs = {}
                 for e in entries:
                     arrs[e["idx"]] = np.asarray(e["positions"], dtype=np.int64)
-                cand = None
-                for i in range(nuniq):
-                    for off in offsets_by_idx[i]:
-                        shifted = arrs[i] - off
-                        cand = shifted if cand is None else np.intersect1d(
-                            cand, shifted, assume_unique=True
-                        )
-                out[r] = 0 if cand is None else len(cand[cand >= 0])
+                # offset-adjusted union per slot
+                slot_pos = []
+                ok = True
+                for off, idxs in enumerate(slot_spec):
+                    parts = [arrs[i] - off for i in idxs if i in arrs]
+                    if not parts:
+                        ok = False
+                        break
+                    slot_pos.append(np.unique(np.concatenate(parts)))
+                if not ok:
+                    continue
+                if slop == 0:
+                    cand = slot_pos[0]
+                    for sp in slot_pos[1:]:
+                        cand = np.intersect1d(cand, sp, assume_unique=True)
+                    out[r] = float(len(cand[cand >= 0]))
+                else:
+                    total = 0.0
+                    for a in slot_pos[0]:
+                        picks = [a]
+                        good = True
+                        for sp in slot_pos[1:]:
+                            j = np.searchsorted(sp, a)
+                            best = None
+                            for jj in (j - 1, j):
+                                if 0 <= jj < len(sp):
+                                    d = abs(int(sp[jj]) - int(a))
+                                    if best is None or d < best[0]:
+                                        best = (d, int(sp[jj]))
+                            if best is None:
+                                good = False
+                                break
+                            picks.append(best[1])
+                        if not good:
+                            continue
+                        match_len = max(picks) - min(picks)
+                        if match_len <= slop:
+                            total += 1.0 / (1.0 + match_len)
+                    out[r] = total
             return pd.Series(out)
 
         matched = grouped.withColumn("freq", phrase_freq("plists")).filter(F.col("freq") > 0)
@@ -492,6 +554,85 @@ class Searcher:
             expr = F.col("mx") + F.lit(float(q.tiebreak)) * (F.col("sm") - F.col("mx"))
         return agg.select("doc_id", expr.alias("score"))
 
+    def _rewrite_common_terms(self, q: P.CommonTermsQ):
+        """CommonTermsQuery plan rewrite: df > max_df_ratio * docCount =>
+        SHOULD (high-frequency terms score but are optional), else MUST.
+        All-common degenerates to pure disjunction (the reference's
+        low-freq-empty case)."""
+        stats = self.index.stats_for_terms(list(dict.fromkeys(q.terms)))
+        cutoff = q.max_df_ratio * self.index.doc_count
+        low = tuple(P.TermQ(t) for t in q.terms if t in stats and stats[t][0] <= cutoff)
+        high = tuple(P.TermQ(t) for t in q.terms if t in stats and stats[t][0] > cutoff)
+        if not low:
+            return P.BoolQ(should=high, boost=q.boost)
+        return P.BoolQ(must=low, should=high, boost=q.boost)
+
+    # ------------------------------------------------------------------
+    # derived queries (MoreLikeThis, rescoring, suggest)
+    # ------------------------------------------------------------------
+
+    def more_like_this(self, doc_id: int, max_terms: int = 10) -> P.BoolQ:
+        """MoreLikeThis (queries/mlt/MoreLikeThis.java:147): extract the
+        doc's top-`max_terms` terms by tf*idf (classic idf = ln(N/df),
+        ties: term asc) and build an OR query over them. One bucket-
+        pruned postings pass for the doc's term freqs via the corpus
+        snapshot (we re-analyze the stored text — the stored-fields
+        path MLT uses)."""
+        row = (
+            self.index.corpus.filter(F.col("doc_id") == doc_id)
+            .select(self.index.manifest["text_col"])
+            .collect()
+        )
+        if not row:
+            return P.BoolQ()
+        from lucene_spark.analysis import analyze_query_text
+
+        toks = analyze_query_text(row[0][0] or "")
+        if not toks:
+            return P.BoolQ()
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        stats = self.index.stats_for_terms(sorted(tf))
+        n = self.index.doc_count
+        scored = sorted(
+            (
+                # 6dp rounding pins the tie-break across libm variants
+                (-round(tf[t] * float(np.log(n / stats[t][0])), 6), t)
+                for t in tf
+                if t in stats and stats[t][0] > 0
+            ),
+        )[:max_terms]
+        return P.BoolQ(should=tuple(P.TermQ(t) for _, t in scored))
+
+    def rescore(self, first: object, second: object, n: int,
+                weight: float = 1.0) -> DataFrame:
+        """QueryRescorer analog: take top-n of `first`, add weight *
+        second-query score for docs that match `second` (missing => +0),
+        return re-sorted (score desc, docID asc). Second-pass scoring
+        touches only n rows (broadcast join)."""
+        top = self.top_k(first, n).select("doc_id", F.col("score").alias("s1"))
+        sec = self.scored(second).select("doc_id", F.col("score").alias("s2"))
+        out = (
+            F.broadcast(top)
+            .join(sec, "doc_id", "left")
+            .fillna({"s2": 0.0})
+            .withColumn("score", F.col("s1") + F.lit(float(weight)) * F.col("s2"))
+        )
+        return out.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id"))
+
+    def suggest(self, prefix: str, n: int = 10) -> DataFrame:
+        """Prefix suggester (suggest/.../AnalyzingInfixSuggester.java:102
+        shape): terms-dictionary scan LIKE 'p%' weighted by collection
+        frequency. At scale the stats table is bucket-pruned Parquet;
+        the LIKE pushes down to the scan."""
+        return (
+            self.index.term_stats.filter(F.col("term").startswith(prefix))
+            .select("term", F.col("ttf").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term"))
+            .limit(n)
+        )
+
     # ------------------------------------------------------------------
     # non-scoring doc sets
     # ------------------------------------------------------------------
@@ -535,8 +676,10 @@ class Searcher:
             return self.index.docs.select("doc_id")
         if isinstance(q, (P.ConstScoreQ, P.BoostQ)):
             return self.doc_set(q.inner)
-        if isinstance(q, P.PhraseQ):
+        if isinstance(q, (P.PhraseQ, P.MultiPhraseQ)):
             return self._phrase_scored(q).select("doc_id")
+        if isinstance(q, P.CommonTermsQ):
+            return self.doc_set(self._rewrite_common_terms(q))
         if isinstance(q, P.BoolQ):
             base = None
             for c in list(q.must) + list(q.filter):

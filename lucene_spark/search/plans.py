@@ -35,6 +35,17 @@ class PhraseQ:
 
 
 @dataclass(frozen=True)
+class MultiPhraseQ:
+    """search/MultiPhraseQuery.java:53 — phrase with term alternatives
+    per position: positions is a tuple of tuples of terms. Weight =
+    summed idf over every term (MultiPhraseQuery scoring)."""
+
+    positions: tuple  # tuple[tuple[str, ...], ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SynonymQ:
     """search/SynonymQuery.java:52 — terms scored as one pseudo-term:
     df = max over terms, ttf = sum, freq = per-doc sum (lines 198-214)."""
@@ -142,6 +153,18 @@ class TermInSetQ:
     """search/TermInSetQuery.java:74."""
 
     terms: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class CommonTermsQ:
+    """queries/CommonTermsQuery.java — df-threshold plan rewrite: terms
+    with df > max_df_ratio * docCount become SHOULD (optional, cheap to
+    match), the rest become MUST. Rewrites to a BoolQ at plan time using
+    term_stats; if every term is common, all become SHOULD."""
+
+    terms: tuple
+    max_df_ratio: float = 0.1
     boost: float = 1.0
 
 

@@ -177,3 +177,95 @@ def test_sha256_invariant(built):
 
     bad = index.corpus.filter(F.sha2(F.col("content"), 256) != F.col("sha256")).count()
     assert bad == 0
+
+
+def test_sloppy_phrase(built):
+    index, oracle, _ = built
+    s = Searcher(index)
+    q = PhraseQ(("apache", "version"), slop=3)
+    got = spark_hits(s.top_k(q, 20))
+    want = oracle.top_k(oracle.multiphrase_scores([("apache",), ("version",)], slop=3), 20)
+    assert_hits_equal(got, want, 20)
+    assert len(got) > 0  # "apache license version" headers -> within slop 3
+
+
+def test_sloppy_wider_than_exact(built):
+    index, _, _ = built
+    s = Searcher(index)
+    exact = s.count(PhraseQ(("apache", "version")))
+    sloppy = s.count(PhraseQ(("apache", "version"), slop=3))
+    assert sloppy >= exact
+    assert sloppy > 0
+
+
+def test_multiphrase(built):
+    from lucene_spark.search import MultiPhraseQ
+
+    index, oracle, _ = built
+    s = Searcher(index)
+    q = MultiPhraseQ((("apache", "compliance"), ("license", "with")))
+    got = spark_hits(s.top_k(q, 20))
+    want = oracle.top_k(
+        oracle.multiphrase_scores([("apache", "compliance"), ("license", "with")]), 20
+    )
+    assert_hits_equal(got, want, 20)
+    assert len(got) > 0
+
+
+def test_common_terms_rewrite(built):
+    from lucene_spark.search import CommonTermsQ
+
+    index, oracle, _ = built
+    s = Searcher(index)
+    q = CommonTermsQ(("the", "fn_150"), max_df_ratio=0.3)
+    rew = s._rewrite_common_terms(q)
+    # "the" is in every license header (>30% of docs) -> SHOULD;
+    # var_3 is a rare identifier -> MUST
+    assert any(c.term == "fn_150" for c in rew.must)
+    assert any(c.term == "the" for c in rew.should)
+    got = spark_hits(s.top_k(q, 20))
+    base = oracle.term_scores("fn_150")
+    hi = oracle.term_scores("the")
+    want_scores = {
+        d: np.float32(float(v) + float(hi.get(d, 0.0))) for d, v in base.items()
+    }
+    want = oracle.top_k(want_scores, 20)
+    assert_hits_equal(got, want, 20)
+
+
+def test_more_like_this(built):
+    index, oracle, _ = built
+    s = Searcher(index)
+    q = s.more_like_this(0, max_terms=5)
+    assert len(q.should) == 5
+    got = spark_hits(s.top_k(q, 10))
+    assert got[0][0] == 0  # the seed doc is its own best match
+    want = oracle.top_k(
+        oracle.or_scores([oracle.term_scores(c.term) for c in q.should]), 10
+    )
+    assert_hits_equal(got, want, 10)
+
+
+def test_rescore(built):
+    index, oracle, _ = built
+    s = Searcher(index)
+    res = s.rescore(TermQ("apache"), PhraseQ(("apache", "license")), n=30, weight=2.0)
+    rows = spark_hits(res)
+    base = oracle.term_scores("apache")
+    ph = oracle.phrase_scores(["apache", "license"])
+    top30 = oracle.top_k(base, 30)
+    want_scores = {d: np.float32(sc + 2.0 * float(ph.get(d, 0.0))) for d, sc in top30}
+    want = oracle.top_k(want_scores, 30)
+    assert_hits_equal(rows, want, 30)
+
+
+def test_suggest(built):
+    index, oracle, _ = built
+    s = Searcher(index)
+    rows = s.suggest("lic", 5).collect()
+    assert rows, "license terms must suggest"
+    want_ttf = sum(len(ps) for ps in oracle.postings.get("license", {}).values())
+    by_term = {r["term"]: r["weight"] for r in rows}
+    assert by_term.get("license") == want_ttf
+    weights = [r["weight"] for r in rows]
+    assert weights == sorted(weights, reverse=True)
