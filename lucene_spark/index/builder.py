@@ -473,3 +473,124 @@ def build_index(
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
         return json.load(f)
+
+
+def append_to_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    *,
+    order_cols: list[str] | None = None,
+    doc_id_col: str | None = None,
+) -> dict:
+    """Append a new segment to a committed index — the NRT-reopen path
+    (SearcherManager / DocumentsWriter flush analog, SURVEY.md §2.12).
+
+    New docs get docIDs starting at the current N (ingest order
+    continues); their postings/docs/corpus/stats land in NEW directories
+    (immutable segment files), and the commit is one atomic manifest
+    swap listing the extra paths — readers opened before the swap keep
+    their snapshot, a reopened Index sees the new segment. Build params
+    (analyzer, buckets, salt width, kept columns) come from the manifest
+    so segments stay mutually consistent. Per-segment term stats are
+    summed at read time (the reader's cross-segment termStatistics)."""
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    text_col = manifest["text_col"]
+    keep_cols = manifest["keep_cols"]
+    num_buckets = manifest["num_buckets"]
+    salt_rows = manifest["salt_rows"]
+    with_positions = manifest["with_positions"]
+    base = int(manifest["N"])
+    as_list = lambda v: [v] if isinstance(v, str) else list(v)  # noqa: E731
+    seg = len(as_list(manifest["paths"]["postings"]))
+    t0 = time.time()
+
+    # docIDs continue the global ingest order at `base`
+    if doc_id_col:
+        snap = new_docs.withColumn("doc_id", F.col(doc_id_col).cast("long") + base)
+        if doc_id_col != "doc_id":
+            snap = snap.drop(doc_id_col)
+    else:
+        parts = spark.sparkContext.defaultParallelism
+        snap = _assign_doc_ids(new_docs, order_cols or new_docs.columns, parts)
+        snap = snap.withColumn("doc_id", F.col("doc_id") + base)
+    snap = snap.withColumn("sha256", F.sha2(F.col(text_col), 256))
+    snap = snap.repartitionByRange(
+        max(2, spark.sparkContext.defaultParallelism), F.col("doc_id")
+    )
+    corpus_path = os.path.join(index_dir, f"corpus_seg{seg}")
+    snap.write.mode("overwrite").parquet(corpus_path)
+    corpus_ids = spark.read.parquet(corpus_path)
+
+    postings_path = os.path.join(index_dir, f"postings_seg{seg}")
+    docs_path = os.path.join(index_dir, f"docs_seg{seg}")
+    stats_path = os.path.join(index_dir, f"term_stats_seg{seg}")
+
+    inverted = corpus_ids.select("doc_id", text_col).mapInPandas(
+        _invert_map(text_col, salt_rows, num_buckets, with_positions),
+        schema=INVERTED_SCHEMA,
+    )
+    postings = inverted.groupBy("bucket", "salt").applyInPandas(
+        _encode_group(with_positions), schema=POSTINGS_SCHEMA
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(postings_path)
+
+    from lucene_spark.analysis import TOKEN_REGEX_SQL
+    from lucene_spark.smallfloat import int_to_byte4
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX_SQL), F.lit(0))
+    dl_expr = F.coalesce(
+        F.aggregate(
+            F.transform(toks, lambda t: F.ceil(F.length(t) / 255).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(0),
+    )
+
+    @F.pandas_udf(T.IntegerType())
+    def norm_udf(dl: pd.Series) -> pd.Series:
+        return pd.Series(int_to_byte4(dl.to_numpy().astype(np.int64)).astype(np.int32))
+
+    docs = corpus_ids.select(
+        "doc_id", *keep_cols, dl_expr.cast("int").alias("dl")
+    ).withColumn("norm", norm_udf(F.col("dl")))
+    docs.write.mode("overwrite").parquet(docs_path)
+
+    seg_postings = spark.read.parquet(postings_path)
+    seg_postings.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("ttf").alias("ttf"),
+        F.first("bucket").alias("bucket"),
+    ).write.mode("overwrite").parquet(stats_path)
+
+    gl = spark.read.parquet(docs_path).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        F.count(F.when(F.col("dl") > 0, 1)).alias("with_field"),
+    ).collect()[0]
+
+    # ---- commit: extend path lists + global stats, one atomic swap ----
+    paths = manifest["paths"]
+    for name, p in (
+        ("postings", postings_path),
+        ("docs", docs_path),
+        ("corpus", corpus_path),
+        ("term_stats", stats_path),
+    ):
+        paths[name] = as_list(paths[name]) + [p]
+    manifest["N"] = base + int(gl["n"])
+    manifest["sum_total_term_freq"] = manifest["sum_total_term_freq"] + int(gl["sum_dl"] or 0)
+    manifest["doc_count_field"] = manifest["doc_count_field"] + int(gl["with_field"])
+    manifest["version"] = int(manifest.get("version", 0)) + 1
+    manifest.setdefault("stages", {})[f"append_seg{seg}"] = {
+        "rows": int(gl["n"]),
+        "elapsed_sec": time.time() - t0,
+    }
+    mf = os.path.join(index_dir, "manifest.json")
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, mf)
+    return manifest

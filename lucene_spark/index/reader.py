@@ -26,10 +26,14 @@ class Index:
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         p = self.manifest["paths"]
-        self._postings_path = p["postings"]
-        self._docs_path = p["docs"]
-        self._stats_path = p["term_stats"]
-        self._corpus_path = p["corpus"]
+        # each entry is one path (single segment) or a list of segment
+        # paths appended over time (SegmentInfos analog: the snapshot is
+        # exactly the paths the committed manifest names)
+        as_list = lambda v: [v] if isinstance(v, str) else list(v)  # noqa: E731
+        self._postings_path = as_list(p["postings"])
+        self._docs_path = as_list(p["docs"])
+        self._stats_path = as_list(p["term_stats"])
+        self._corpus_path = as_list(p["corpus"])
         self.N = self.manifest["N"]
         self.doc_count = self.manifest["doc_count_field"]
         self.sum_ttf = self.manifest["sum_total_term_freq"]
@@ -42,21 +46,31 @@ class Index:
 
     # --- lazy tables -------------------------------------------------------
 
+    def _read_union(self, paths: list[str]) -> DataFrame:
+        """Union per-segment reads: each segment dir is its own
+        partition-discovered parquet table (a multi-path read would
+        reject the differing directory roots)."""
+        dfs = [self.spark.read.parquet(p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self._postings_path)
+        return self._read_union(self._postings_path)
 
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self._docs_path)
+        return self.spark.read.parquet(*self._docs_path)
 
     @property
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(self._stats_path)
+        return self.spark.read.parquet(*self._stats_path)
 
     @property
     def corpus(self) -> DataFrame:
-        return self.spark.read.parquet(self._corpus_path)
+        return self.spark.read.parquet(*self._corpus_path)
 
     # --- term helpers ------------------------------------------------------
 
@@ -98,7 +112,11 @@ class Index:
                 .select("term", "df", "ttf")
                 .collect()
             )
-            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+            # sum across segments (one stats row per segment per term)
+            found: dict[str, tuple] = {}
+            for r in rows:
+                d0, t0 = found.get(r["term"], (0, 0))
+                found[r["term"]] = (d0 + int(r["df"]), t0 + int(r["ttf"]))
             for t in missing:
                 self._stats_memo[t] = found.get(t)
         return {t: self._stats_memo[t] for t in terms if self._stats_memo[t] is not None}
@@ -106,7 +124,10 @@ class Index:
     def expand_terms(self, predicate) -> list[str]:
         """MultiTermQuery rewrite: term-dictionary scan by Catalyst predicate
         (MultiTermQueryConstantScoreWrapper.java). Returns matching terms."""
-        return [r["term"] for r in self.term_stats.filter(predicate).select("term").collect()]
+        return [
+            r["term"]
+            for r in self.term_stats.filter(predicate).select("term").distinct().collect()
+        ]
 
     def fetch(self, hits: DataFrame, cols: list[str] | None = None) -> DataFrame:
         """Stored-field fetch: join top-k hits back to the corpus snapshot
