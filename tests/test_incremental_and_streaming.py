@@ -180,3 +180,39 @@ def test_monitor_streaming_file_source(spark, monitor, tmp_path_factory):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_checkindex_clean_on_appended(spark, appended):
+    """CheckIndex analog passes on a multi-segment (appended) index."""
+    from lucene_spark.index.check import check_index
+
+    idx_dir, _ = appended
+    report = check_index(Index(spark, idx_dir))
+    assert report["term_stats_mismatches"] == 0
+    assert report["bad_norms"] == 0
+    assert report["sha256_mismatches"] == 0
+    assert report["doc_ids_dense"] is True
+    assert report["global_stats_ok"] is True
+    assert report["posting_violations"] == {}
+
+
+def test_checkindex_detects_corruption(spark, corpora, tmp_path_factory):
+    """Tamper with the manifest stats -> CheckIndex must fail."""
+    import json
+    import os
+
+    from lucene_spark.index.check import CheckIndexError, check_index
+
+    a, _ = corpora
+    idx_dir = str(tmp_path_factory.mktemp("bad_idx"))
+    build_index(
+        spark, spark.createDataFrame(a), idx_dir,
+        text_col="content", order_cols=["repo", "path", "commit"],
+        keep_cols=["lang"], num_buckets=4, salt_rows=64,
+    )
+    mf = os.path.join(idx_dir, "manifest.json")
+    m = json.load(open(mf))
+    m["sum_total_term_freq"] += 7
+    json.dump(m, open(mf, "w"))
+    with pytest.raises(CheckIndexError, match="manifest stats"):
+        check_index(Index(spark, idx_dir))
