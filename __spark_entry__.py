@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 
 from lucene_spark.index import Index, build_index
 from lucene_spark.pipeline import dedup, multimodal, similarity, textstats
+from lucene_spark.search.queryparser import parse as parse_query
 from lucene_spark.search import (
     BoolQ,
     CommonTermsQ,
@@ -422,6 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_range_nchars": _q_facet_range("vector"),
         "join_parent_max": _q_join_parent("merge"),
         "regexp_docs": _q_docset(lambda: RegexpQ("^b[aeiou]g$")),
+        "parsed_query_topk": _q_bool(
+            lambda: parse_query("merge AND sort -join"), 20
+        ),
         "synonym_topk": _q_bool(lambda: SynonymQ(("merge", "join")), 20),
         "dismax_topk": _q_bool(lambda: DisMaxQ((TermQ("merge"), TermQ("sort")), 0.1), 20),
         "prefix_docs": _q_docset(lambda: PrefixQ("s")),
@@ -683,6 +687,14 @@ ORDER BY score_r DESC, t.doc_id"""
             f"GROUP BY d.source ORDER BY parent_score DESC, d.source"
         ),
         "regexp_docs": _docset_sql("regexp_matches(tf.term, '^b[aeiou]g$')"),
+        "parsed_query_topk": _topk_sql(
+            f"SELECT a.doc_id, a.score + b.score AS score "
+            f"FROM ({_term_scored_sql('merge')}) a "
+            f"JOIN ({_term_scored_sql('sort')}) b USING (doc_id) "
+            f"WHERE NOT EXISTS (SELECT 1 FROM tf x "
+            f"WHERE x.term = 'join' AND x.doc_id = a.doc_id)",
+            20,
+        ),
         "term_topk_hot": _topk_sql(_term_scored_sql("the"), 100),
         "bool_or_topk": _topk_sql(or_sql, 20),
         "bool_and_topk": _topk_sql(and_sql, 20),

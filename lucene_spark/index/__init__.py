@@ -1,2 +1,6 @@
-from lucene_spark.index.builder import append_to_index, build_index  # noqa: F401
+from lucene_spark.index.builder import (  # noqa: F401
+    append_to_index,
+    build_index,
+    delete_docs,
+)
 from lucene_spark.index.reader import Index  # noqa: F401

@@ -104,7 +104,6 @@ INVERTED_SCHEMA = T.StructType(
         T.StructField("freq", T.IntegerType()),
         T.StructField("positions", T.ArrayType(T.IntegerType())),
         T.StructField("norm", T.IntegerType()),
-        T.StructField("dl", T.IntegerType()),
         T.StructField("bucket", T.IntegerType()),
         T.StructField("salt", T.IntegerType()),
     ]
@@ -195,7 +194,6 @@ def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions:
             "freq": np.array([], dtype=np.int32),
             "positions": pd.array([], dtype=object),
             "norm": np.array([], dtype=np.int32),
-            "dl": np.array([], dtype=np.int32),
             "bucket": np.array([], dtype=np.int32),
             "salt": np.array([], dtype=np.int32),
         }
@@ -216,7 +214,6 @@ def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions:
             )
             doc_rep = np.repeat(doc_ids, counts)
             norm_rep = np.repeat(an["norm"].to_numpy(), counts)
-            dl_rep = np.repeat(counts, counts)
             term_codes, uniq = pd.factorize(terms_flat, sort=False)
             order = np.lexsort((pos_flat, term_codes, doc_rep))
             tc = term_codes[order]
@@ -241,7 +238,6 @@ def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions:
                     "freq": freqs,
                     "positions": positions,
                     "norm": norm_rep[order][starts].astype(np.int32),
-                    "dl": dl_rep[order][starts].astype(np.int32),
                     "bucket": uniq_buckets[tc[starts]],
                     "salt": (dc[starts] // salt_rows).astype(np.int32),
                 }
@@ -384,11 +380,17 @@ def build_index(
         postings = inverted.groupBy("bucket", "salt").applyInPandas(
             _encode_group(with_positions), schema=POSTINGS_SCHEMA
         )
-        (
-            postings.write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(postings_path)
-        )
+        # Flat write, no dynamic partitioning: partitionBy("bucket")
+        # costs a full UnsafeRow sort of the big binary rows per task
+        # (~50% of stage wall at 8 cores, measured) and an extra shuffle
+        # of the encoded rows costs nearly as much. Term lookups prune
+        # through parquet row-group stats + dictionary filtering instead
+        # (measured equal latency); _encode_group emits terms sorted
+        # within each (bucket, salt) group, keeping row-group term
+        # ranges tight. At petabyte scale an Iceberg bucket-transform
+        # table layout would restore directory-level pruning without the
+        # dynamic-write sort.
+        postings.write.mode("overwrite").parquet(postings_path)
         # docs table straight from the snapshot: dl is a pure column
         # expression over the same token regex as the analyzer (each
         # >255-char run contributes ceil(len/255) pieces,
@@ -447,10 +449,28 @@ def build_index(
             F.sum("dl").alias("sum_dl"),
             F.count(F.when(F.col("dl") > 0, 1)).alias("doc_count_field"),
         ).collect()[0]
+        # skew metrics: postings volume per (bucket, salt) reducer group
+        # and the hottest terms — the observability the salting exists for
+        grp = postings.groupBy("bucket", "salt").agg(F.sum("df").alias("p"))
+        sk = grp.agg(
+            F.max("p").alias("mx"), F.avg("p").alias("avg"), F.count(F.lit(1)).alias("groups")
+        ).collect()[0]
+        hot = [
+            {"term": r["term"], "df": int(r["df"])}
+            for r in stats.orderBy(F.desc("df"), F.asc("term")).limit(5).collect()
+        ]
+        skew = {
+            "groups": int(sk["groups"]),
+            "max_group_postings": int(sk["mx"] or 0),
+            "avg_group_postings": round(float(sk["avg"] or 0), 1),
+            "skew_ratio": round(float(sk["mx"] or 0) / max(float(sk["avg"] or 1), 1), 2),
+            "hottest_terms": hot,
+        }
         _update_manifest(
             index_dir,
             "stage3_stats",
-            {"terms": spark.read.parquet(stats_path).count(), "elapsed_sec": time.time() - t3},
+            {"terms": spark.read.parquet(stats_path).count(), "elapsed_sec": time.time() - t3,
+             "skew": skew},
             extra={
                 "N": int(gl["N"]),
                 "sum_total_term_freq": int(gl["sum_dl"] or 0),
@@ -473,6 +493,34 @@ def build_index(
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
         return json.load(f)
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict:
+    """Mark docIDs deleted (IndexWriter.deleteDocuments analog). Writes a
+    new immutable deletes file and commits via atomic manifest swap —
+    snapshot isolation like segment appends. doc_ids: DataFrame with one
+    long `doc_id` column (e.g. a Searcher.doc_set result: delete-by-query).
+    """
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    existing = manifest["paths"].get("deletes") or []
+    if isinstance(existing, str):
+        existing = [existing]
+    seg = len(existing)
+    path = os.path.join(index_dir, f"deletes_seg{seg}")
+    doc_ids.select(F.col("doc_id").cast("long")).distinct().write.mode(
+        "overwrite"
+    ).parquet(path)
+    n = spark.read.parquet(path).count()
+    manifest["paths"]["deletes"] = existing + [path]
+    manifest["version"] = int(manifest.get("version", 0)) + 1
+    manifest.setdefault("stages", {})[f"deletes_seg{seg}"] = {"rows": n}
+    mf = os.path.join(index_dir, "manifest.json")
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, mf)
+    return manifest
 
 
 def append_to_index(
@@ -534,7 +582,7 @@ def append_to_index(
     postings = inverted.groupBy("bucket", "salt").applyInPandas(
         _encode_group(with_positions), schema=POSTINGS_SCHEMA
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(postings_path)
+    postings.write.mode("overwrite").parquet(postings_path)
 
     from lucene_spark.analysis import TOKEN_REGEX_SQL
     from lucene_spark.smallfloat import int_to_byte4

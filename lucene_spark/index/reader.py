@@ -72,6 +72,20 @@ class Index:
     def corpus(self) -> DataFrame:
         return self.spark.read.parquet(*self._corpus_path)
 
+    @property
+    def deletes(self) -> DataFrame | None:
+        """Deleted docIDs (live-docs complement,
+        Lucene90LiveDocsFormat analog) or None when nothing is deleted.
+        Like the reference, deletes mask results only — global stats
+        (df, docCount, avgdl) keep counting deleted docs until a rebuild
+        ('merge') reclaims them."""
+        paths = self.manifest["paths"].get("deletes") or []
+        if isinstance(paths, str):
+            paths = [paths]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths).select("doc_id")
+
     # --- term helpers ------------------------------------------------------
 
     @staticmethod

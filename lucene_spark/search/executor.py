@@ -77,6 +77,15 @@ class Searcher:
         assert scoring in ("lucene", "double")
         self.index = index
         self.scoring = scoring
+        self._deletes = index.deletes  # None when nothing deleted
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Mask deleted docs at the scorer leaf — exactly where the
+        reference applies liveDocs (scorer.score(collector, liveDocs)).
+        Broadcast anti join; no-op when the index has no deletes."""
+        if self._deletes is None:
+            return df
+        return df.join(F.broadcast(self._deletes), "doc_id", "left_anti")
 
     # ------------------------------------------------------------------
     # weights (createWeight analog: one-time global stats)
@@ -162,7 +171,7 @@ class Searcher:
                         }
                     )
 
-        return rows.mapInPandas(fn, schema=_SCORE_SCHEMA)
+        return self._live(rows.mapInPandas(fn, schema=_SCORE_SCHEMA))
 
     def _doc_rows(self, terms: list[str]) -> DataFrame:
         """Decoded (doc_id) rows for a term set — non-scoring (FILTER path)."""
@@ -174,7 +183,7 @@ class Searcher:
                 if outs:
                     yield pd.DataFrame({"doc_id": np.concatenate(outs)})
 
-        return rows.mapInPandas(fn, schema=_DOCS_SCHEMA)
+        return self._live(rows.mapInPandas(fn, schema=_DOCS_SCHEMA))
 
     def _doc_rows_for_predicate(self, predicate) -> DataFrame:
         """MultiTermQuery constant-score path: semi-join the postings scan
@@ -191,7 +200,7 @@ class Searcher:
                 if outs:
                     yield pd.DataFrame({"doc_id": np.concatenate(outs)})
 
-        return rows.mapInPandas(fn, schema=_DOCS_SCHEMA)
+        return self._live(rows.mapInPandas(fn, schema=_DOCS_SCHEMA))
 
     def _freq_rows(self, terms: list[str]) -> DataFrame:
         """(doc_id, term, freq, norm) rows — synonym/blended scoring input."""
@@ -216,7 +225,7 @@ class Searcher:
                 if parts:
                     yield pd.concat(parts)
 
-        return rows.mapInPandas(fn, schema=_FREQ_SCHEMA)
+        return self._live(rows.mapInPandas(fn, schema=_FREQ_SCHEMA))
 
     def _position_rows(self, terms: list[str]) -> DataFrame:
         """(doc_id, idx, positions, norm) for phrase matching; idx = index of
@@ -249,7 +258,7 @@ class Searcher:
                 if out["doc_id"]:
                     yield pd.DataFrame(out)
 
-        return rows.mapInPandas(fn, schema=_POS_SCHEMA)
+        return self._live(rows.mapInPandas(fn, schema=_POS_SCHEMA))
 
     # ------------------------------------------------------------------
     # scored plans
@@ -283,7 +292,7 @@ class Searcher:
                 return inner.withColumn("score", boosted.cast("double"))
             return inner.withColumn("score", F.col("score") * F.lit(float(q.boost)))
         if isinstance(q, P.MatchAllQ):
-            return self.index.docs.select("doc_id").withColumn("score", F.lit(float(q.boost)))
+            return self._live(self.index.docs.select("doc_id")).withColumn("score", F.lit(float(q.boost)))
         if isinstance(q, (P.PrefixQ, P.WildcardQ, P.RegexpQ, P.FuzzyQ, P.TermRangeQ, P.TermInSetQ)):
             # CONSTANT_SCORE_REWRITE default (MultiTermQuery.java:53-83)
             return self.doc_set(q).withColumn("score", F.lit(float(q.boost)))
@@ -671,9 +680,9 @@ class Searcher:
                 pred = col.between(q.value[0], q.value[1])
             else:
                 raise ValueError(q.op)
-            return self.index.docs.filter(pred).select("doc_id")
+            return self._live(self.index.docs.filter(pred).select("doc_id"))
         if isinstance(q, P.MatchAllQ):
-            return self.index.docs.select("doc_id")
+            return self._live(self.index.docs.select("doc_id"))
         if isinstance(q, (P.ConstScoreQ, P.BoostQ)):
             return self.doc_set(q.inner)
         if isinstance(q, (P.PhraseQ, P.MultiPhraseQ)):

