@@ -87,6 +87,19 @@ def main() -> None:
     searcher.doc_set(WildcardQ("b?g")).count()
     timings["wildcard_docs"] = round(time.time() - t0, 3)
 
+    # training-data pipeline ops over the same tables
+    from lucene_spark.pipeline import dedup, similarity
+
+    t0 = time.time()
+    dedup.minhash_dedup_pairs(docs, tau=0.5).count()
+    timings["dedup_minhash"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    t0 = time.time()
+    similarity.cosine_topk(emb, list(qv), 10).collect()
+    timings["ann_cosine_topk"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "index-build + BM25 top-k query suite wall time",
