@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 
 from lucene_spark.index import Index, build_index
 from lucene_spark.pipeline import dedup, multimodal, similarity, textstats
+from lucene_spark.search.plans import IntervalOrdered, IntervalQ, IntervalTerm
 from lucene_spark.search.queryparser import parse as parse_query
 from lucene_spark.search import (
     BoolQ,
@@ -426,6 +427,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query_topk": _q_bool(
             lambda: parse_query("merge AND sort -join"), 20
         ),
+        "interval_ordered_topk": _q_bool(
+            lambda: IntervalQ(
+                IntervalOrdered(
+                    (IntervalTerm("data"), IntervalTerm("line")), max_gaps=3
+                )
+            ),
+            20,
+        ),
         "synonym_topk": _q_bool(lambda: SynonymQ(("merge", "join")), 20),
         "dismax_topk": _q_bool(lambda: DisMaxQ((TermQ("merge"), TermQ("sort")), 0.1), 20),
         "prefix_docs": _q_docset(lambda: PrefixQ("s")),
@@ -687,6 +696,26 @@ ORDER BY score_r DESC, t.doc_id"""
             f"GROUP BY d.source ORDER BY parent_score DESC, d.source"
         ),
         "regexp_docs": _docset_sql("regexp_matches(tf.term, '^b[aeiou]g$')"),
+        # ordered interval (data .. line, max_gaps=3): per 'data' anchor a
+        # the nearest following 'line' b; minimality = per b keep max(a);
+        # gaps = b-a-1 <= 3; per-interval weight 1/(1+gaps) = 1/(b-a)
+        "interval_ordered_topk": (
+            f"{_PRELUDE}{_POSR}, "
+            "pa AS (SELECT doc_id, pos - 1 AS a FROM posr WHERE toks[pos] = 'data'), "
+            "pb AS (SELECT doc_id, pos - 1 AS b FROM posr WHERE toks[pos] = 'line'), "
+            "chain AS (SELECT pa.doc_id, pa.a, min(pb.b) AS b FROM pa "
+            "JOIN pb ON pb.doc_id = pa.doc_id AND pb.b > pa.a GROUP BY pa.doc_id, pa.a), "
+            "minimal AS (SELECT doc_id, max(a) AS a, b FROM chain GROUP BY doc_id, b), "
+            "pf AS (SELECT doc_id, sum(1.0 / (b - a)) AS freq FROM minimal "
+            "WHERE b - a - 1 <= 3 GROUP BY doc_id), "
+            "scored AS (SELECT p.doc_id, "
+            f"(wsum.w0) - (wsum.w0) / (1 + p.freq * {_INV}) AS score "
+            "FROM pf p JOIN qdls q USING (doc_id), g, "
+            f"(SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data') "
+            f"+ (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum) "
+            "SELECT doc_id, round(score, 4) AS score_r FROM scored "
+            "ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
+        ),
         "parsed_query_topk": _topk_sql(
             f"SELECT a.doc_id, a.score + b.score AS score "
             f"FROM ({_term_scored_sql('merge')}) a "

@@ -279,6 +279,8 @@ class Searcher:
             return self._phrase_scored(q)
         if isinstance(q, P.CommonTermsQ):
             return self.scored(self._rewrite_common_terms(q), k)
+        if isinstance(q, P.IntervalQ):
+            return self._interval_scored(q)
         if isinstance(q, P.BoolQ):
             return self._bool_scored(q)
         if isinstance(q, P.DisMaxQ):
@@ -563,6 +565,49 @@ class Searcher:
             expr = F.col("mx") + F.lit(float(q.tiebreak)) * (F.col("sm") - F.col("mx"))
         return agg.select("doc_id", expr.alias("score"))
 
+    def _interval_scored(self, q: P.IntervalQ) -> DataFrame:
+        """IntervalQuery (intervals/IntervalQuery.java:59): two-phase like
+        phrases — docID conjunction on the leaf terms, positions decoded
+        for survivors, then the minimal-interval algebra per doc
+        (intervals.py). freq = sum 1/(1+gaps), weight = summed leaf idf."""
+        from lucene_spark.search import intervals as IV
+
+        terms = IV.leaf_terms(q.source)
+        uniq = list(dict.fromkeys(terms))
+        stats = self.index.stats_for_terms(uniq)
+        if any(t not in stats for t in uniq):
+            return self._empty_scored()
+        w = self._combined_weight([stats[t][0] for t in terms], q.boost)
+        pos = self._position_rows(uniq)
+        grouped = (
+            pos.groupBy("doc_id")
+            .agg(
+                F.collect_list(F.struct("idx", "positions")).alias("plists"),
+                F.first("norm").alias("norm"),
+                F.count_distinct(F.col("idx")).alias("nterms"),
+            )
+            .filter(F.col("nterms") >= len(uniq))
+        )
+        source = q.source
+        uniq_l = list(uniq)
+
+        @F.pandas_udf(T.DoubleType())
+        def interval_freq(plists: pd.Series) -> pd.Series:
+            out = np.zeros(len(plists), dtype=np.float64)
+            for r, entries in enumerate(plists):
+                pos_by_term = {}
+                for e in entries:
+                    pos_by_term[uniq_l[e["idx"]]] = np.asarray(
+                        e["positions"], dtype=np.int64
+                    )
+                out[r] = IV.freq_of(source, pos_by_term)
+            return pd.Series(out)
+
+        matched = grouped.withColumn("freq", interval_freq("plists")).filter(
+            F.col("freq") > 0
+        )
+        return self._score_freq_df(matched.select("doc_id", "freq", "norm"), w)
+
     def _rewrite_common_terms(self, q: P.CommonTermsQ):
         """CommonTermsQuery plan rewrite: df > max_df_ratio * docCount =>
         SHOULD (high-frequency terms score but are optional), else MUST.
@@ -689,6 +734,8 @@ class Searcher:
             return self._phrase_scored(q).select("doc_id")
         if isinstance(q, P.CommonTermsQ):
             return self.doc_set(self._rewrite_common_terms(q))
+        if isinstance(q, P.IntervalQ):
+            return self._interval_scored(q).select("doc_id")
         if isinstance(q, P.BoolQ):
             base = None
             for c in list(q.must) + list(q.filter):

@@ -1,0 +1,118 @@
+"""Minimal-interval algebra over per-doc position arrays — the
+queries/intervals module analog (IntervalQuery.java:59, Intervals.java).
+
+An interval source maps a document's {term -> sorted positions} dict to a
+list of (start, end) intervals. Semantics follow the reference's
+minimal-interval model (after Clarke/Cormack/Vigna): the result set keeps
+only intervals that do not contain another result interval.
+
+Leaf:      term       -> [(p, p)] per occurrence
+Composite: ordered    -> minimal intervals with one match of each source
+                         in source order
+           unordered  -> minimal windows with one match of each source in
+                         any order
+Filters:   max_gaps   -> keep intervals with (end-start) - (k-1) <= g
+           max_width  -> keep intervals with end - start <= w
+
+Scoring: freq(doc) = sum over result intervals of 1 / (1 + gaps), fed to
+BM25 with the summed idf of all leaf terms (same shape as sloppy-phrase
+weighting, PhraseScorer.java:75-81).
+
+Pure-Python/numpy per document: arrays are tiny after the docID
+conjunction, exactly like the two-phase phrase matcher.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_spark.search import plans as P
+
+
+def leaf_terms(src) -> list[str]:
+    if isinstance(src, P.IntervalTerm):
+        return [src.term]
+    if isinstance(src, (P.IntervalOrdered, P.IntervalUnordered)):
+        out: list[str] = []
+        for s in src.sources:
+            out.extend(leaf_terms(s))
+        return out
+    raise TypeError(f"not an interval source: {src!r}")
+
+
+def _minimalize(intervals: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Drop intervals that properly contain another result interval."""
+    out = []
+    for a in intervals:
+        if not any(
+            b != a and a[0] <= b[0] and b[1] <= a[1] for b in intervals
+        ):
+            out.append(a)
+    return sorted(set(out))
+
+
+def evaluate(src, pos_by_term: dict) -> list[tuple[int, int]]:
+    """Interval source -> minimal (start, end) list for one document."""
+    if isinstance(src, P.IntervalTerm):
+        pos = pos_by_term.get(src.term)
+        if pos is None or len(pos) == 0:
+            return []
+        return [(int(p), int(p)) for p in pos]
+    if isinstance(src, P.IntervalOrdered):
+        subs = [evaluate(s, pos_by_term) for s in src.sources]
+        if any(not s for s in subs):
+            return []
+        # chain greedily: for each interval of source 0, find the nearest
+        # following interval of source 1 (start > end of previous), etc.
+        cands = []
+        for first in subs[0]:
+            start, prev_end = first[0], first[1]
+            ok = True
+            for nxt in subs[1:]:
+                best = None
+                for iv in nxt:  # nxt sorted by (start, end)
+                    if iv[0] > prev_end:
+                        best = iv
+                        break
+                if best is None:
+                    ok = False
+                    break
+                prev_end = best[1]
+            if ok:
+                cands.append((start, prev_end))
+        return _filter(src, len(src.sources), _minimalize(cands))
+    if isinstance(src, P.IntervalUnordered):
+        subs = [evaluate(s, pos_by_term) for s in src.sources]
+        if any(not s for s in subs):
+            return []
+        k = len(subs)
+        idx = [0] * k
+        cands = []
+        while True:
+            starts = [subs[i][idx[i]][0] for i in range(k)]
+            ends = [subs[i][idx[i]][1] for i in range(k)]
+            cands.append((min(starts), max(ends)))
+            j = int(np.argmin(starts))
+            idx[j] += 1
+            if idx[j] >= len(subs[j]):
+                break
+        return _filter(src, k, _minimalize(cands))
+    raise TypeError(f"not an interval source: {src!r}")
+
+
+def _filter(src, k: int, intervals: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out = intervals
+    if src.max_width >= 0:
+        out = [iv for iv in out if iv[1] - iv[0] <= src.max_width]
+    if src.max_gaps >= 0:
+        out = [iv for iv in out if (iv[1] - iv[0]) - (k - 1) <= src.max_gaps]
+    return out
+
+
+def freq_of(src, pos_by_term: dict, n_leaves: int | None = None) -> float:
+    """Scoring freq: sum of 1/(1+gaps) over result intervals."""
+    ivs = evaluate(src, pos_by_term)
+    if not ivs:
+        return 0.0
+    k = len(leaf_terms(src))
+    return float(sum(1.0 / (1.0 + max(0, (e - s) - (k - 1))) for s, e in ivs))

@@ -157,6 +157,46 @@ class TermInSetQ:
 
 
 @dataclass(frozen=True)
+class IntervalTerm:
+    """queries/.../intervals/Intervals.term — leaf: one interval per
+    occurrence of the term, width 0."""
+
+    term: str
+
+
+@dataclass(frozen=True)
+class IntervalOrdered:
+    """Intervals.ordered(+maxgaps/maxwidth): minimal intervals containing
+    one match of every source IN ORDER (Vigna minimal-interval
+    semantics: result intervals containing another result are dropped)."""
+
+    sources: tuple
+    max_gaps: int = -1  # -1 = unlimited
+    max_width: int = -1
+
+
+@dataclass(frozen=True)
+class IntervalUnordered:
+    """Intervals.unordered: minimal windows containing one match of every
+    source in any order."""
+
+    sources: tuple
+    max_gaps: int = -1
+    max_width: int = -1
+
+
+@dataclass(frozen=True)
+class IntervalQ:
+    """queries/.../intervals/IntervalQuery.java:59 — matches docs where
+    the interval source produces >= 1 interval; per-interval weight
+    1/(1 + gaps) summed into the BM25 freq (the reference's
+    1/(1+slop)-style saturation), weight = summed idf of leaf terms."""
+
+    source: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class CommonTermsQ:
     """queries/CommonTermsQuery.java — df-threshold plan rewrite: terms
     with df > max_df_ratio * docCount become SHOULD (optional, cheap to
