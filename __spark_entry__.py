@@ -32,6 +32,7 @@ from lucene_spark.search import (
     BoolQ,
     CommonTermsQ,
     DisMaxQ,
+    FeatureQ,
     FieldFilter,
     FuzzyQ,
     MultiPhraseQ,
@@ -427,6 +428,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query_topk": _q_bool(
             lambda: parse_query("merge AND sort -join"), 20
         ),
+        "feature_boost_topk": _q_bool(
+            lambda: BoolQ(
+                must=(TermQ("data"),),
+                should=(FeatureQ("n_chars", "saturation", pivot=1000.0, boost=0.5),),
+            ),
+            20,
+        ),
         "interval_ordered_topk": _q_bool(
             lambda: IntervalQ(
                 IntervalOrdered(
@@ -696,6 +704,13 @@ ORDER BY score_r DESC, t.doc_id"""
             f"GROUP BY d.source ORDER BY parent_score DESC, d.source"
         ),
         "regexp_docs": _docset_sql("regexp_matches(tf.term, '^b[aeiou]g$')"),
+        "feature_boost_topk": _topk_sql(
+            f"SELECT a.doc_id, a.score "
+            f"+ 0.5 * d.n_chars / (d.n_chars + 1000.0) AS score "
+            f"FROM ({_term_scored_sql('data')}) a "
+            f"JOIN documents d USING (doc_id)",
+            20,
+        ),
         # ordered interval (data .. line, max_gaps=3): per 'data' anchor a
         # the nearest following 'line' b; minimality = per b keep max(a);
         # gaps = b-a-1 <= 3; per-interval weight 1/(1+gaps) = 1/(b-a)

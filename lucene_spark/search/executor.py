@@ -281,6 +281,21 @@ class Searcher:
             return self.scored(self._rewrite_common_terms(q), k)
         if isinstance(q, P.IntervalQ):
             return self._interval_scored(q)
+        if isinstance(q, P.FeatureQ):
+            feat = F.col(q.col).cast("double")
+            if q.fn == "saturation":
+                expr = F.lit(float(q.boost)) * feat / (feat + F.lit(float(q.pivot)))
+            elif q.fn == "log":
+                expr = F.lit(float(q.boost)) * F.log(F.lit(float(q.pivot)) + feat)
+            else:
+                raise ValueError(q.fn)
+            if self.scoring == "lucene":
+                expr = expr.cast("float").cast("double")
+            return self._live(
+                self.index.docs.filter(feat.isNotNull()).select(
+                    "doc_id", expr.alias("score")
+                )
+            )
         if isinstance(q, P.BoolQ):
             return self._bool_scored(q)
         if isinstance(q, P.DisMaxQ):
@@ -736,6 +751,10 @@ class Searcher:
             return self.doc_set(self._rewrite_common_terms(q))
         if isinstance(q, P.IntervalQ):
             return self._interval_scored(q).select("doc_id")
+        if isinstance(q, P.FeatureQ):
+            return self._live(
+                self.index.docs.filter(F.col(q.col).isNotNull()).select("doc_id")
+            )
         if isinstance(q, P.BoolQ):
             base = None
             for c in list(q.must) + list(q.filter):

@@ -209,6 +209,22 @@ class CommonTermsQ:
 
 
 @dataclass(frozen=True)
+class FeatureQ:
+    """document/FeatureField.java (~550) — static per-doc feature scored
+    by a pulse function, combined additively with text scores via a
+    SHOULD clause:
+      fn='saturation': boost * feature / (feature + pivot)
+      fn='log':        boost * ln(scale + feature)
+    Matches every doc with a non-null feature (the reference matches
+    docs that indexed the feature term)."""
+
+    col: str
+    fn: str = "saturation"  # or 'log'
+    pivot: float = 1.0      # saturation pivot / log scale
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FieldFilter:
     """Keyword-column predicate (StringField analog, document/StringField.java:36):
     non-scoring filter over a docs-table column (lang, repo, path...)."""

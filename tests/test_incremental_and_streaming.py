@@ -216,3 +216,59 @@ def test_checkindex_detects_corruption(spark, corpora, tmp_path_factory):
     json.dump(m, open(mf, "w"))
     with pytest.raises(CheckIndexError, match="manifest stats"):
         check_index(Index(spark, idx_dir))
+
+
+def test_streaming_index_maintenance(spark, tmp_path_factory):
+    """NRT pipeline end-to-end: a Structured Streaming source appends
+    each micro-batch as a new index segment via foreachBatch — the
+    SearcherManager/ControlledRealTimeReopenThread analog (SURVEY §2.12).
+    """
+    src = tmp_path_factory.mktemp("nrt_src")
+    chk = tmp_path_factory.mktemp("nrt_chk")
+    idx_dir = str(tmp_path_factory.mktemp("nrt_idx"))
+
+    pdf = make_corpus(160, seed=21)
+    pdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    a, b = pdf.iloc[:100], pdf.iloc[100:]
+
+    # bootstrap index from the first batch, then stream the rest in
+    build_index(
+        spark, spark.createDataFrame(a), idx_dir,
+        text_col="content", order_cols=["repo", "path", "commit"],
+        keep_cols=["lang"], num_buckets=4, salt_rows=64,
+    )
+    spark.createDataFrame(b).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+
+    def absorb(batch_df, batch_id):
+        if batch_df.count():
+            append_to_index(
+                spark, batch_df, idx_dir, order_cols=["repo", "path", "commit"]
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(chk))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    idx = Index(spark, idx_dir)  # NRT reopen
+    assert idx.N == len(pdf)
+    # the streamed docs are searchable and scored with updated global stats
+    full = pdf.reset_index(drop=True).copy()
+    full["doc_id"] = np.arange(len(full), dtype=np.int64)
+    oracle = PandasOracle(full, text_col="content")
+    s = Searcher(idx, scoring="lucene")
+    got = [
+        (int(r["doc_id"]), float(np.float32(r["score"])))
+        for r in s.top_k(TermQ("license"), 15).collect()
+    ]
+    want = [
+        (d, float(np.float32(sc)))
+        for d, sc in oracle.top_k(oracle.term_scores("license"), 15)
+    ]
+    assert got == want
