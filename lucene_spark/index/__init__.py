@@ -1,6 +1,7 @@
 from lucene_spark.index.builder import (  # noqa: F401
     append_to_index,
     build_index,
+    compact_index,
     delete_docs,
 )
 from lucene_spark.index.reader import Index  # noqa: F401

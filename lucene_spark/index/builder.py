@@ -495,6 +495,178 @@ def build_index(
         return json.load(f)
 
 
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """forceMerge(1) analog (SegmentMerger.merge, index/SegmentMerger.java:
+    107-142 + TieredMergePolicy's end state): merge every appended segment
+    back into one, dropping deleted docs for real (deletes reclaim).
+
+    Spark shape: deletes are decode-filtered out of each posting row, then
+    rows merge per (term, salt) by concatenating block lists in segment
+    order (docIDs strictly increase across segments, so concatenation
+    preserves global order; re-encode only when a row was delete-filtered
+    or rows merged with positions). The docs/corpus tables are unions
+    minus deletes; docIDs are NOT renumbered (Lucene renumbers per-merge;
+    our global ids stay stable so readers never remap). New segment dirs
+    + one atomic manifest swap; old segment files stay on disk for open
+    readers (no vacuum here).
+    """
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    as_list = lambda v: [v] if isinstance(v, str) else list(v)  # noqa: E731
+    paths = manifest["paths"]
+    n_segs = len(as_list(paths["postings"]))
+    del_paths = as_list(paths.get("deletes") or [])
+    if n_segs == 1 and not del_paths:
+        return manifest  # nothing to merge
+    gen = int(manifest.get("compaction_gen", 0)) + 1
+    t0 = time.time()
+    with_positions = manifest["with_positions"]
+
+    deletes = (
+        spark.read.parquet(*del_paths).select("doc_id").distinct()
+        if del_paths
+        else None
+    )
+    del_ids = (
+        set(r["doc_id"] for r in deletes.collect()) if deletes is not None else set()
+    )
+    bdel = spark.sparkContext.broadcast(del_ids)
+
+    # ---- postings: per (term, salt), re-emit a single merged row ----
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from lucene_spark.codec import decode_block, decode_value_stream
+
+        dels = bdel.value
+        out_rows = []
+        pdf = pdf.sort_values("first_doc", kind="mergesort")
+        for term, g in pdf.groupby("term", sort=False):
+            docs_all, freqs_all, norms_all, pos_all = [], [], [], []
+            for _, row in g.iterrows():
+                f_row = []
+                for blk in row["blocks"]:
+                    d, f, nm = decode_block(blk)
+                    docs_all.append(d)
+                    f_row.append(f)
+                    norms_all.append(nm)
+                freqs_all.extend(f_row)
+                if with_positions:
+                    f_concat = (
+                        np.concatenate(f_row) if f_row else np.zeros(0, np.int64)
+                    )
+                    pos_all.append(
+                        (decode_value_stream(bytes(row["pos"])), f_concat)
+                    )
+            d = np.concatenate(docs_all) if docs_all else np.zeros(0, np.int64)
+            f = np.concatenate(freqs_all) if freqs_all else np.zeros(0, np.int64)
+            nm = np.concatenate(norms_all) if norms_all else np.zeros(0, np.uint8)
+            if with_positions:
+                pos_stream = (
+                    np.concatenate([p for p, _ in pos_all])
+                    if pos_all
+                    else np.zeros(0, np.uint64)
+                )
+            keep = (
+                ~np.isin(d, np.fromiter(dels, dtype=np.int64, count=len(dels)))
+                if dels
+                else np.ones(len(d), dtype=bool)
+            )
+            if not keep.any():
+                continue
+            if with_positions and len(d):
+                # slice the delta stream per doc, keep survivors
+                bounds = np.concatenate([[0], np.cumsum(f)]).astype(np.int64)
+                kept_chunks = [
+                    pos_stream[bounds[i] : bounds[i + 1]]
+                    for i in range(len(d))
+                    if keep[i]
+                ]
+                pos_bin = encode_value_stream(
+                    np.concatenate(kept_chunks).astype(np.uint64)
+                    if kept_chunks
+                    else np.zeros(0, np.uint64)
+                )
+            else:
+                pos_bin = b""
+            d, f, nm = d[keep], f[keep], nm[keep]
+            out_rows.append(
+                {
+                    "term": term,
+                    "salt": int(g["salt"].iat[0]),
+                    "df": int(len(d)),
+                    "ttf": int(f.sum()),
+                    "blocks": encode_posting_blocks(d, f, nm),
+                    "pos": pos_bin,
+                    "bucket": int(g["bucket"].iat[0]),
+                }
+            )
+        return pd.DataFrame(
+            out_rows, columns=["term", "salt", "df", "ttf", "blocks", "pos", "bucket"]
+        )
+
+    seg_postings = [spark.read.parquet(p) for p in as_list(paths["postings"])]
+    allp = seg_postings[0]
+    for sp in seg_postings[1:]:
+        allp = allp.unionByName(sp)
+    allp = allp.withColumn(
+        "first_doc", F.element_at(F.col("blocks"), 1)["first_docid"]
+    )
+    merged = allp.groupBy("bucket", "salt").applyInPandas(
+        merge_group,
+        schema=POSTINGS_SCHEMA,
+    )
+    postings_path = os.path.join(index_dir, f"postings_compact{gen}")
+    merged.write.mode("overwrite").parquet(postings_path)
+
+    # ---- docs / corpus: union minus deletes ----
+    docs_path = os.path.join(index_dir, f"docs_compact{gen}")
+    docs = spark.read.parquet(*as_list(paths["docs"]))
+    if deletes is not None:
+        docs = docs.join(F.broadcast(deletes), "doc_id", "left_anti")
+    docs.write.mode("overwrite").parquet(docs_path)
+    corpus_path = os.path.join(index_dir, f"corpus_compact{gen}")
+    corpus = spark.read.parquet(*as_list(paths["corpus"]))
+    if deletes is not None:
+        corpus = corpus.join(F.broadcast(deletes), "doc_id", "left_anti")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+
+    # ---- stats ----
+    stats_path = os.path.join(index_dir, f"term_stats_compact{gen}")
+    mp = spark.read.parquet(postings_path)
+    mp.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.sum("ttf").alias("ttf"),
+        F.first("bucket").alias("bucket"),
+    ).write.mode("overwrite").parquet(stats_path)
+    gl = spark.read.parquet(docs_path).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("s"),
+        F.count(F.when(F.col("dl") > 0, 1)).alias("wf"),
+    ).collect()[0]
+
+    manifest["paths"] = {
+        "postings": postings_path,
+        "docs": docs_path,
+        "corpus": corpus_path,
+        "term_stats": stats_path,
+        "deletes": [],
+    }
+    manifest["N"] = int(gl["n"])
+    manifest["sum_total_term_freq"] = int(gl["s"] or 0)
+    manifest["doc_count_field"] = int(gl["wf"])
+    manifest["version"] = int(manifest.get("version", 0)) + 1
+    manifest["compaction_gen"] = gen
+    manifest.setdefault("stages", {})[f"compact{gen}"] = {
+        "rows": int(gl["n"]),
+        "elapsed_sec": time.time() - t0,
+    }
+    mf = os.path.join(index_dir, "manifest.json")
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, mf)
+    return manifest
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict:
     """Mark docIDs deleted (IndexWriter.deleteDocuments analog). Writes a
     new immutable deletes file and commits via atomic manifest swap —

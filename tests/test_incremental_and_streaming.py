@@ -272,3 +272,59 @@ def test_streaming_index_maintenance(spark, tmp_path_factory):
         for d, sc in oracle.top_k(oracle.term_scores("license"), 15)
     ]
     assert got == want
+
+
+def test_compaction_merges_segments_and_reclaims_deletes(spark, tmp_path_factory):
+    """forceMerge(1) analog: segments merge to one, deletes reclaim, and
+    post-compaction scores equal a fresh build over the surviving docs
+    (global stats updated — the reference's post-merge behavior)."""
+    import pandas as pd
+
+    from lucene_spark.index import compact_index, delete_docs
+    from lucene_spark.index.check import check_index
+
+    pdf = make_corpus(240, seed=31)
+    pdf = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    a, b = pdf.iloc[:150], pdf.iloc[150:]
+    idx_dir = str(tmp_path_factory.mktemp("cmp_idx"))
+    build_index(
+        spark, spark.createDataFrame(a), idx_dir,
+        text_col="content", order_cols=["repo", "path", "commit"],
+        keep_cols=["lang"], num_buckets=4, salt_rows=64,
+    )
+    append_to_index(spark, spark.createDataFrame(b), idx_dir,
+                    order_cols=["repo", "path", "commit"])
+    s0 = Searcher(Index(spark, idx_dir))
+    victims = s0.doc_set(TermQ("def"))
+    victim_ids = {int(r["doc_id"]) for r in victims.collect()}
+    assert victim_ids
+    delete_docs(spark, idx_dir, victims)
+
+    compact_index(spark, idx_dir)
+
+    idx = Index(spark, idx_dir)
+    assert isinstance(idx.manifest["paths"]["postings"], str)  # one segment
+    assert idx.N == len(pdf) - len(victim_ids)
+    assert idx.deletes is None
+    check_index(idx)  # every invariant (df/ttf/stats/global) post-merge
+
+    # oracle over survivors with ORIGINAL doc_ids and reclaimed stats
+    full = pdf.reset_index(drop=True).copy()
+    full["doc_id"] = np.arange(len(full), dtype=np.int64)
+    survivors = full[~full["doc_id"].isin(victim_ids)]
+    oracle = PandasOracle(survivors, text_col="content", id_col="doc_id")
+    s1 = Searcher(idx, scoring="lucene")
+    for term in ("license", "import", "the"):
+        got = [
+            (int(r["doc_id"]), float(np.float32(r["score"])))
+            for r in s1.top_k(TermQ(term), 20).collect()
+        ]
+        want = [
+            (d, float(np.float32(sc)))
+            for d, sc in oracle.top_k(oracle.term_scores(term), 20)
+        ]
+        assert got == want, term
+    # phrase path (positions survive re-encoding)
+    got_ph = {int(r["doc_id"]) for r in s1.doc_set(PhraseQ(("apache", "license"))).collect()}
+    want_ph = set(oracle.multiphrase_scores([("apache",), ("license",)]))
+    assert got_ph == want_ph
