@@ -29,6 +29,7 @@ from lucene_spark.pipeline import dedup, multimodal, similarity, textstats
 from lucene_spark.search.plans import IntervalOrdered, IntervalQ, IntervalTerm
 from lucene_spark.search.queryparser import parse as parse_query
 from lucene_spark.search import (
+    BlendedTermQ,
     BoolQ,
     CommonTermsQ,
     DisMaxQ,
@@ -428,6 +429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query_topk": _q_bool(
             lambda: parse_query("merge AND sort -join"), 20
         ),
+        "blended_term_topk": _q_bool(
+            lambda: BlendedTermQ(("merge", "join"), tiebreak=0.01), 20
+        ),
         "feature_boost_topk": _q_bool(
             lambda: BoolQ(
                 must=(TermQ("data"),),
@@ -509,6 +513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: multimodal.asset_stats(multimodal.make_assets(_docs_df(s, d)))
         ),
     }
+
+
+_BLEND_W = _w("(SELECT max(df) FROM dfs WHERE term IN ('merge','join'))")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -704,6 +711,18 @@ ORDER BY score_r DESC, t.doc_id"""
             f"GROUP BY d.source ORDER BY parent_score DESC, d.source"
         ),
         "regexp_docs": _docset_sql("regexp_matches(tf.term, '^b[aeiou]g$')"),
+        # blended: every term scored with df = max(df_merge, df_join),
+        # combined max + 0.01 * (sum - max)
+        "blended_term_topk": _topk_sql(
+            "SELECT doc_id, mx + 0.01 * (sm - mx) AS score FROM ("
+            "SELECT doc_id, max(score) AS mx, sum(score) AS sm FROM ("
+            f"SELECT tf.doc_id, (wb.w0) - (wb.w0) / (1 + tf.freq * {_INV}) AS score "
+            "FROM tf JOIN qdls q USING (doc_id), g, "
+            f"(SELECT {_BLEND_W} AS w0 FROM g) wb "
+            "WHERE tf.term IN ('merge','join')"
+            ") GROUP BY doc_id)",
+            20,
+        ),
         "feature_boost_topk": _topk_sql(
             f"SELECT a.doc_id, a.score "
             f"+ 0.5 * d.n_chars / (d.n_chars + 1000.0) AS score "

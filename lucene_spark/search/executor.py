@@ -275,6 +275,8 @@ class Searcher:
             return self._scored_term_rows({q.term: w}, k)
         if isinstance(q, P.SynonymQ):
             return self._synonym_scored(q)
+        if isinstance(q, P.BlendedTermQ):
+            return self._blended_scored(q)
         if isinstance(q, (P.PhraseQ, P.MultiPhraseQ)):
             return self._phrase_scored(q)
         if isinstance(q, P.CommonTermsQ):
@@ -340,6 +342,33 @@ class Searcher:
             F.sum("freq").alias("freq"), F.first("norm").alias("norm")
         )
         return self._score_freq_df(agg, w)
+
+    def _blended_scored(self, q: P.BlendedTermQ) -> DataFrame:
+        """BlendedTermQuery.java: every term scored with the blended df
+        (max over terms — the cross-field stats rewrite), combined via
+        disjunction-max with the builder's tiebreak."""
+        terms = list(dict.fromkeys(q.terms))
+        stats = self.index.stats_for_terms(terms)
+        if not stats:
+            return self._empty_scored()
+        df_max = max(s[0] for s in stats.values())
+        w = self._weight(df_max, q.boost)
+        freqs = self._freq_rows([t for t in terms if t in stats])
+        per_term = self._score_freq_df(
+            freqs.select("doc_id", "freq", "norm"), w
+        )
+        agg = per_term.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        if self.scoring == "lucene":
+            expr = (
+                F.col("mx").cast("float")
+                + F.lit(np.float32(q.tiebreak)).cast("float")
+                * (F.col("sm").cast("float") - F.col("mx").cast("float"))
+            ).cast("double")
+        else:
+            expr = F.col("mx") + F.lit(float(q.tiebreak)) * (F.col("sm") - F.col("mx"))
+        return agg.select("doc_id", expr.alias("score"))
 
     def _score_freq_df(self, df: DataFrame, weight: float) -> DataFrame:
         """(doc_id, freq, norm) -> (doc_id, score) via vectorized UDF."""
@@ -711,7 +740,7 @@ class Searcher:
         q = P.rewrite(q)
         if isinstance(q, P.TermQ):
             return self._doc_rows([q.term]).distinct()
-        if isinstance(q, (P.SynonymQ, P.TermInSetQ)):
+        if isinstance(q, (P.SynonymQ, P.TermInSetQ, P.BlendedTermQ)):
             return self._doc_rows(list(q.terms)).distinct()
         if isinstance(q, P.PrefixQ):
             return self._doc_rows_for_predicate(F.col("term").startswith(q.prefix)).distinct()

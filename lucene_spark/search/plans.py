@@ -55,6 +55,18 @@ class SynonymQ:
 
 
 @dataclass(frozen=True)
+class BlendedTermQ:
+    """search/BlendedTermQuery.java (334) — terms scored with BLENDED
+    statistics (df = max over terms, like the builder's default
+    DisjunctionMaxRewrite with tiebreak 0.01), then combined as a
+    disjunction-max: score = max + tiebreak * (sum - max)."""
+
+    terms: tuple
+    tiebreak: float = 0.01
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class BoolQ:
     """search/BooleanQuery.java:77-176. Clause lists by occur type."""
 

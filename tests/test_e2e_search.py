@@ -269,3 +269,30 @@ def test_suggest(built):
     assert by_term.get("license") == want_ttf
     weights = [r["weight"] for r in rows]
     assert weights == sorted(weights, reverse=True)
+
+
+def test_blended_term(built):
+    from lucene_spark.search import BlendedTermQ
+
+    index, oracle, _ = built
+    s = Searcher(index)
+    got = spark_hits(s.top_k(BlendedTermQ(("import", "return"), tiebreak=0.01), 15))
+    from lucene_spark import bm25
+
+    df_max = max(len(oracle.postings["import"]), len(oracle.postings["return"]))
+    w = bm25.idf(df_max, oracle.doc_count)
+    per_doc: dict[int, list] = {}
+    for t in ("import", "return"):
+        for d, ps in oracle.postings[t].items():
+            sc = bm25.score(
+                np.array([len(ps)]), np.array([oracle.norms[d]]), w, oracle.cache
+            )[0]
+            per_doc.setdefault(d, []).append(float(sc))
+    want_scores = {
+        d: np.float32(
+            np.float32(max(v)) + np.float32(0.01) * (np.float32(sum(np.float32(x) for x in v)) - np.float32(max(v)))
+        )
+        for d, v in per_doc.items()
+    }
+    want = oracle.top_k(want_scores, 15)
+    assert_hits_equal(got, want, 15)
