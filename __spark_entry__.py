@@ -472,6 +472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_pipeline(
             lambda s, d: textstats.with_fingerprint(_docs_df(s, d)).orderBy("doc_id")
         ),
+        "text_scrub": _q_pipeline(
+            lambda s, d: textstats.with_scrubbed(_docs_df(s, d)).orderBy("doc_id")
+        ),
         "dedup_exact": _q_pipeline(
             lambda s, d: dedup.exact_duplicates(_docs_df(s, d)).orderBy("dup_doc_id")
         ),
@@ -806,6 +809,7 @@ ORDER BY score_r DESC, t.doc_id"""
         "text_quality": textstats.quality_sql(),
         "text_lang_id": textstats.lang_id_sql(),
         "text_fingerprint": textstats.fingerprint_sql(),
+        "text_scrub": textstats.scrubbed_sql(),
         "dedup_exact": dedup.exact_duplicates_sql(),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(0.3),
         "dedup_minhash_pairs": dedup.minhash_pairs_sql(0.3),

@@ -175,3 +175,47 @@ def fingerprint_sql() -> str:
 SELECT doc_id,
        md5(array_to_string(regexp_extract_all(lower(text), '{WORD_RE}'), ' ')) AS fingerprint
 FROM documents ORDER BY doc_id"""
+
+
+# --- scrubbing: URL / email / IP / long-hex-secret redaction ---------------
+# Pure JVM regexp_replace chain; the DuckDB oracle applies the identical
+# regexes, so cleaned text is compared by md5. RE2/Java dialect overlap
+# only (no lookbehind).
+
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement)
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("hexsecret", r"\b[0-9a-fA-F]{32,}\b", "<SECRET>"),
+]
+
+
+def with_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_url, n_email, n_ipv4, n_hexsecret, clean_md5): redact
+    PII-ish spans and report per-kind match counts plus the md5 of the
+    cleaned text. Patterns apply IN ORDER (a URL containing an email is
+    redacted as a URL first) — the oracle applies the same order."""
+    cleaned = F.col(text_col)
+    counts = []
+    for name, pat, repl in SCRUB_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cleaned, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+    return df.select("doc_id", *counts, F.md5(cleaned).alias("clean_md5"))
+
+
+def scrubbed_sql() -> str:
+    cleaned = "text"
+    selects = []
+    for name, pat, repl in SCRUB_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        selects.append(
+            f"len(regexp_extract_all({cleaned}, '{pat_sql}'))::INT AS n_{name}"
+        )
+        cleaned = f"regexp_replace({cleaned}, '{pat_sql}', '{repl}', 'g')"
+    cols = ", ".join(selects)
+    return f"""
+SELECT doc_id, {cols}, md5({cleaned}) AS clean_md5
+FROM documents ORDER BY doc_id"""
