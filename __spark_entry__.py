@@ -113,6 +113,7 @@ qdls AS (  -- SmallFloat.intToByte4 -> byte4ToInt quantization (see smallfloat.p
   FROM dls),
 g AS (
   SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         count(*) AS maxdoc,
          CAST(sum(dl) AS DOUBLE) AS sum_ttf
   FROM dls),
 terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
@@ -620,17 +621,29 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL {_term_scored_sql('spark')}
   ) sc
   JOIN (
-    SELECT doc_id FROM tf WHERE term IN (SELECT term FROM lt)
-    GROUP BY doc_id HAVING count(DISTINCT term) = (SELECT count(*) FROM lt)
+    -- low-freq group is a conjunction over ALL low-or-missing query terms
+    -- (count vs nlow: a missing term makes the conjunction empty)
+    SELECT doc_id FROM tf, nl WHERE term IN (SELECT term FROM lt)
+    GROUP BY doc_id, nl.nlow
+    HAVING nl.nlow > 0 AND count(DISTINCT term) = nl.nlow
     UNION
-    SELECT DISTINCT doc_id FROM tf
-    WHERE (SELECT count(*) FROM lt) = 0 AND term IN ({ct_terms})
+    -- no low-freq terms: high-freq group becomes the conjunction
+    -- (CommonTermsQuery.java:172-180)
+    SELECT doc_id FROM tf, nl WHERE nl.nlow = 0 AND term IN ({ct_terms})
+    GROUP BY doc_id
+    HAVING count(DISTINCT term) = (SELECT count(*) FROM hi)
   ) req USING (doc_id)
   GROUP BY sc.doc_id
 """
+    # CommonTermsQuery.java:164 — the df cutoff is vs maxDoc, not docCount.
+    # nlow counts query terms that are low-freq OR absent from the index
+    # (absent terms stay MUST, matching nothing): 3 query terms here.
     _LT = (
+        f", hi AS (SELECT term FROM dfs, g "
+        f"WHERE term IN ({ct_terms}) AND df > 0.2 * g.maxdoc)"
         f", lt AS (SELECT term FROM dfs, g "
-        f"WHERE term IN ({ct_terms}) AND df <= 0.2 * g.doc_count)"
+        f"WHERE term IN ({ct_terms}) AND df <= 0.2 * g.maxdoc)"
+        f", nl AS (SELECT 3 - (SELECT count(*) FROM hi) AS nlow)"
     )
     mlt_scored = f"""
   SELECT gen.doc_id, sum(gen.w - gen.w / (1 + gen.freq * {_INV})) AS score

@@ -173,7 +173,39 @@ def _assign_doc_ids(df: DataFrame, order_cols: list[str], parts: int) -> DataFra
             yield pdf
 
     ids = sdf.mapInPandas(add_ids, schema=out_schema)
-    return df.join(ids, order_cols)
+    # Null-safe equi-join: a plain `==` join silently drops rows with NULL
+    # order keys (null != null).  eqNullSafe keeps them; duplicate keys
+    # would fan out, so the caller verifies counts (see build_index).
+    cond = None
+    for c in order_cols:
+        clause = df[c].eqNullSafe(ids[c])
+        cond = clause if cond is None else cond & clause
+    joined = df.join(ids, cond).drop(*[ids[c] for c in order_cols])
+    return joined
+
+
+def _check_doc_ids(spark: SparkSession, corpus_path: str) -> int:
+    """Invariant check after docID assignment: every row got exactly one
+    doc_id (non-unique order keys would fan the id join out; NULL keys
+    without eqNullSafe would drop rows). Fails the build loudly."""
+    chk = spark.read.parquet(corpus_path).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("doc_id").alias("ids"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    rows, ids = int(chk["rows"]), int(chk["ids"])
+    if rows and (
+        ids != rows
+        or int(chk["lo"]) != 0
+        or int(chk["hi"]) != rows - 1
+    ):
+        raise ValueError(
+            f"docID assignment violated: rows={rows} distinct_ids={ids} "
+            f"range=[{chk['lo']},{chk['hi']}] — order_cols is not a unique "
+            "key (duplicate rows fan out) or ids were dropped"
+        )
+    return rows
 
 
 def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions: bool):
@@ -354,7 +386,10 @@ def build_index(
         snap_parts = corpus_parts or spark.sparkContext.defaultParallelism * 2
         snap = snap.repartitionByRange(snap_parts, F.col("doc_id"))
         snap.write.mode("overwrite").parquet(corpus_path)
-        n_docs = spark.read.parquet(corpus_path).count()
+        if doc_id_col:
+            n_docs = spark.read.parquet(corpus_path).count()
+        else:
+            n_docs = _check_doc_ids(spark, corpus_path)
         _update_manifest(
             index_dir,
             "stage0_corpus",
@@ -473,6 +508,7 @@ def build_index(
              "skew": skew},
             extra={
                 "N": int(gl["N"]),
+                "max_doc": int(gl["N"]),
                 "sum_total_term_freq": int(gl["sum_dl"] or 0),
                 "doc_count_field": int(gl["doc_count_field"]),
                 "num_buckets": num_buckets,
@@ -527,10 +563,20 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         if del_paths
         else None
     )
-    del_ids = (
-        set(r["doc_id"] for r in deletes.collect()) if deletes is not None else set()
+    # Broadcast ONE sorted int64 array (not a Python set): merge_group does
+    # a single vectorized np.isin per term against it. For delete sets too
+    # big to broadcast, the right shape is a distributed anti-join of the
+    # decoded postings on doc_id — not needed at current delete volumes.
+    del_arr = (
+        np.sort(
+            np.fromiter(
+                (r["doc_id"] for r in deletes.collect()), dtype=np.int64
+            )
+        )
+        if deletes is not None
+        else np.zeros(0, dtype=np.int64)
     )
-    bdel = spark.sparkContext.broadcast(del_ids)
+    bdel = spark.sparkContext.broadcast(del_arr)
 
     # ---- postings: per (term, salt), re-emit a single merged row ----
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -566,8 +612,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                     else np.zeros(0, np.uint64)
                 )
             keep = (
-                ~np.isin(d, np.fromiter(dels, dtype=np.int64, count=len(dels)))
-                if dels
+                ~np.isin(d, dels, assume_unique=False)
+                if len(dels)
                 else np.ones(len(d), dtype=bool)
             )
             if not keep.any():
@@ -650,6 +696,11 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         "term_stats": stats_path,
         "deletes": [],
     }
+    # max_doc = next docID to hand out. Compaction reclaims deletes (N
+    # shrinks to the live count) but docIDs of survivors keep their
+    # original values, so the append base must NOT shrink with N —
+    # preserve the pre-compaction high-water mark.
+    manifest["max_doc"] = int(manifest.get("max_doc", manifest["N"]))
     manifest["N"] = int(gl["n"])
     manifest["sum_total_term_freq"] = int(gl["s"] or 0)
     manifest["doc_count_field"] = int(gl["wf"])
@@ -721,7 +772,10 @@ def append_to_index(
     num_buckets = manifest["num_buckets"]
     salt_rows = manifest["salt_rows"]
     with_positions = manifest["with_positions"]
-    base = int(manifest["N"])
+    # base = max_doc (next free docID), NOT N: after a compaction that
+    # reclaimed deletes N < max_doc and using N would reissue docIDs that
+    # still belong to live docs.
+    base = int(manifest.get("max_doc", manifest["N"]))
     as_list = lambda v: [v] if isinstance(v, str) else list(v)  # noqa: E731
     seg = len(as_list(manifest["paths"]["postings"]))
     t0 = time.time()
@@ -800,7 +854,8 @@ def append_to_index(
         ("term_stats", stats_path),
     ):
         paths[name] = as_list(paths[name]) + [p]
-    manifest["N"] = base + int(gl["n"])
+    manifest["N"] = int(manifest["N"]) + int(gl["n"])
+    manifest["max_doc"] = base + int(gl["n"])
     manifest["sum_total_term_freq"] = manifest["sum_total_term_freq"] + int(gl["sum_dl"] or 0)
     manifest["doc_count_field"] = manifest["doc_count_field"] + int(gl["with_field"])
     manifest["version"] = int(manifest.get("version", 0)) + 1

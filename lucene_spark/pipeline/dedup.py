@@ -120,27 +120,59 @@ def shingle_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def jaccard_pairs(
-    shingles: DataFrame, tau: float, candidates: DataFrame | None = None
+    shingles: DataFrame,
+    tau: float,
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard >= tau pairs (doc_a < doc_b, jac rounded 4dp).
 
-    Without `candidates`: pairs are generated from co-occurring shingles
-    (docs sharing no shingle can never pass tau>0 — the join IS the
-    candidate filter). With `candidates` (e.g. from minhash_candidates):
-    intersection counts are computed only for those pairs."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    Candidates-FIRST shape (the LSH verify contract): candidate pairs are
+    either supplied (`candidates`, e.g. from minhash_candidates) or
+    generated from co-occurring shingles; verification then joins the
+    candidate pairs to per-doc sorted shingle-set arrays and computes the
+    intersection with JVM `array_intersect` — work is O(|candidates| *
+    avg set size), never the f^2 blow-up of a raw shingle self-join on a
+    hot shingle (a common code trigram with df=10^6 would alone produce
+    5*10^11 join rows at 100 TB).
+
+    `max_shingle_df`: optional df cap for the co-occurrence candidate
+    generator — shingles appearing in more than this many docs are
+    ignored FOR CANDIDATE GENERATION ONLY (jaccard is still computed on
+    full sets). The standard near-dup trade: a pair sharing exclusively
+    ultra-common shingles is missed, everything else is exact."""
+    doc_sets = shingles.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("sh")).alias("shs"),
+        F.count(F.lit(1)).alias("sz"),
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    if candidates is None:
+        gen = shingles
+        if max_shingle_df is not None:
+            dfc = shingles.groupBy("sh").agg(F.count(F.lit(1)).alias("shdf"))
+            gen = shingles.join(
+                dfc.filter(F.col("shdf") <= max_shingle_df).select("sh"), "sh", "left_semi"
+            )
+        a = gen.alias("a")
+        b = gen.alias("b")
+        candidates = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    sa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("sz").alias("sza")
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("sz").alias("szb")
+    )
     out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jac", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
         )
@@ -275,19 +307,41 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", text_col).mapInPandas(fn, schema=_SIMHASH_SCHEMA)
 
 
+def _simhash_blocks(nbits: int, nblocks: int) -> list[tuple[int, int]]:
+    """(shift, width) for `nblocks` near-equal contiguous bit blocks."""
+    base, extra = divmod(nbits, nblocks)
+    out, shift = [], 0
+    for i in range(nblocks):
+        w = base + (1 if i < extra else 0)
+        out.append((shift, w))
+        shift += w
+    return out
+
+
 def simhash_pairs(sim_df: DataFrame, max_hamming: int) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with Hamming distance <= max_hamming.
 
-    All-pairs compare via a 16-bit prefix block join (two docs within
-    Hamming<=d on 31 bits share at least one of the two halves exactly
-    when d <= 1 per half — we use the standard multi-block trick with 2
-    blocks covering d<=1 exactly; for d>1 we fall back to the cross
-    join). At 100 TB you would split into d+1 blocks (pigeonhole)."""
-    a = sim_df.alias("a")
-    b = sim_df.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    Lossless pigeonhole blocking, no cross join at ANY d (HmSearch /
+    multi-index Hamming, Manku et al. WWW'07 "Detecting Near-Duplicates
+    for Web Crawling" generalized):
+
+    - d <= nblocks-1 with nblocks = ceil((d+1)/2) blocks: if every block
+      differed in >= 2 bits the total distance would be >= 2*nblocks >
+      d, so some block differs in <= 1 bit. Side A explodes each block
+      into its value plus all single-bit flips (w+1 keys per block);
+      side B keeps the exact block value; equal (block, key) pairs cover
+      exactly the "<=1 bit diff in this block" relation. The join is on
+      exact 64-bit keys — shuffle-partitionable, no inequality scan.
+    - The exact bit_count Hamming filter afterwards makes the result
+      identical to the all-pairs definition (blocking is recall-lossless
+      by the pigeonhole bound), so the brute-force oracle still matches.
+    """
+    ab = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     if max_hamming <= 1:
-        # pigeonhole on 2 blocks: low 16 bits / high 15 bits
+        # 2 exact blocks: low 16 / high 15 bits (d<=1 => one block equal)
+        a = sim_df.alias("a")
+        b = sim_df.alias("b")
+        ham = F.bit_count(ab)
         lo = lambda c: F.col(c).bitwiseAND(F.lit((1 << 16) - 1))  # noqa: E731
         hi = lambda c: F.shiftright(F.col(c), 16)  # noqa: E731
         blocked = a.join(
@@ -295,15 +349,66 @@ def simhash_pairs(sim_df: DataFrame, max_hamming: int) -> DataFrame:
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & ((lo("a.simhash") == lo("b.simhash")) | (hi("a.simhash") == hi("b.simhash"))),
         )
-    else:
-        blocked = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        return blocked.filter(ham <= max_hamming).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    nblocks = max(2, -(-(max_hamming + 1) // 2))
+    blocks = _simhash_blocks(SIMHASH_BITS, nblocks)
+
+    def block_val(col, shift, width):
+        return F.shiftright(col, shift).bitwiseAND(F.lit((1 << width) - 1))
+
+    sh = F.col("simhash")
+    # side B: one exact key per block
+    b_rows = sim_df.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        block_val(sh, s, w).cast("long").alias("key"),
+                    )
+                    for i, (s, w) in enumerate(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    # side A: exact key + every single-bit flip of the block value
+    a_structs = []
+    for i, (s, w) in enumerate(blocks):
+        v = block_val(sh, s, w).cast("long")
+        a_structs.append(F.struct(F.lit(i).alias("blk"), v.alias("key")))
+        for bit in range(w):
+            a_structs.append(
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    v.bitwiseXOR(F.lit(1 << bit)).alias("key"),
+                )
+            )
+    a_rows = sim_df.select(
+        "doc_id", "simhash", F.explode(F.array(*a_structs)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    a = a_rows.alias("a")
+    b = b_rows.alias("b")
+    ham = F.bit_count(ab)
     return (
-        blocked.filter(ham <= max_hamming)
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
+        .distinct()
     )
 
 

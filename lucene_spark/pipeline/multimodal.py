@@ -184,5 +184,5 @@ WITH assets AS (
          [{kinds}][(doc_id % 3 + 1)::INT] AS kind,
          octet_length(encode(text)) AS n_bytes
   FROM documents)
-SELECT kind, count(*) AS n, sum(n_bytes) AS total_bytes, max(n_bytes) AS max_bytes
+SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes, max(n_bytes) AS max_bytes
 FROM assets GROUP BY kind ORDER BY kind"""

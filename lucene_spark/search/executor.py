@@ -653,16 +653,30 @@ class Searcher:
         return self._score_freq_df(matched.select("doc_id", "freq", "norm"), w)
 
     def _rewrite_common_terms(self, q: P.CommonTermsQ):
-        """CommonTermsQuery plan rewrite: df > max_df_ratio * docCount =>
-        SHOULD (high-frequency terms score but are optional), else MUST.
-        All-common degenerates to pure disjunction (the reference's
-        low-freq-empty case)."""
+        """CommonTermsQuery plan rewrite (CommonTermsQuery.java:136-190):
+        df > max_df_ratio * maxDoc => high-freq group, else low-freq MUST.
+        Reference semantics reproduced exactly:
+        - cutoff is against maxDoc, not docCount (buildQuery uses
+          reader.maxDoc(), CommonTermsQuery.java:164);
+        - terms absent from the index stay in the low-freq MUST group
+          (TermStates for a missing term matches nothing, so the whole
+          conjunction is empty — NOT dropped, CommonTermsQuery.java:152);
+        - when no low-freq terms remain, the high-freq group becomes a
+          conjunction (MUST), CommonTermsQuery.java:172-180."""
         stats = self.index.stats_for_terms(list(dict.fromkeys(q.terms)))
-        cutoff = q.max_df_ratio * self.index.doc_count
-        low = tuple(P.TermQ(t) for t in q.terms if t in stats and stats[t][0] <= cutoff)
-        high = tuple(P.TermQ(t) for t in q.terms if t in stats and stats[t][0] > cutoff)
+        cutoff = q.max_df_ratio * self.index.N
+        low = tuple(
+            P.TermQ(t)
+            for t in dict.fromkeys(q.terms)
+            if t not in stats or stats[t][0] <= cutoff
+        )
+        high = tuple(
+            P.TermQ(t)
+            for t in dict.fromkeys(q.terms)
+            if t in stats and stats[t][0] > cutoff
+        )
         if not low:
-            return P.BoolQ(should=high, boost=q.boost)
+            return P.BoolQ(must=high, boost=q.boost)
         return P.BoolQ(must=low, should=high, boost=q.boost)
 
     # ------------------------------------------------------------------
