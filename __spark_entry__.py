@@ -301,7 +301,16 @@ def _q_ann_lsh(query_id: int, k: int):
     def q(spark, sf_dir):
         emb = _emb_df(spark, sf_dir)
         qv = emb.filter(F.col("vec_id") == query_id).select("embedding").collect()[0][0]
-        return similarity.ann_topk(emb, list(qv), k, nbits=8, probe_hamming=1)
+        # persisted bucket table, built once per sf and probed via
+        # partition-pruned reads on literal (table, bucket) filters
+        tag = os.path.normpath(sf_dir).strip("/").replace("/", "_")
+        ann_dir = os.path.join(_CACHE_ROOT, f"annidx_{tag}")
+        if not os.path.exists(os.path.join(ann_dir, "_SUCCESS")):
+            similarity.build_ann_index(emb, ann_dir, nbits=8)
+        index = spark.read.parquet(ann_dir)
+        return similarity.ann_topk(
+            None, list(qv), k, nbits=8, probe_hamming=1, index=index
+        )
 
     return q
 
@@ -816,8 +825,7 @@ ORDER BY score_r DESC, t.doc_id"""
             f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
             f"ORDER BY round(score, 4) DESC, doc_id LIMIT 10 OFFSET 10"
         ),
-        # --- training-data pipeline ops (no entry for ann_lsh_topk:
-        #     approximate by design -> rows-only check) ---
+        # --- training-data pipeline ops ---
         "text_token_counts": textstats.token_counts_sql(),
         "text_quality": textstats.quality_sql(),
         "text_lang_id": textstats.lang_id_sql(),
@@ -830,6 +838,9 @@ ORDER BY score_r DESC, t.doc_id"""
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(8),
         "dedup_embedding_pairs": dedup.embedding_pairs_sql(0.2),
         "ann_cosine_topk": similarity.cosine_topk_self_sql(0, 10),
+        # deterministic LSH oracle: seeded hyperplanes inlined as SQL
+        # literals, identical candidate set to the Spark probe
+        "ann_lsh_topk": similarity.ann_lsh_self_sql(0, 10, nbits=8, probe_hamming=1),
         "knn_join": similarity.knn_join_self_sql(3, 5),
         "multimodal_asset_stats": multimodal.asset_stats_sql(),
     }

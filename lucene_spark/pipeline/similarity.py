@@ -155,8 +155,104 @@ def _probe_buckets(bucket: int, nbits: int, probe_hamming: int) -> list[int]:
     return sorted(out)
 
 
-def ann_topk(
+def _table_seed(seed: int, t: int) -> int:
+    return seed + 1000 * t
+
+
+def lsh_buckets_multi(
     emb: DataFrame,
+    nbits: int = 8,
+    seed: int = 11,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    with_embedding: bool = True,
+) -> DataFrame:
+    """(table, bucket, id[, embedding]) signatures for ALL tables in ONE
+    scan: each Arrow batch does one (batch x dim) @ (dim x nbits) matmul
+    per table against in-memory hyperplanes — the corpus is read once,
+    not once per table. `with_embedding=True` carries the vector along so
+    a probe of the persisted table needs no join back to the corpus."""
+    fields = [
+        T.StructField("table", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("id", T.LongType()),
+    ]
+    if with_embedding:
+        fields.append(T.StructField("embedding", emb.schema["embedding"].dataType))
+    schema = T.StructType(fields)
+
+    def fn(iterator):
+        Rs = None
+        weights = np.uint64(1) << np.arange(nbits, dtype=np.uint64)
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if Rs is None:
+                Rs = [
+                    hyperplanes(M.shape[1], nbits, _table_seed(seed, t))
+                    for t in range(n_tables)
+                ]
+            for t, R in enumerate(Rs):
+                bits = (M @ R.T) > 0
+                buckets = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+                out = {
+                    "table": np.full(len(pdf), t, dtype=np.int32),
+                    "bucket": buckets.astype(np.int64),
+                    "id": pdf[id_col].to_numpy(),
+                }
+                if with_embedding:
+                    out["embedding"] = pdf["embedding"]
+                yield pd.DataFrame(out)
+
+    return emb.select(F.col(id_col), "embedding").mapInPandas(fn, schema=schema)
+
+
+def build_ann_index(
+    emb: DataFrame,
+    out_dir: str,
+    *,
+    nbits: int = 8,
+    seed: int = 11,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+) -> str:
+    """Materialize the multi-table LSH bucket table ONCE, written
+    `partitionBy(table, bucket)` so every probe is a partition-pruned
+    read of just its candidate buckets (n_tables * (1 + nbits) dirs for
+    probe_hamming=1 out of n_tables * 2^nbits total). Keep nbits <= ~12
+    for a dynamic-partition write; beyond that, bucket-transform table
+    formats (Iceberg) carry the same pruning without the directory fanout.
+    Embeddings are stored in-row (n_tables x duplication — the standard
+    LSH table trade) so the rerank never joins back to the corpus."""
+    lsh_buckets_multi(
+        emb, nbits, seed, n_tables, id_col, with_embedding=True
+    ).write.mode("overwrite").partitionBy("table", "bucket").parquet(out_dir)
+    return out_dir
+
+
+def _query_probe_pairs(
+    query_vec: list[float],
+    nbits: int,
+    seed: int,
+    probe_hamming: int,
+    n_tables: int,
+) -> list[tuple[int, int]]:
+    """(table, bucket) partitions a query must read."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    pairs = []
+    for t in range(n_tables):
+        R = hyperplanes(len(q), nbits, _table_seed(seed, t))
+        qbits = (R @ q) > 0
+        qbucket = int(
+            (qbits.astype(np.uint64) << np.arange(nbits, dtype=np.uint64)).sum()
+        )
+        pairs.extend((t, b) for b in _probe_buckets(qbucket, nbits, probe_hamming))
+    return pairs
+
+
+def ann_topk(
+    emb: DataFrame | None,
     query_vec: list[float],
     k: int,
     nbits: int = 16,
@@ -164,31 +260,94 @@ def ann_topk(
     probe_hamming: int = 1,
     n_tables: int = 4,
     id_col: str = "vec_id",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table LSH probe + exact cosine rerank.
 
-    The standard scale recipe: `n_tables` independent hyperplane sets;
-    a vector is a candidate if ANY table buckets it within Hamming
-    `probe_hamming` of the query's bucket. Candidate union -> semi join
-    -> exact rerank over candidates only. At 100 TB the bucket table is
-    written partitioned by (table, bucket) so each probe is a partition-
-    pruned read."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    cand_union = None
-    for t in range(n_tables):
-        tseed = seed + 1000 * t
-        R = hyperplanes(len(q), nbits, tseed)
-        qbits = (R @ q) > 0
-        qbucket = int((qbits.astype(np.uint64) << np.arange(nbits, dtype=np.uint64)).sum())
-        probes = _probe_buckets(qbucket, nbits, probe_hamming)
-        ids = (
-            lsh_buckets(emb, nbits, tseed, id_col)
-            .filter(F.col("bucket").isin(probes))
-            .select(F.col("id").alias(id_col))
-        )
-        cand_union = ids if cand_union is None else cand_union.unionByName(ids)
-    cands = emb.join(cand_union.distinct(), id_col, "left_semi")
+    `n_tables` independent hyperplane sets; a vector is a candidate if
+    ANY table buckets it within Hamming `probe_hamming` of the query's
+    bucket. Two probe paths:
+    - `index` (a DataFrame over a `build_ann_index` directory): filter on
+      literal (table, bucket) pairs — partition-pruned read, the 100 TB
+      path; only candidate partitions are touched.
+    - `emb` fallback: signatures for all tables computed in ONE scan
+      (lsh_buckets_multi), filtered to the probe pairs.
+    Candidates dedup by id, then exact cosine rerank over candidates only."""
+    pairs = _query_probe_pairs(query_vec, nbits, seed, probe_hamming, n_tables)
+    src = (
+        index
+        if index is not None
+        else lsh_buckets_multi(emb, nbits, seed, n_tables, id_col, with_embedding=True)
+    )
+    cond = None
+    for t, b in pairs:
+        clause = (F.col("table") == t) & (F.col("bucket") == b)
+        cond = clause if cond is None else cond | clause
+    cands = (
+        src.filter(cond)
+        .select(F.col("id").alias(id_col), "embedding")
+        .dropDuplicates([id_col])
+    )
     return cosine_topk(cands, query_vec, k, id_col)
+
+
+def ann_lsh_self_sql(
+    query_id: int,
+    k: int,
+    *,
+    nbits: int = 8,
+    seed: int = 11,
+    probe_hamming: int = 1,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> str:
+    """Deterministic DuckDB oracle for ann_topk with the query vector =
+    embedding of `query_id`: the seeded Gaussian hyperplanes are inlined
+    as literals, buckets recomputed in SQL, candidates = rows whose
+    bucket is within `probe_hamming` of the query row's bucket in ANY
+    table, then the exact cosine rerank. Bit-for-bit the same candidate
+    set as the Spark plan (same float64 dot products, same strict >0)."""
+    def dotlit(r: np.ndarray) -> str:
+        lits = ", ".join(repr(float(x)) for x in r)
+        return (
+            "list_sum(list_transform(list_zip(v, ["
+            + lits
+            + "]), p -> p[1] * p[2]))"
+        )
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        R = hyperplanes(dim, nbits, _table_seed(seed, t))
+        bits = " + ".join(
+            f"(CASE WHEN {dotlit(R[b])} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(nbits)
+        )
+        bucket_exprs.append(f"({bits}) AS b{t}")
+    ham_any = " OR ".join(
+        f"bit_count(xor(bt.b{t}::UBIGINT, qb.b{t}::UBIGINT)) <= {probe_hamming}"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (
+  SELECT {id_col}, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+bt AS (SELECT {id_col}, {', '.join(bucket_exprs)} FROM e),
+qb AS (SELECT * FROM bt WHERE {id_col} = {query_id}),
+cand AS (SELECT bt.{id_col} FROM bt, qb WHERE {ham_any}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE {id_col} = {query_id}),
+s AS (
+  SELECT e.{id_col},
+         list_sum(list_transform(list_zip(e.embedding, qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(qv,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM e JOIN cand USING ({id_col}), q)
+SELECT {id_col}, round(cos, 4) AS cos FROM s
+ORDER BY round(cos, 4) DESC, {id_col} LIMIT {k}"""
 
 
 def knn_join(
