@@ -333,7 +333,10 @@ def _q_rescore(term: str, ph: tuple, n: int, weight: float):
             .limit(n)
             .select("doc_id", "s1")
         )
-        second = s.scored(PhraseQ(ph)).select(
+        # candidate-bounded second pass (QueryRescorer.java:62-80): the
+        # phrase query only ever scores the n first-pass survivors
+        ids = [r["doc_id"] for r in top.collect()]
+        second = s.scored(PhraseQ(ph), candidates=ids).select(
             "doc_id", F.round("score", 4).alias("s2")
         )
         return (

@@ -129,7 +129,11 @@ class Searcher:
         prune = k is not None and len(terms_weights) == 1
 
         def fn(iterator):
-            topk = []  # running local scores for pruning
+            # running local top-k as a flat numpy array: threshold =
+            # topk.min() once full; per-block update is one np.partition
+            # (no per-score Python loop)
+            topk = np.zeros(0, dtype=np.float64)
+            threshold = -np.inf
 
             def block_max(impacts, weight):
                 f = np.array([p["freq"] for p in impacts], dtype=np.float32)
@@ -141,11 +145,11 @@ class Searcher:
 
             for pdf in iterator:
                 out_docs, out_scores = [], []
-                for _, row in pdf.iterrows():
-                    w = terms_weights[row["term"]]
-                    for blk in row["blocks"]:
+                for row in pdf.itertuples(index=False):
+                    w = terms_weights[row.term]
+                    for blk in row.blocks:
                         if prune and len(topk) >= k and len(blk["impacts"]) > 0:
-                            if block_max(blk["impacts"], w) <= topk[0]:
+                            if block_max(blk["impacts"], w) <= threshold:
                                 continue  # non-competitive block skipped
                         d, f, nm = decode_block(blk)
                         if scoring == "lucene":
@@ -156,13 +160,12 @@ class Searcher:
                         out_docs.append(d)
                         out_scores.append(s)
                         if prune:
-                            import heapq
-
-                            for v in s:
-                                if len(topk) < k:
-                                    heapq.heappush(topk, float(v))
-                                elif v > topk[0]:
-                                    heapq.heapreplace(topk, float(v))
+                            merged = np.concatenate([topk, s])
+                            if len(merged) > k:
+                                merged = np.partition(merged, len(merged) - k)[-k:]
+                            topk = merged
+                            if len(topk) >= k:
+                                threshold = float(topk.min())
                 if out_docs:
                     yield pd.DataFrame(
                         {
@@ -179,7 +182,7 @@ class Searcher:
 
         def fn(iterator):
             for pdf in iterator:
-                outs = [decode_block(blk)[0] for _, row in pdf.iterrows() for blk in row["blocks"]]
+                outs = [decode_block(blk)[0] for blocks in pdf["blocks"] for blk in blocks]
                 if outs:
                     yield pd.DataFrame({"doc_id": np.concatenate(outs)})
 
@@ -196,7 +199,7 @@ class Searcher:
 
         def fn(iterator):
             for pdf in iterator:
-                outs = [decode_block(blk)[0] for _, row in pdf.iterrows() for blk in row["blocks"]]
+                outs = [decode_block(blk)[0] for blocks in pdf["blocks"] for blk in blocks]
                 if outs:
                     yield pd.DataFrame({"doc_id": np.concatenate(outs)})
 
@@ -209,14 +212,14 @@ class Searcher:
         def fn(iterator):
             for pdf in iterator:
                 parts = []
-                for _, row in pdf.iterrows():
-                    for blk in row["blocks"]:
+                for row in pdf.itertuples(index=False):
+                    for blk in row.blocks:
                         d, f, nm = decode_block(blk)
                         parts.append(
                             pd.DataFrame(
                                 {
                                     "doc_id": d,
-                                    "term": row["term"],
+                                    "term": row.term,
                                     "freq": f.astype(np.int32),
                                     "norm": nm.astype(np.int32),
                                 }
@@ -239,9 +242,9 @@ class Searcher:
         def fn(iterator):
             for pdf in iterator:
                 out = {"doc_id": [], "idx": [], "positions": [], "norm": []}
-                for _, row in pdf.iterrows():
+                for row in pdf.itertuples(index=False):
                     freqs_all, docs_all, norms_all = [], [], []
-                    for blk in row["blocks"]:
+                    for blk in row.blocks:
                         d, f, nm = decode_block(blk)
                         docs_all.append(d), freqs_all.append(f), norms_all.append(nm)
                     if not docs_all:
@@ -249,8 +252,8 @@ class Searcher:
                     d = np.concatenate(docs_all)
                     f = np.concatenate(freqs_all)
                     nm = np.concatenate(norms_all)
-                    plists = _decode_positions_row(row["pos"], f)
-                    i = idx_of[row["term"]]
+                    plists = _decode_positions_row(row.pos, f)
+                    i = idx_of[row.term]
                     out["doc_id"].extend(d.tolist())
                     out["idx"].extend([i] * len(d))
                     out["positions"].extend([p.astype(np.int32).tolist() for p in plists])
@@ -264,25 +267,31 @@ class Searcher:
     # scored plans
     # ------------------------------------------------------------------
 
-    def scored(self, q, k: int | None = None) -> DataFrame:
-        """Plan node -> DataFrame(doc_id, score). Recursive Weight tree."""
+    def scored(self, q, k: int | None = None, candidates: list[int] | None = None) -> DataFrame:
+        """Plan node -> DataFrame(doc_id, score). Recursive Weight tree.
+
+        `candidates`: optional small docID allow-list (the QueryRescorer
+        second pass, search/QueryRescorer.java:62-80 — the rescorer
+        advances scorers only over the top-N first-pass docs). Applied at
+        every leaf right after decode, BEFORE any shuffle/aggregation, so
+        a rescore never pays a full-corpus second-pass shuffle."""
         q = P.rewrite(q)
         if isinstance(q, P.TermQ):
             stats = self.index.stats_for_terms([q.term])
             if q.term not in stats:
                 return self._empty_scored()
             w = self._weight(stats[q.term][0], q.boost)
-            return self._scored_term_rows({q.term: w}, k)
+            return self._cand(self._scored_term_rows({q.term: w}, k), candidates)
         if isinstance(q, P.SynonymQ):
-            return self._synonym_scored(q)
+            return self._cand(self._synonym_scored(q), candidates)
         if isinstance(q, P.BlendedTermQ):
-            return self._blended_scored(q)
+            return self._cand(self._blended_scored(q), candidates)
         if isinstance(q, (P.PhraseQ, P.MultiPhraseQ)):
-            return self._phrase_scored(q)
+            return self._phrase_scored(q, candidates=candidates)
         if isinstance(q, P.CommonTermsQ):
-            return self.scored(self._rewrite_common_terms(q), k)
+            return self.scored(self._rewrite_common_terms(q), k, candidates)
         if isinstance(q, P.IntervalQ):
-            return self._interval_scored(q)
+            return self._interval_scored(q, candidates=candidates)
         if isinstance(q, P.FeatureQ):
             feat = F.col(q.col).cast("double")
             if q.fn == "saturation":
@@ -293,32 +302,51 @@ class Searcher:
                 raise ValueError(q.fn)
             if self.scoring == "lucene":
                 expr = expr.cast("float").cast("double")
-            return self._live(
-                self.index.docs.filter(feat.isNotNull()).select(
-                    "doc_id", expr.alias("score")
-                )
+            return self._cand(
+                self._live(
+                    self.index.docs.filter(feat.isNotNull()).select(
+                        "doc_id", expr.alias("score")
+                    )
+                ),
+                candidates,
             )
         if isinstance(q, P.BoolQ):
-            return self._bool_scored(q)
+            return self._bool_scored(q, k=k, candidates=candidates)
         if isinstance(q, P.DisMaxQ):
-            return self._dismax_scored(q)
+            return self._dismax_scored(q, candidates=candidates)
         if isinstance(q, P.ConstScoreQ):
-            return self.doc_set(q.inner).withColumn("score", F.lit(float(q.boost)))
+            return self._cand(
+                self.doc_set(q.inner).withColumn("score", F.lit(float(q.boost))), candidates
+            )
         if isinstance(q, P.BoostQ):
-            inner = self.scored(q.inner, k)
+            inner = self.scored(q.inner, k, candidates)
             if self.scoring == "lucene":
                 boosted = (F.col("score").cast("float") * F.lit(np.float32(q.boost)).cast("float"))
                 return inner.withColumn("score", boosted.cast("double"))
             return inner.withColumn("score", F.col("score") * F.lit(float(q.boost)))
         if isinstance(q, P.MatchAllQ):
-            return self._live(self.index.docs.select("doc_id")).withColumn("score", F.lit(float(q.boost)))
+            return self._cand(
+                self._live(self.index.docs.select("doc_id")).withColumn(
+                    "score", F.lit(float(q.boost))
+                ),
+                candidates,
+            )
         if isinstance(q, (P.PrefixQ, P.WildcardQ, P.RegexpQ, P.FuzzyQ, P.TermRangeQ, P.TermInSetQ)):
             # CONSTANT_SCORE_REWRITE default (MultiTermQuery.java:53-83)
-            return self.doc_set(q).withColumn("score", F.lit(float(q.boost)))
+            return self._cand(
+                self.doc_set(q).withColumn("score", F.lit(float(q.boost))), candidates
+            )
         raise TypeError(f"unsupported query node: {q!r}")
 
     def _empty_scored(self) -> DataFrame:
         return self.index.spark.createDataFrame([], _SCORE_SCHEMA)
+
+    @staticmethod
+    def _cand(df: DataFrame, candidates: list[int] | None) -> DataFrame:
+        """Literal docID allow-list filter (rescore second pass)."""
+        if candidates is None:
+            return df
+        return df.filter(F.col("doc_id").isin([int(d) for d in candidates]))
 
     def _sum_as_float(self, col):
         """Disjunction sum: float32 clause scores accumulated in double,
@@ -389,7 +417,7 @@ class Searcher:
 
         return df.select("doc_id", score_udf("freq", "norm").alias("score"))
 
-    def _phrase_scored(self, q) -> DataFrame:
+    def _phrase_scored(self, q, candidates: list[int] | None = None) -> DataFrame:
         """Phrase family (PhraseQuery.java:71, MultiPhraseQuery.java:53).
 
         slots: one tuple of alternative terms per phrase position; a doc
@@ -427,9 +455,18 @@ class Searcher:
         elif any(t not in stats for t in uniq):
             return self._empty_scored()
         w = self._combined_weight([stats[t][0] for t in weight_terms], q.boost)
+        # ---- phase 1 (TwoPhaseIterator.approximation): docID conjunction
+        # from doc blocks ONLY — no position decode, no position shuffle.
+        # Slots are intersected rarest-first; the surviving docID set then
+        # semi-joins the position rows BEFORE their groupBy, so only
+        # survivors' position arrays ever cross a shuffle ("the quick"
+        # never ships every "the" doc's positions).
+        surv = self._slot_conjunction_docs(slots, stats)
         pos = self._position_rows(uniq)
+        if candidates is not None:
+            pos = self._cand(pos, candidates)
+        pos = pos.join(surv, "doc_id", "left_semi")
         idx_of = {t: i for i, t in enumerate(uniq)}
-        nslots = len(slots)
         # slot -> list of (term_idx, offset) pairs
         slot_spec = [
             [idx_of[t] for t in alt] for alt in slots
@@ -439,12 +476,8 @@ class Searcher:
             .agg(
                 F.collect_list(F.struct("idx", "positions")).alias("plists"),
                 F.first("norm").alias("norm"),
-                F.count_distinct(F.col("idx")).alias("nterms"),
             )
         )
-        if all(len(alt) == 1 for alt in slots):
-            # cheap docID conjunction before the positional verify
-            grouped = grouped.filter(F.col("nterms") >= len(uniq))
 
         @F.pandas_udf(T.DoubleType())
         def phrase_freq(plists: pd.Series) -> pd.Series:
@@ -494,10 +527,33 @@ class Searcher:
                     out[r] = total
             return pd.Series(out)
 
-        matched = grouped.withColumn("freq", phrase_freq("plists")).filter(F.col("freq") > 0)
-        return self._score_freq_df(matched.select("doc_id", "freq", "norm"), w)
+        # filter on the *score* (0 iff freq == 0: BM25 weight > 0 always)
+        # rather than on freq: a freq filter makes Catalyst evaluate the
+        # phrase UDF twice (once for Filter, once for the downstream
+        # Project) — scoring first keeps a single ArrowEvalPython node.
+        matched = grouped.withColumn("freq", phrase_freq("plists"))
+        return self._score_freq_df(
+            matched.select("doc_id", "freq", "norm"), w
+        ).filter(F.col("score") > 0.0)
 
-    def _bool_scored(self, q: P.BoolQ) -> DataFrame:
+    def _slot_conjunction_docs(self, slots, stats) -> DataFrame:
+        """Phase-1 approximation: docIDs containing some alternative of
+        EVERY slot, from doc blocks only (positions never decoded).
+        Rarest slot first so the running intersection shrinks fastest;
+        duplicate slots (repeated phrase terms) scan once."""
+        seen: dict[tuple, None] = {}
+        for alt in slots:
+            key = tuple(sorted(t for t in alt if t in stats))
+            seen.setdefault(key, None)
+        ordered = sorted(seen, key=lambda key: sum(stats[t][0] for t in key))
+        surv = None
+        for key in ordered:
+            sd = self._doc_rows(list(key)).distinct()
+            surv = sd if surv is None else surv.join(sd, "doc_id", "left_semi")
+        return surv
+
+    def _bool_scored(self, q: P.BoolQ, k: int | None = None,
+                     candidates: list[int] | None = None) -> DataFrame:
         """BooleanQuery semantics (BooleanQuery.java:77-176,
         Boolean2ScorerSupplier.java:100-248): score = Σ scoring clauses;
         MUST = scoring intersection, SHOULD = scoring union (optional when
@@ -507,7 +563,7 @@ class Searcher:
         # MUST: intersection of scored clauses
         must_df = None
         for c in q.must:
-            s = self.scored(c).withColumnRenamed("score", "s")
+            s = self.scored(c, candidates=candidates).withColumnRenamed("score", "s")
             if must_df is None:
                 must_df = s.withColumnRenamed("s", "score")
             else:
@@ -521,7 +577,7 @@ class Searcher:
         if q.should:
             u = None
             for c in q.should:
-                s = self.scored(c)
+                s = self.scored(c, candidates=candidates)
                 u = s if u is None else u.unionByName(s)
             should_df = u.groupBy("doc_id").agg(
                 self._sum_as_float(F.col("score")).alias("score"),
@@ -588,11 +644,11 @@ class Searcher:
                 combined = combined.withColumn("score", F.col("score") * F.lit(float(q.boost)))
         return combined.select("doc_id", "score")
 
-    def _dismax_scored(self, q: P.DisMaxQ) -> DataFrame:
+    def _dismax_scored(self, q: P.DisMaxQ, candidates: list[int] | None = None) -> DataFrame:
         """DisjunctionMaxQuery.java:45: max + tiebreak * (sum - max)."""
         u = None
         for c in q.clauses:
-            s = self.scored(c)
+            s = self.scored(c, candidates=candidates)
             u = s if u is None else u.unionByName(s)
         if u is None:
             return self._empty_scored()
@@ -609,10 +665,11 @@ class Searcher:
             expr = F.col("mx") + F.lit(float(q.tiebreak)) * (F.col("sm") - F.col("mx"))
         return agg.select("doc_id", expr.alias("score"))
 
-    def _interval_scored(self, q: P.IntervalQ) -> DataFrame:
+    def _interval_scored(self, q: P.IntervalQ, candidates: list[int] | None = None) -> DataFrame:
         """IntervalQuery (intervals/IntervalQuery.java:59): two-phase like
-        phrases — docID conjunction on the leaf terms, positions decoded
-        for survivors, then the minimal-interval algebra per doc
+        phrases — docID conjunction on the leaf terms BEFORE the position
+        shuffle (semi-join of position rows against the doc-block
+        intersection), then the minimal-interval algebra per doc
         (intervals.py). freq = sum 1/(1+gaps), weight = summed leaf idf."""
         from lucene_spark.search import intervals as IV
 
@@ -622,15 +679,17 @@ class Searcher:
         if any(t not in stats for t in uniq):
             return self._empty_scored()
         w = self._combined_weight([stats[t][0] for t in terms], q.boost)
+        surv = self._slot_conjunction_docs([(t,) for t in uniq], stats)
         pos = self._position_rows(uniq)
+        if candidates is not None:
+            pos = self._cand(pos, candidates)
+        pos = pos.join(surv, "doc_id", "left_semi")
         grouped = (
             pos.groupBy("doc_id")
             .agg(
                 F.collect_list(F.struct("idx", "positions")).alias("plists"),
                 F.first("norm").alias("norm"),
-                F.count_distinct(F.col("idx")).alias("nterms"),
             )
-            .filter(F.col("nterms") >= len(uniq))
         )
         source = q.source
         uniq_l = list(uniq)
@@ -647,10 +706,10 @@ class Searcher:
                 out[r] = IV.freq_of(source, pos_by_term)
             return pd.Series(out)
 
-        matched = grouped.withColumn("freq", interval_freq("plists")).filter(
-            F.col("freq") > 0
-        )
-        return self._score_freq_df(matched.select("doc_id", "freq", "norm"), w)
+        matched = grouped.withColumn("freq", interval_freq("plists"))
+        return self._score_freq_df(
+            matched.select("doc_id", "freq", "norm"), w
+        ).filter(F.col("score") > 0.0)
 
     def _rewrite_common_terms(self, q: P.CommonTermsQ):
         """CommonTermsQuery plan rewrite (CommonTermsQuery.java:136-190):
@@ -719,12 +778,18 @@ class Searcher:
 
     def rescore(self, first: object, second: object, n: int,
                 weight: float = 1.0) -> DataFrame:
-        """QueryRescorer analog: take top-n of `first`, add weight *
-        second-query score for docs that match `second` (missing => +0),
-        return re-sorted (score desc, docID asc). Second-pass scoring
-        touches only n rows (broadcast join)."""
+        """QueryRescorer analog (search/QueryRescorer.java:62-80): take
+        top-n of `first`, add weight * second-query score for docs that
+        match `second` (missing => +0), re-sorted (score desc, docID
+        asc). The second pass is candidate-bounded: the top-n docIDs are
+        collected (n is small by contract) and pushed into the second
+        query's leaf scorers, so it never scores — or shuffles — the
+        whole index."""
         top = self.top_k(first, n).select("doc_id", F.col("score").alias("s1"))
-        sec = self.scored(second).select("doc_id", F.col("score").alias("s2"))
+        ids = [r["doc_id"] for r in top.select("doc_id").collect()]
+        sec = self.scored(second, candidates=ids).select(
+            "doc_id", F.col("score").alias("s2")
+        )
         out = (
             F.broadcast(top)
             .join(sec, "doc_id", "left")

@@ -109,6 +109,21 @@ def test_minhash_verify_no_shingle_self_join(spark, docs_df):
     assert not re.search(r"\[sh#\d+L?\],\s*\[sh#\d+L?\]", plan), plan
 
 
+def test_phrase_two_phase_plan(searcher):
+    from lucene_spark.search import PhraseQ
+
+    plan = plan_of(searcher.scored(PhraseQ(("license", "file"))))
+    # phase 1: the positions aggregate must sit ABOVE a doc_id semi join
+    # (only conjunction survivors' position arrays reach the shuffle)
+    agg_at = plan.find("collect_list")
+    assert agg_at >= 0, plan
+    below = plan[agg_at:]
+    assert "LeftSemi" in below, plan
+    # and the phrase UDF is evaluated exactly once (no Filter-vs-Project
+    # double ArrowEvalPython of the same UDF)
+    assert plan.count("phrase_freq(plists") <= 2, plan  # defn + one eval ref
+
+
 def test_ann_probe_partition_pruned(spark, tmp_path):
     from lucene_spark.pipeline import similarity
 
