@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucene_spark.analysis import analyze_batch
-from lucene_spark.codec import encode_posting_blocks, encode_value_stream
+from lucene_spark.codec import competitive_impacts, encode_posting_blocks, encode_value_stream
 
 BLOCK_STRUCT = T.StructType(
     [
@@ -94,6 +94,21 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
         T.StructField("pos", T.BinaryType()),
         T.StructField("bucket", T.IntegerType()),
+        # row-level pareto impacts (CompetitiveImpactAccumulator over the
+        # whole (term, salt) run): lets WAND-style planners read clause
+        # score upper bounds with a column-pruned scan of
+        # (term, salt, row_impacts) — never touching the block bytes
+        T.StructField(
+            "row_impacts",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("freq", T.IntegerType()),
+                        T.StructField("norm", T.IntegerType()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
@@ -308,10 +323,15 @@ def _encode_group(with_positions: bool):
                     "blocks": blocks,
                     "pos": pos_bin,
                     "bucket": int(g["bucket"].iat[0]),
+                    "row_impacts": [
+                        {"freq": int(a), "norm": int(b)}
+                        for a, b in competitive_impacts(freqs, norms)
+                    ],
                 }
             )
         return pd.DataFrame(
-            out_rows, columns=["term", "salt", "df", "ttf", "blocks", "pos", "bucket"]
+            out_rows,
+            columns=["term", "salt", "df", "ttf", "blocks", "pos", "bucket", "row_impacts"],
         )
 
     return fn
@@ -643,10 +663,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                     "blocks": encode_posting_blocks(d, f, nm),
                     "pos": pos_bin,
                     "bucket": int(g["bucket"].iat[0]),
+                    "row_impacts": [
+                        {"freq": int(a), "norm": int(b)}
+                        for a, b in competitive_impacts(f, nm)
+                    ],
                 }
             )
         return pd.DataFrame(
-            out_rows, columns=["term", "salt", "df", "ttf", "blocks", "pos", "bucket"]
+            out_rows,
+            columns=["term", "salt", "df", "ttf", "blocks", "pos", "bucket", "row_impacts"],
         )
 
     seg_postings = [spark.read.parquet(p) for p in as_list(paths["postings"])]

@@ -73,10 +73,11 @@ def _decode_positions_row(pos_bin: bytes, freqs: np.ndarray) -> list:
 
 
 class Searcher:
-    def __init__(self, index: Index, scoring: str = "lucene"):
+    def __init__(self, index: Index, scoring: str = "lucene", prune: bool = True):
         assert scoring in ("lucene", "double")
         self.index = index
         self.scoring = scoring
+        self.prune_enabled = prune  # block-max WAND for boolean top-k
         self._deletes = index.deletes  # None when nothing deleted
 
     def _live(self, df: DataFrame) -> DataFrame:
@@ -890,11 +891,243 @@ class Searcher:
         HitQueue tie-break (search/HitQueue.java:78-84). Spark physical
         plan: per-partition top-k + driver merge (TakeOrderedAndProject),
         exactly the CollectorManager reduce contract
-        (IndexSearcher.java:660-712)."""
+        (IndexSearcher.java:660-712).
+
+        Boolean queries whose scoring clauses are all plain terms route
+        through the block-max WAND path (_bool_topk_wand) when pruning
+        is enabled — identical results, bounded decode."""
+        q = P.rewrite(q)
+        if not field_filters and isinstance(q, P.BoolQ) and self.prune_enabled:
+            wand = self._bool_topk_wand(q, k)
+            if wand is not None:
+                return wand
         scored = self.scored(q, k=k)
         for ff in field_filters:
             scored = scored.join(self.doc_set(ff), "doc_id", "left_semi")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ------------------------------------------------------------------
+    # block-max WAND for boolean top-k
+    # ------------------------------------------------------------------
+
+    def _bool_topk_wand(self, q: P.BoolQ, k: int) -> DataFrame | None:
+        """Block-max WAND / block-max conjunction for top-k boolean
+        queries over plain term clauses (search/WANDScorer.java:38-140,
+        search/BlockMaxConjunctionScorer.java, MaxScoreCache.java).
+
+        Distributed shape (one decode scan + two tiny driver jobs):
+        1. θ_lb — a sound lower bound on the k-th best total score:
+           per-clause top-k (single-term block-max pruned, one job),
+           then exact totals for that candidate union (candidate-bounded
+           scored(), second tiny job; skipped for pure disjunctions where
+           driver-side partial sums already lower-bound totals). The k-th
+           best verified total ≤ true k-th best, so pruning on it is safe.
+        2. salt-level cross-clause bounds — one column-pruned read of
+           (term, salt, row_impacts): salt_max[t][s] = max possible score
+           of t in docID shard s (no block bytes touched).
+        3. pruned decode — a block of term t in salt s is skipped when
+           block_max(t) + Σ_{t'≠t} salt_max[t'][s] < θ_lb (WAND upper
+           bound); for conjunctions a salt missing ANY must term is
+           skipped wholesale (BlockMaxConjunction advance). Every true
+           top-k doc's blocks survive (its total ≥ θ_lb ≤ every covering
+           block's bound), so results are identical to the unpruned plan.
+
+        Returns None when the shape doesn't apply (non-term clauses,
+        overlapping term sets, index without row_impacts)."""
+        if not (q.must or q.should):
+            return None
+        if not all(isinstance(c, P.TermQ) for c in q.must + q.should):
+            return None
+        must_t = [(c.term, c.boost) for c in q.must]
+        should_t = [(c.term, c.boost) for c in q.should]
+        all_terms = [t for t, _ in must_t + should_t]
+        if len(set(all_terms)) != len(all_terms):
+            return None  # duplicate/overlapping terms: fall back
+        if "row_impacts" not in self.index.postings.columns:
+            return None
+        stats = self.index.stats_for_terms(all_terms)
+        if any(t not in stats for t, _ in must_t):
+            return self._empty_scored().limit(k)
+        should_t = [(t, b) for t, b in should_t if t in stats]
+        msm = q.min_should_match
+        if not must_t and len(should_t) < max(1, msm):
+            return self._empty_scored().limit(k)
+        weights = {t: self._weight(stats[t][0], b) for t, b in must_t + should_t}
+        if len(weights) < 2:
+            return None  # single-term: the plain path already prunes
+        terms = list(weights)
+        must_set = frozenset(t for t, _ in must_t)
+        should_set = frozenset(t for t, _ in should_t)
+
+        # ---- pass 1: θ_lb ----
+        union = None
+        for t in terms:
+            tk = (
+                self._scored_term_rows({t: weights[t]}, k)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+            union = tk if union is None else union.unionByName(tk)
+        samples = union.collect()
+        theta = -np.inf
+        if q.must or msm > 1 or q.filter or q.must_not:
+            ids = list({r["doc_id"] for r in samples})
+            verified = sorted(
+                (
+                    r["score"]
+                    for r in self.scored(q, candidates=ids).collect()
+                ),
+                reverse=True,
+            )
+            if len(verified) >= k:
+                theta = float(verified[k - 1])
+        else:
+            partial: dict[int, float] = {}
+            for r in samples:
+                partial[r["doc_id"]] = partial.get(r["doc_id"], 0.0) + r["score"]
+            tots = sorted(partial.values(), reverse=True)
+            if len(tots) >= k:
+                theta = float(tots[k - 1])
+        if np.isfinite(theta):
+            # shave a hair off θ: partial sums / reassociated float adds
+            # can overshoot the engine's stored totals by ulps — keep the
+            # bound strictly sound (costs ~nothing in pruning power)
+            theta -= 1e-9 * abs(theta) + 1e-12
+
+        # ---- pass 2: salt-level upper bounds (metadata-only read) ----
+        scoring = self.scoring
+        cache_f32 = self.index.cache_f32
+        avgdl_dbl = self.index.avgdl_dbl
+
+        def imp_max(impacts, w) -> float:
+            f = np.array([p["freq"] for p in impacts], dtype=np.float32)
+            nm = np.array([p["norm"] for p in impacts], dtype=np.int64)
+            if len(f) == 0:
+                return 0.0
+            if scoring == "lucene":
+                return float(np.max(bm25.score(f, nm, np.float32(w), cache_f32)))
+            return float(
+                np.max(bm25.score_double(f, LENGTH_TABLE[nm & 0xFF], w, avgdl_dbl))
+            )
+
+        meta = (
+            self.index.postings_for_terms(terms)
+            .select("term", "salt", "row_impacts")
+            .collect()
+        )
+        salt_max: dict[tuple, float] = {}
+        for r in meta:
+            key = (r["term"], r["salt"])
+            m = imp_max(r["row_impacts"] or [], weights[r["term"]])
+            salt_max[key] = max(salt_max.get(key, 0.0), m)
+        must_l = sorted(must_set)
+
+        # ---- pass 3: pruned decode scan ----
+        rows = self.index.postings_for_terms(terms)
+        theta_f = float(theta)
+        weights_b = dict(weights)
+
+        def fn(iterator):
+            for pdf in iterator:
+                parts = []
+                for row in pdf.itertuples(index=False):
+                    t, s = row.term, row.salt
+                    if must_l and any(
+                        (mt, s) not in salt_max for mt in must_l if mt != t
+                    ):
+                        continue  # conjunction impossible in this shard
+                    others = sum(
+                        salt_max.get((ot, s), 0.0) for ot in terms if ot != t
+                    )
+                    w = weights_b[t]
+                    for blk in row.blocks:
+                        bmax = (
+                            imp_max(blk["impacts"], w)
+                            if len(blk["impacts"])
+                            else salt_max.get((t, s), np.inf)
+                        )
+                        if bmax + others < theta_f:
+                            continue
+                        d, f, nm = decode_block(blk)
+                        if scoring == "lucene":
+                            sc = bm25.score(f, nm, np.float32(w), cache_f32).astype(
+                                np.float64
+                            )
+                        else:
+                            qdl = LENGTH_TABLE[nm.astype(np.int64) & 0xFF]
+                            sc = bm25.score_double(f, qdl, w, avgdl_dbl)
+                        parts.append(
+                            pd.DataFrame(
+                                {"doc_id": d, "term": t, "score": sc}
+                            )
+                        )
+                if parts:
+                    yield pd.concat(parts)
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("term", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        decoded = self._live(rows.mapInPandas(fn, schema=schema))
+
+        # ---- assembly (same combine semantics as _bool_scored) ----
+        in_must = F.col("term").isin(list(must_set)) if must_set else F.lit(False)
+        in_should = F.col("term").isin(list(should_set)) if should_set else F.lit(False)
+        agg = decoded.groupBy("doc_id").agg(
+            F.sum(F.when(in_must, F.col("score"))).alias("m_sum"),
+            F.count(F.when(in_must, F.lit(1))).alias("m_cnt"),
+            F.sum(F.when(in_should, F.col("score"))).alias("s_sum"),
+            F.count(F.when(in_should, F.lit(1))).alias("s_cnt"),
+        )
+        if must_set:
+            agg = agg.filter(F.col("m_cnt") == len(must_set))
+        eff_msm = msm
+        if not must_set and eff_msm < 1:
+            eff_msm = 1
+        if should_set and eff_msm > 0:
+            if must_set and msm == 0:
+                pass  # optional should
+            else:
+                agg = agg.filter(F.col("s_cnt") >= eff_msm)
+        if must_set and should_set:
+            s_part = F.coalesce(F.col("s_sum"), F.lit(0.0))
+            if self.scoring == "lucene":
+                s_part = s_part.cast("float").cast("double")
+                total = (F.col("m_sum") + s_part).cast("float").cast("double")
+            else:
+                total = F.col("m_sum") + s_part
+        elif must_set:
+            total = F.col("m_sum")
+            if len(must_set) > 1 and self.scoring == "lucene":
+                total = total.cast("float").cast("double")
+        else:
+            total = (
+                F.col("s_sum").cast("float").cast("double")
+                if self.scoring == "lucene"
+                else F.col("s_sum")
+            )
+        combined = agg.select("doc_id", total.alias("score"))
+        for c in q.filter:
+            combined = combined.join(self.doc_set(c), "doc_id", "left_semi")
+        for c in q.must_not:
+            combined = combined.join(self.doc_set(c), "doc_id", "left_anti")
+        if q.boost != 1.0:
+            if self.scoring == "lucene":
+                combined = combined.withColumn(
+                    "score",
+                    (
+                        F.col("score").cast("float")
+                        * F.lit(np.float32(q.boost)).cast("float")
+                    ).cast("double"),
+                )
+            else:
+                combined = combined.withColumn(
+                    "score", F.col("score") * F.lit(float(q.boost))
+                )
+        return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_after(self, q, k: int, after_score: float, after_doc: int,
                      field_filters: tuple = ()) -> DataFrame:

@@ -103,6 +103,24 @@ def test_bool_and(built):
     assert_hits_equal(got, want, 20)
 
 
+@pytest.mark.parametrize("qb", [
+    lambda: BoolQ(should=(TermQ("import"), TermQ("return"))),
+    lambda: BoolQ(should=(TermQ("the"), TermQ("license"), TermQ("import"))),
+    lambda: BoolQ(must=(TermQ("import"), TermQ("return"))),
+    lambda: BoolQ(must=(TermQ("license"),), should=(TermQ("import"),)),
+    lambda: BoolQ(should=(TermQ("the"), TermQ("import"), TermQ("return")),
+                  min_should_match=2),
+])
+def test_bool_topk_wand_identical(built, qb):
+    """Block-max WAND must not change boolean top-k results — the
+    TestWANDScorer on/off invariant (search/WANDScorer.java)."""
+    index, oracle, _ = built
+    q = qb()
+    pruned = spark_hits(Searcher(index, prune=True).top_k(q, 15))
+    plain = spark_hits(Searcher(index, prune=False).top_k(q, 15))
+    assert pruned == plain
+
+
 def test_bool_must_not(built):
     index, oracle, _ = built
     s = Searcher(index)
