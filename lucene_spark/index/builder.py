@@ -117,7 +117,11 @@ INVERTED_SCHEMA = T.StructType(
         T.StructField("term", T.StringType()),
         T.StructField("doc_id", T.LongType()),
         T.StructField("freq", T.IntegerType()),
-        T.StructField("positions", T.ArrayType(T.IntegerType())),
+        # per-(doc,term) position DELTAS packed as raw u32le bytes: the
+        # invert->encode shuffle carries fixed-width binary, not Python
+        # object lists (measured: the array<int> payload dominated the
+        # exchange at 400k docs and capped N->4N scaling efficiency)
+        T.StructField("pos_bytes", T.BinaryType()),
         T.StructField("norm", T.IntegerType()),
         T.StructField("bucket", T.IntegerType()),
         T.StructField("salt", T.IntegerType()),
@@ -239,7 +243,7 @@ def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions:
             "term": pd.array([], dtype=object),
             "doc_id": np.array([], dtype=np.int64),
             "freq": np.array([], dtype=np.int32),
-            "positions": pd.array([], dtype=object),
+            "pos_bytes": pd.array([], dtype=object),
             "norm": np.array([], dtype=np.int32),
             "bucket": np.array([], dtype=np.int32),
             "salt": np.array([], dtype=np.int32),
@@ -274,16 +278,24 @@ def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions:
             freqs = np.diff(np.append(starts, total)).astype(np.int32)
             uniq_buckets = term_bucket_py(pd.Series(uniq), num_buckets).astype(np.int32)
             if with_positions:
-                positions = [a.astype(np.int32) for a in np.split(ps, starts[1:])]
+                # one vectorized delta pass over the whole sorted stream:
+                # delta[i] = pos[i] - pos[i-1] within a run, run starts
+                # restart from 0 — then slice the u32 buffer per run
+                deltas = np.diff(ps, prepend=np.int64(0))
+                deltas[starts] = ps[starts]
+                buf = deltas.astype(np.uint32).tobytes()
+                ends = np.append(starts[1:], total)
+                pos_bytes = [
+                    buf[4 * s : 4 * e] for s, e in zip(starts.tolist(), ends.tolist())
+                ]
             else:
-                empty32 = np.zeros(0, np.int32)
-                positions = [empty32] * len(starts)
+                pos_bytes = [b""] * len(starts)
             yield pd.DataFrame(
                 {
                     "term": uniq.take(tc[starts]),
                     "doc_id": dc[starts],
                     "freq": freqs,
-                    "positions": positions,
+                    "pos_bytes": pos_bytes,
                     "norm": norm_rep[order][starts].astype(np.int32),
                     "bucket": uniq_buckets[tc[starts]],
                     "salt": (dc[starts] // salt_rows).astype(np.int32),
@@ -305,12 +317,11 @@ def _encode_group(with_positions: bool):
             norms = g["norm"].to_numpy()
             blocks = encode_posting_blocks(doc_ids, freqs, norms)
             if with_positions:
-                deltas = []
-                for plist in g["positions"]:
-                    arr = np.asarray(plist, dtype=np.int64)
-                    deltas.append(np.diff(arr, prepend=np.int64(0)) if len(arr) else arr)
+                # rows are already per-doc delta streams (u32le) — one
+                # join + frombuffer, no per-doc diff loop
+                allb = b"".join(bytes(b) for b in g["pos_bytes"])
                 pos_bin = encode_value_stream(
-                    np.concatenate(deltas).astype(np.uint64) if deltas else np.zeros(0, np.uint64)
+                    np.frombuffer(allb, dtype=np.uint32).astype(np.uint64)
                 )
             else:
                 pos_bin = b""

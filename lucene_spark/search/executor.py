@@ -73,11 +73,23 @@ def _decode_positions_row(pos_bin: bytes, freqs: np.ndarray) -> list:
 
 
 class Searcher:
-    def __init__(self, index: Index, scoring: str = "lucene", prune: bool = True):
+    # Below this many estimated postings (sum of clause dfs) the WAND
+    # machinery's extra driver round-trips (θ sampling + verification)
+    # cost more than the decode they would save — route to the plain
+    # one-job plan instead. Cost-based, like the reference's rewrite
+    # decisions; at 100 TB any hot clause clears this instantly.
+    WAND_MIN_POSTINGS = 5_000_000
+
+    def __init__(self, index: Index, scoring: str = "lucene", prune: bool = True,
+                 wand_min_postings: int | None = None):
         assert scoring in ("lucene", "double")
         self.index = index
         self.scoring = scoring
         self.prune_enabled = prune  # block-max WAND for boolean top-k
+        self.wand_min_postings = (
+            self.WAND_MIN_POSTINGS if wand_min_postings is None else wand_min_postings
+        )
+        self._wand_meta_cache: dict = {}  # per-reader MaxScoreCache analog
         self._deletes = index.deletes  # None when nothing deleted
 
     def _live(self, df: DataFrame) -> DataFrame:
@@ -955,6 +967,8 @@ class Searcher:
         weights = {t: self._weight(stats[t][0], b) for t, b in must_t + should_t}
         if len(weights) < 2:
             return None  # single-term: the plain path already prunes
+        if sum(stats[t][0] for t in weights) < self.wand_min_postings:
+            return None  # decode too small to amortize θ round-trips
         terms = list(weights)
         must_set = frozenset(t for t, _ in must_t)
         should_set = frozenset(t for t, _ in should_t)
@@ -1010,16 +1024,20 @@ class Searcher:
                 np.max(bm25.score_double(f, LENGTH_TABLE[nm & 0xFF], w, avgdl_dbl))
             )
 
-        meta = (
-            self.index.postings_for_terms(terms)
-            .select("term", "salt", "row_impacts")
-            .collect()
-        )
-        salt_max: dict[tuple, float] = {}
-        for r in meta:
-            key = (r["term"], r["salt"])
-            m = imp_max(r["row_impacts"] or [], weights[r["term"]])
-            salt_max[key] = max(salt_max.get(key, 0.0), m)
+        cache_key = frozenset(weights.items())
+        salt_max = self._wand_meta_cache.get(cache_key)
+        if salt_max is None:
+            meta = (
+                self.index.postings_for_terms(terms)
+                .select("term", "salt", "row_impacts")
+                .collect()
+            )
+            salt_max = {}
+            for r in meta:
+                key = (r["term"], r["salt"])
+                m = imp_max(r["row_impacts"] or [], weights[r["term"]])
+                salt_max[key] = max(salt_max.get(key, 0.0), m)
+            self._wand_meta_cache[cache_key] = salt_max
         must_l = sorted(must_set)
 
         # ---- pass 3: pruned decode scan ----

@@ -116,7 +116,12 @@ def test_bool_topk_wand_identical(built, qb):
     TestWANDScorer on/off invariant (search/WANDScorer.java)."""
     index, oracle, _ = built
     q = qb()
-    pruned = spark_hits(Searcher(index, prune=True).top_k(q, 15))
+    # wand_min_postings=0 forces the WAND route on this tiny corpus
+    # (production default only engages it when the decode is big enough
+    # to amortize the θ round-trips)
+    pruned = spark_hits(
+        Searcher(index, prune=True, wand_min_postings=0).top_k(q, 15)
+    )
     plain = spark_hits(Searcher(index, prune=False).top_k(q, 15))
     assert pruned == plain
 
