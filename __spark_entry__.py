@@ -61,11 +61,15 @@ def _get_index(spark: SparkSession, sf_dir: str) -> Index:
     tag = key.strip("/").replace("/", "_")
     idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # second tokenized field: the document head (first 200 chars) — the
+    # classic title/body shape; per-field postings, norms and stats
+    docs = docs.withColumn("head", F.substring(F.col("text"), 1, 200))
     build_index(
         spark,
         docs,
         idx_dir,
         text_col="text",
+        extra_fields={"head": "head"},
         doc_id_col="doc_id",
         keep_cols=["lang", "source", "n_chars"],
         num_buckets=8,
@@ -398,6 +402,65 @@ def _q_join_parent(term: str):
     return fn
 
 
+
+_HEAD = """
+, tokh AS (
+  SELECT doc_id, regexp_extract_all(lower(substr(text, 1, 200)), '[0-9a-z_]+') AS toks
+  FROM documents),
+dlsh AS (SELECT doc_id, len(toks) AS dl FROM tokh),
+qdlsh AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 32 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+                     << (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+    END AS qdl
+  FROM dlsh),
+gh AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         CAST(sum(dl) AS DOUBLE) AS sum_ttf
+  FROM dlsh),
+termsh AS (SELECT doc_id, unnest(toks) AS term FROM tokh),
+tfh2 AS (SELECT doc_id, term, count(*) AS freq FROM termsh GROUP BY doc_id, term),
+dfsh AS (SELECT term, count(*) AS df FROM tfh2 GROUP BY term)
+"""
+
+_INVH = f"(1.0 / ({K1} * ((1 - {B}) + {B} * qh.qdl / (gh.sum_ttf / gh.doc_count))))"
+
+
+def _head_term_topk_sql(term: str, k: int) -> str:
+    """TermQ over the head field: head's own df, docCount, avgdl, norms."""
+    w = f"(SELECT ln(1 + (gh.doc_count - df + 0.5) / (df + 0.5)) FROM dfsh, gh WHERE term = '{term}')"
+    return f"""{_PRELUDE}{_HEAD}, scored AS (
+  SELECT tf.doc_id, ({w}) - ({w}) / (1 + tf.freq * {_INVH}) AS score
+  FROM tfh2 tf JOIN qdlsh qh USING (doc_id), gh WHERE tf.term = '{term}')
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"""
+
+
+def _blended_cross_field_sql(term: str, tiebreak: float, k: int) -> str:
+    """BlendedTermQuery over (text, head): blended df = max over the two
+    fields' dfs; each field scored with its OWN docCount/avgdl/norms but
+    the blended df in the idf; dismax combine (BlendedTermQuery.java:334)."""
+    dfm = (
+        f"(SELECT greatest(coalesce((SELECT df FROM dfs WHERE term = '{term}'), 0), "
+        f"coalesce((SELECT df FROM dfsh WHERE term = '{term}'), 0)) AS v)"
+    )
+    wt = "ln(1 + (g.doc_count - dm.v + 0.5) / (dm.v + 0.5))"
+    wh = "ln(1 + (gh.doc_count - dm.v + 0.5) / (dm.v + 0.5))"
+    return f"""{_PRELUDE}{_HEAD}, dm AS {dfm},
+st AS (
+  SELECT tf.doc_id, ({wt}) - ({wt}) / (1 + tf.freq * {_INV}) AS score
+  FROM tf JOIN qdls q USING (doc_id), g, dm WHERE tf.term = '{term}'),
+sh2 AS (
+  SELECT tf.doc_id, ({wh}) - ({wh}) / (1 + tf.freq * {_INVH}) AS score
+  FROM tfh2 tf JOIN qdlsh qh USING (doc_id), gh, dm WHERE tf.term = '{term}'),
+u AS (SELECT * FROM st UNION ALL SELECT * FROM sh2),
+agg AS (
+  SELECT doc_id, max(score) AS mx, sum(score) AS sm FROM u GROUP BY doc_id)
+SELECT doc_id, round(mx + {tiebreak} * (sm - mx), 4) AS score_r FROM agg
+ORDER BY round(mx + {tiebreak} * (sm - mx), 4) DESC, doc_id LIMIT {k}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the full index on sf0.001 and run a scored boolean
     query (OR of two terms, lang-filtered) through the compressed postings."""
@@ -434,6 +497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda: CommonTermsQ(("the", "data", "spark"), max_df_ratio=0.2), 20
         ),
         "mlt_topk": _q_mlt(0, 5, 10),
+        "field_term_topk": _q_bool(lambda: TermQ("data", field="head"), 10),
+        "blended_cross_field_topk": _q_bool(
+            lambda: BlendedTermQ(("data",), tiebreak=0.1, fields=("text", "head")), 20
+        ),
         "rescore_topk": _q_rescore("data", ("data", "line"), 20, 2.0),
         "suggest_prefix": _q_suggest("s", 10),
         "facet_range_nchars": _q_facet_range("vector"),
@@ -718,6 +785,8 @@ ORDER BY score_r DESC, t.doc_id"""
             f"ORDER BY round(score, 4) DESC, doc_id LIMIT 10"
         ),
         "rescore_topk": rescore_sql,
+        "field_term_topk": _head_term_topk_sql("data", 10),
+        "blended_cross_field_topk": _blended_cross_field_sql("data", 0.1, 20),
         "suggest_prefix": (
             f"{_PRELUDE} SELECT term, CAST(sum(freq) AS BIGINT) AS weight "
             f"FROM tf WHERE term LIKE 's%' GROUP BY term "

@@ -87,6 +87,10 @@ BLOCK_STRUCT = T.StructType(
 
 POSTINGS_SCHEMA = T.StructType(
     [
+        # per-field postings: the reference data model is per-field
+        # everywhere (index/FieldInfos.java, IndexingChain.java:583-603);
+        # a (field, term) pair is the dictionary key
+        T.StructField("field", T.StringType()),
         T.StructField("term", T.StringType()),
         T.StructField("salt", T.IntegerType()),
         T.StructField("df", T.LongType()),
@@ -114,6 +118,7 @@ POSTINGS_SCHEMA = T.StructType(
 
 INVERTED_SCHEMA = T.StructType(
     [
+        T.StructField("field", T.StringType()),
         T.StructField("term", T.StringType()),
         T.StructField("doc_id", T.LongType()),
         T.StructField("freq", T.IntegerType()),
@@ -227,8 +232,12 @@ def _check_doc_ids(spark: SparkSession, corpus_path: str) -> int:
     return rows
 
 
-def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions: bool):
-    """mapInPandas fn: corpus rows -> (term, doc_id, freq, positions, norm, dl, bucket, salt).
+def _invert_map(fields: list, salt_rows: int, num_buckets: int, with_positions: bool):
+    """mapInPandas fn: corpus rows -> (field, term, doc_id, freq,
+    pos_bytes, norm, bucket, salt) — one inverted stream per field
+    (IndexingChain.java:583-603 inverts each indexed field of a doc).
+
+    `fields`: list of (field_name, source_column) pairs.
 
     Fully vectorized per Arrow batch (the DWPT in-RAM hash analog,
     index/TermsHashPerField.java, as a lexsort + run-length group-by):
@@ -240,6 +249,7 @@ def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions:
 
     _empty = pd.DataFrame(
         {
+            "field": pd.array([], dtype=object),
             "term": pd.array([], dtype=object),
             "doc_id": np.array([], dtype=np.int64),
             "freq": np.array([], dtype=np.int32),
@@ -252,7 +262,8 @@ def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions:
 
     def fn(iterator):
         for pdf in iterator:
-            an = analyze_batch(pdf[text_col])
+          for field_name, col in fields:
+            an = analyze_batch(pdf[col])
             doc_ids = pdf["doc_id"].to_numpy()
             counts = an["dl"].to_numpy()  # tokens per doc
             total = int(counts.sum())
@@ -292,6 +303,7 @@ def _invert_map(text_col: str, salt_rows: int, num_buckets: int, with_positions:
                 pos_bytes = [b""] * len(starts)
             yield pd.DataFrame(
                 {
+                    "field": pd.array([field_name] * len(starts), dtype=object),
                     "term": uniq.take(tc[starts]),
                     "doc_id": dc[starts],
                     "freq": freqs,
@@ -310,8 +322,8 @@ def _encode_group(with_positions: bool):
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        for term, g in pdf.groupby("term", sort=False):
+        pdf = pdf.sort_values(["field", "term", "doc_id"], kind="mergesort")
+        for (field_name, term), g in pdf.groupby(["field", "term"], sort=False):
             doc_ids = g["doc_id"].to_numpy()
             freqs = g["freq"].to_numpy()
             norms = g["norm"].to_numpy()
@@ -327,6 +339,7 @@ def _encode_group(with_positions: bool):
                 pos_bin = b""
             out_rows.append(
                 {
+                    "field": field_name,
                     "term": term,
                     "salt": int(g["salt"].iat[0]),
                     "df": int(len(doc_ids)),
@@ -342,7 +355,10 @@ def _encode_group(with_positions: bool):
             )
         return pd.DataFrame(
             out_rows,
-            columns=["term", "salt", "df", "ttf", "blocks", "pos", "bucket", "row_impacts"],
+            columns=[
+                "field", "term", "salt", "df", "ttf", "blocks", "pos", "bucket",
+                "row_impacts",
+            ],
         )
 
     return fn
@@ -378,6 +394,7 @@ def build_index(
     index_dir: str,
     *,
     text_col: str = "content",
+    extra_fields: dict[str, str] | None = None,
     doc_id_col: str | None = None,
     order_cols: list[str] | None = None,
     keep_cols: list[str] | None = None,
@@ -394,10 +411,18 @@ def build_index(
     ``salt_rows``: docID-range shard width — postings for one term are
     split into ceil(maxDoc/salt_rows) disjoint shards, defusing hot-term
     skew during the merge shuffle and bounding row size at query time.
+    ``extra_fields``: {field_name: source_column} tokenized fields
+    indexed ALONGSIDE the default field (named after ``text_col``) —
+    per-field postings/norms/stats, the FieldInfos data model
+    (index/FieldInfos.java, IndexingChain.java:583-603).
     """
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.time()
     keep_cols = keep_cols or []
+    fields: list[tuple[str, str]] = [(text_col, text_col)] + sorted(
+        (extra_fields or {}).items()
+    )
+    field_names = [f for f, _ in fields]
     corpus_path = os.path.join(index_dir, "corpus")
 
     # ---- stage0: snapshot + docIDs ----
@@ -435,8 +460,9 @@ def build_index(
     docs_path = os.path.join(index_dir, "docs")
     if not (resume and _stage_done(index_dir, "stage1_postings")):
         t1 = time.time()
-        inverted = corpus_ids.select("doc_id", text_col).mapInPandas(
-            _invert_map(text_col, salt_rows, num_buckets, with_positions),
+        field_cols = sorted({c for _, c in fields})
+        inverted = corpus_ids.select("doc_id", *field_cols).mapInPandas(
+            _invert_map(fields, salt_rows, num_buckets, with_positions),
             schema=INVERTED_SCHEMA,
         )
         # groupBy.applyInPandas hash-shuffles on (bucket, salt) itself —
@@ -467,25 +493,38 @@ def build_index(
         from lucene_spark.analysis import TOKEN_REGEX_SQL
         from lucene_spark.smallfloat import int_to_byte4
 
-        toks = F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(TOKEN_REGEX_SQL), F.lit(0)
-        )
-        dl_expr = F.coalesce(
-            F.aggregate(
-                F.transform(toks, lambda t: F.ceil(F.length(t) / 255).cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-            F.lit(0),
-        )
+        def dl_expr_for(col: str):
+            toks = F.regexp_extract_all(
+                F.lower(F.col(col)), F.lit(TOKEN_REGEX_SQL), F.lit(0)
+            )
+            return F.coalesce(
+                F.aggregate(
+                    F.transform(toks, lambda t: F.ceil(F.length(t) / 255).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(0),
+            )
 
         @F.pandas_udf(T.IntegerType())
         def norm_udf(dl: pd.Series) -> pd.Series:
             return pd.Series(int_to_byte4(dl.to_numpy().astype(np.int64)).astype(np.int32))
 
+        # per-field dl/norm columns; the default field keeps the legacy
+        # bare names, extra fields get dl__<field>/norm__<field>
+        def dl_name(f: str) -> str:
+            return "dl" if f == text_col else f"dl__{f}"
+
+        def norm_name(f: str) -> str:
+            return "norm" if f == text_col else f"norm__{f}"
+
         docs = corpus_ids.select(
-            "doc_id", *keep_cols, dl_expr.cast("int").alias("dl")
-        ).withColumn("norm", norm_udf(F.col("dl")))
+            "doc_id",
+            *keep_cols,
+            *[dl_expr_for(c).cast("int").alias(dl_name(f)) for f, c in fields],
+        )
+        for f, _c in fields:
+            docs = docs.withColumn(norm_name(f), norm_udf(F.col(dl_name(f))))
         docs.write.mode("overwrite").parquet(docs_path)
         _update_manifest(
             index_dir,
@@ -503,18 +542,30 @@ def build_index(
     if not (resume and _stage_done(index_dir, "stage3_stats")):
         t3 = time.time()
         postings = spark.read.parquet(postings_path)
-        stats = postings.groupBy("term").agg(
+        stats = postings.groupBy("field", "term").agg(
             F.sum("df").alias("df"),
             F.sum("ttf").alias("ttf"),
             F.first("bucket").alias("bucket"),
         )
         stats.write.mode("overwrite").parquet(stats_path)
         docs = spark.read.parquet(docs_path)
-        gl = docs.agg(
-            F.count(F.lit(1)).alias("N"),
-            F.sum("dl").alias("sum_dl"),
-            F.count(F.when(F.col("dl") > 0, 1)).alias("doc_count_field"),
-        ).collect()[0]
+
+        def _dl_name(f: str) -> str:
+            return "dl" if f == text_col else f"dl__{f}"
+
+        aggs = [F.count(F.lit(1)).alias("N")]
+        for f in field_names:
+            dn = _dl_name(f)
+            aggs.append(F.sum(dn).alias(f"sum_dl__{f}"))
+            aggs.append(F.count(F.when(F.col(dn) > 0, 1)).alias(f"doc_count__{f}"))
+        gl = docs.agg(*aggs).collect()[0]
+        field_stats = {
+            f: {
+                "sum_ttf": int(gl[f"sum_dl__{f}"] or 0),
+                "doc_count": int(gl[f"doc_count__{f}"]),
+            }
+            for f in field_names
+        }
         # skew metrics: postings volume per (bucket, salt) reducer group
         # and the hottest terms — the observability the salting exists for
         grp = postings.groupBy("bucket", "salt").agg(F.sum("df").alias("p"))
@@ -540,8 +591,11 @@ def build_index(
             extra={
                 "N": int(gl["N"]),
                 "max_doc": int(gl["N"]),
-                "sum_total_term_freq": int(gl["sum_dl"] or 0),
-                "doc_count_field": int(gl["doc_count_field"]),
+                "sum_total_term_freq": field_stats[text_col]["sum_ttf"],
+                "doc_count_field": field_stats[text_col]["doc_count"],
+                "fields": dict(fields),
+                "default_field": text_col,
+                "field_stats": field_stats,
                 "num_buckets": num_buckets,
                 "salt_rows": salt_rows,
                 "with_positions": with_positions,
@@ -616,7 +670,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         dels = bdel.value
         out_rows = []
         pdf = pdf.sort_values("first_doc", kind="mergesort")
-        for term, g in pdf.groupby("term", sort=False):
+        for (field_name, term), g in pdf.groupby(["field", "term"], sort=False):
             docs_all, freqs_all, norms_all, pos_all = [], [], [], []
             for _, row in g.iterrows():
                 f_row = []
@@ -667,6 +721,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             d, f, nm = d[keep], f[keep], nm[keep]
             out_rows.append(
                 {
+                    "field": field_name,
                     "term": term,
                     "salt": int(g["salt"].iat[0]),
                     "df": int(len(d)),
@@ -682,7 +737,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             )
         return pd.DataFrame(
             out_rows,
-            columns=["term", "salt", "df", "ttf", "blocks", "pos", "bucket", "row_impacts"],
+            columns=[
+                "field", "term", "salt", "df", "ttf", "blocks", "pos", "bucket",
+                "row_impacts",
+            ],
         )
 
     seg_postings = [spark.read.parquet(p) for p in as_list(paths["postings"])]
@@ -714,16 +772,25 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     # ---- stats ----
     stats_path = os.path.join(index_dir, f"term_stats_compact{gen}")
     mp = spark.read.parquet(postings_path)
-    mp.groupBy("term").agg(
+    mp.groupBy("field", "term").agg(
         F.sum("df").alias("df"),
         F.sum("ttf").alias("ttf"),
         F.first("bucket").alias("bucket"),
     ).write.mode("overwrite").parquet(stats_path)
-    gl = spark.read.parquet(docs_path).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("s"),
-        F.count(F.when(F.col("dl") > 0, 1)).alias("wf"),
-    ).collect()[0]
+    text_col_m = manifest["text_col"]
+    cfield_names = sorted(
+        manifest.get("fields", {text_col_m: text_col_m}),
+        key=lambda f: (f != text_col_m, f),
+    )
+
+    def _cdl(f: str) -> str:
+        return "dl" if f == text_col_m else f"dl__{f}"
+
+    c_aggs = [F.count(F.lit(1)).alias("n")]
+    for f in cfield_names:
+        c_aggs.append(F.sum(_cdl(f)).alias(f"s__{f}"))
+        c_aggs.append(F.count(F.when(F.col(_cdl(f)) > 0, 1)).alias(f"wf__{f}"))
+    gl = spark.read.parquet(docs_path).agg(*c_aggs).collect()[0]
 
     manifest["paths"] = {
         "postings": postings_path,
@@ -738,8 +805,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     # preserve the pre-compaction high-water mark.
     manifest["max_doc"] = int(manifest.get("max_doc", manifest["N"]))
     manifest["N"] = int(gl["n"])
-    manifest["sum_total_term_freq"] = int(gl["s"] or 0)
-    manifest["doc_count_field"] = int(gl["wf"])
+    manifest["field_stats"] = {
+        f: {"sum_ttf": int(gl[f"s__{f}"] or 0), "doc_count": int(gl[f"wf__{f}"])}
+        for f in cfield_names
+    }
+    manifest["sum_total_term_freq"] = manifest["field_stats"][text_col_m]["sum_ttf"]
+    manifest["doc_count_field"] = manifest["field_stats"][text_col_m]["doc_count"]
     manifest["version"] = int(manifest.get("version", 0)) + 1
     manifest["compaction_gen"] = gen
     manifest.setdefault("stages", {})[f"compact{gen}"] = {
@@ -808,6 +879,11 @@ def append_to_index(
     num_buckets = manifest["num_buckets"]
     salt_rows = manifest["salt_rows"]
     with_positions = manifest["with_positions"]
+    fields: list[tuple[str, str]] = sorted(
+        manifest.get("fields", {text_col: text_col}).items(),
+        key=lambda kv: (kv[0] != text_col, kv[0]),
+    )
+    field_names = [f for f, _ in fields]
     # base = max_doc (next free docID), NOT N: after a compaction that
     # reclaimed deletes N < max_doc and using N would reissue docIDs that
     # still belong to live docs.
@@ -837,8 +913,9 @@ def append_to_index(
     docs_path = os.path.join(index_dir, f"docs_seg{seg}")
     stats_path = os.path.join(index_dir, f"term_stats_seg{seg}")
 
-    inverted = corpus_ids.select("doc_id", text_col).mapInPandas(
-        _invert_map(text_col, salt_rows, num_buckets, with_positions),
+    field_cols = sorted({c for _, c in fields})
+    inverted = corpus_ids.select("doc_id", *field_cols).mapInPandas(
+        _invert_map(fields, salt_rows, num_buckets, with_positions),
         schema=INVERTED_SCHEMA,
     )
     postings = inverted.groupBy("bucket", "salt").applyInPandas(
@@ -849,37 +926,49 @@ def append_to_index(
     from lucene_spark.analysis import TOKEN_REGEX_SQL
     from lucene_spark.smallfloat import int_to_byte4
 
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX_SQL), F.lit(0))
-    dl_expr = F.coalesce(
-        F.aggregate(
-            F.transform(toks, lambda t: F.ceil(F.length(t) / 255).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-        F.lit(0),
-    )
+    def dl_expr_for(col: str):
+        toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_REGEX_SQL), F.lit(0))
+        return F.coalesce(
+            F.aggregate(
+                F.transform(toks, lambda t: F.ceil(F.length(t) / 255).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        )
 
     @F.pandas_udf(T.IntegerType())
     def norm_udf(dl: pd.Series) -> pd.Series:
         return pd.Series(int_to_byte4(dl.to_numpy().astype(np.int64)).astype(np.int32))
 
+    def _dl_name(f: str) -> str:
+        return "dl" if f == text_col else f"dl__{f}"
+
+    def _norm_name(f: str) -> str:
+        return "norm" if f == text_col else f"norm__{f}"
+
     docs = corpus_ids.select(
-        "doc_id", *keep_cols, dl_expr.cast("int").alias("dl")
-    ).withColumn("norm", norm_udf(F.col("dl")))
+        "doc_id",
+        *keep_cols,
+        *[dl_expr_for(c).cast("int").alias(_dl_name(f)) for f, c in fields],
+    )
+    for f, _c in fields:
+        docs = docs.withColumn(_norm_name(f), norm_udf(F.col(_dl_name(f))))
     docs.write.mode("overwrite").parquet(docs_path)
 
     seg_postings = spark.read.parquet(postings_path)
-    seg_postings.groupBy("term").agg(
+    seg_postings.groupBy("field", "term").agg(
         F.sum("df").alias("df"),
         F.sum("ttf").alias("ttf"),
         F.first("bucket").alias("bucket"),
     ).write.mode("overwrite").parquet(stats_path)
 
-    gl = spark.read.parquet(docs_path).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("sum_dl"),
-        F.count(F.when(F.col("dl") > 0, 1)).alias("with_field"),
-    ).collect()[0]
+    seg_aggs = [F.count(F.lit(1)).alias("n")]
+    for f in field_names:
+        dn = _dl_name(f)
+        seg_aggs.append(F.sum(dn).alias(f"sum_dl__{f}"))
+        seg_aggs.append(F.count(F.when(F.col(dn) > 0, 1)).alias(f"doc_count__{f}"))
+    gl = spark.read.parquet(docs_path).agg(*seg_aggs).collect()[0]
 
     # ---- commit: extend path lists + global stats, one atomic swap ----
     paths = manifest["paths"]
@@ -892,8 +981,19 @@ def append_to_index(
         paths[name] = as_list(paths[name]) + [p]
     manifest["N"] = int(manifest["N"]) + int(gl["n"])
     manifest["max_doc"] = base + int(gl["n"])
-    manifest["sum_total_term_freq"] = manifest["sum_total_term_freq"] + int(gl["sum_dl"] or 0)
-    manifest["doc_count_field"] = manifest["doc_count_field"] + int(gl["with_field"])
+    fs = manifest.get("field_stats") or {
+        text_col: {
+            "sum_ttf": int(manifest["sum_total_term_freq"]),
+            "doc_count": int(manifest["doc_count_field"]),
+        }
+    }
+    for f in field_names:
+        cur = fs.setdefault(f, {"sum_ttf": 0, "doc_count": 0})
+        cur["sum_ttf"] = int(cur["sum_ttf"]) + int(gl[f"sum_dl__{f}"] or 0)
+        cur["doc_count"] = int(cur["doc_count"]) + int(gl[f"doc_count__{f}"])
+    manifest["field_stats"] = fs
+    manifest["sum_total_term_freq"] = fs[text_col]["sum_ttf"]
+    manifest["doc_count_field"] = fs[text_col]["doc_count"]
     manifest["version"] = int(manifest.get("version", 0)) + 1
     manifest.setdefault("stages", {})[f"append_seg{seg}"] = {
         "rows": int(gl["n"]),

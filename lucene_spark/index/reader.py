@@ -38,11 +38,49 @@ class Index:
         self.doc_count = self.manifest["doc_count_field"]
         self.sum_ttf = self.manifest["sum_total_term_freq"]
         self.num_buckets = self.manifest["num_buckets"]
+        # per-field data model (index/FieldInfos.java): field registry +
+        # per-field global stats; single-field manifests degrade to one
+        # default field
+        self.default_field = self.manifest.get(
+            "default_field", self.manifest.get("text_col", "content")
+        )
+        self.fields = self.manifest.get(
+            "fields", {self.default_field: self.default_field}
+        )
+        self.has_field_column = "fields" in self.manifest
+        self._field_stats = self.manifest.get(
+            "field_stats",
+            {self.default_field: {"sum_ttf": self.sum_ttf, "doc_count": self.doc_count}},
+        )
         # float32 avgdl + 256-entry norm cache (BM25Similarity.java:114-117,211-214)
         self.avgdl_f32 = bm25.avg_field_length(self.sum_ttf, self.doc_count)
         self.cache_f32 = bm25.norm_cache(self.avgdl_f32)
         # double variant for oracle-checkable scoring
         self.avgdl_dbl = self.sum_ttf / float(self.doc_count) if self.doc_count else 0.0
+        self._field_caches: dict = {}
+
+    # --- per-field statistics (CollectionStatistics per field) ----------
+
+    def resolve_field(self, field: str | None) -> str:
+        return self.default_field if field is None else field
+
+    def doc_count_for(self, field: str | None) -> int:
+        fs = self._field_stats.get(self.resolve_field(field))
+        return int(fs["doc_count"]) if fs else 0
+
+    def cache_f32_for(self, field: str | None) -> np.ndarray:
+        f = self.resolve_field(field)
+        if f not in self._field_caches:
+            fs = self._field_stats.get(f, {"sum_ttf": 0, "doc_count": 0})
+            avg = bm25.avg_field_length(fs["sum_ttf"], fs["doc_count"])
+            self._field_caches[f] = bm25.norm_cache(avg)
+        return self._field_caches[f]
+
+    def avgdl_dbl_for(self, field: str | None) -> float:
+        fs = self._field_stats.get(self.resolve_field(field))
+        if not fs or not fs["doc_count"]:
+            return 0.0
+        return fs["sum_ttf"] / float(fs["doc_count"])
 
     # --- lazy tables -------------------------------------------------------
 
@@ -92,19 +130,20 @@ class Index:
     def bucket_of(term: str, num_buckets: int) -> int:
         return int.from_bytes(hashlib.md5(term.encode()).digest()[8:16], "little") % num_buckets
 
-    def postings_for_terms(self, terms: list[str]) -> DataFrame:
-        """Bucket-pruned posting rows for exact terms.
+    def postings_for_terms(self, terms: list[str], field: str | None = None) -> DataFrame:
+        """Bucket-pruned posting rows for exact terms in one field.
 
         The bucket partition column prunes parquet directories (Lucene
         analog: the terms-dict FST routes to one block,
         blocktree/Lucene90BlockTreeTermsWriter.java:198).
         """
         buckets = sorted({self.bucket_of(t, self.num_buckets) for t in terms})
-        return self.postings.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
-        )
+        cond = F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+        if self.has_field_column:
+            cond = cond & (F.col("field") == self.resolve_field(field))
+        return self.postings.filter(cond)
 
-    def stats_for_terms(self, terms: list[str]) -> dict:
+    def stats_for_terms(self, terms: list[str], field: str | None = None) -> dict:
         """{term: (df, ttf)} via the stats table (collects <= len(terms) rows).
 
         The global stats drive the Weight (TermQuery.java:61-64 collects
@@ -114,33 +153,38 @@ class Index:
         memoize as None so repeated misses cost nothing."""
         if not terms:
             return {}
+        fld = self.resolve_field(field)
         if not hasattr(self, "_stats_memo"):
-            self._stats_memo: dict[str, tuple | None] = {}
-        missing = [t for t in terms if t not in self._stats_memo]
+            self._stats_memo: dict[tuple, tuple | None] = {}
+        missing = [t for t in terms if (fld, t) not in self._stats_memo]
         if missing:
             buckets = sorted({self.bucket_of(t, self.num_buckets) for t in missing})
-            rows = (
-                self.term_stats.filter(
-                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
-                )
-                .select("term", "df", "ttf")
-                .collect()
-            )
+            cond = F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+            if self.has_field_column:
+                cond = cond & (F.col("field") == fld)
+            rows = self.term_stats.filter(cond).select("term", "df", "ttf").collect()
             # sum across segments (one stats row per segment per term)
             found: dict[str, tuple] = {}
             for r in rows:
                 d0, t0 = found.get(r["term"], (0, 0))
                 found[r["term"]] = (d0 + int(r["df"]), t0 + int(r["ttf"]))
             for t in missing:
-                self._stats_memo[t] = found.get(t)
-        return {t: self._stats_memo[t] for t in terms if self._stats_memo[t] is not None}
+                self._stats_memo[(fld, t)] = found.get(t)
+        return {
+            t: self._stats_memo[(fld, t)]
+            for t in terms
+            if self._stats_memo[(fld, t)] is not None
+        }
 
-    def expand_terms(self, predicate) -> list[str]:
+    def expand_terms(self, predicate, field: str | None = None) -> list[str]:
         """MultiTermQuery rewrite: term-dictionary scan by Catalyst predicate
         (MultiTermQueryConstantScoreWrapper.java). Returns matching terms."""
+        stats = self.term_stats
+        if self.has_field_column:
+            stats = stats.filter(F.col("field") == self.resolve_field(field))
         return [
             r["term"]
-            for r in self.term_stats.filter(predicate).select("term").distinct().collect()
+            for r in stats.filter(predicate).select("term").distinct().collect()
         ]
 
     def fetch(self, hits: DataFrame, cols: list[str] | None = None) -> DataFrame:

@@ -104,18 +104,22 @@ class Searcher:
     # weights (createWeight analog: one-time global stats)
     # ------------------------------------------------------------------
 
-    def _weight(self, df: int, boost: float) -> float:
-        """weight = boost * idf (BM25Similarity.java:242)."""
+    def _weight(self, df: int, boost: float, field: str | None = None) -> float:
+        """weight = boost * idf (BM25Similarity.java:242), idf against the
+        FIELD's docCount (per-field CollectionStatistics)."""
+        dc = self.index.doc_count_for(field)
         if self.scoring == "lucene":
-            return float(np.float32(boost) * bm25.idf(df, self.index.doc_count))
-        return boost * bm25.idf_double(df, self.index.doc_count)
+            return float(np.float32(boost) * bm25.idf(df, dc))
+        return boost * bm25.idf_double(df, dc)
 
-    def _combined_weight(self, dfs: list[int], boost: float) -> float:
+    def _combined_weight(self, dfs: list[int], boost: float,
+                         field: str | None = None) -> float:
         """Multi-term weight: per-term float idfs summed in double
         (BM25Similarity.java:191-200)."""
+        dc = self.index.doc_count_for(field)
         if self.scoring == "lucene":
-            return float(np.float32(boost) * bm25.combined_idf(dfs, self.index.doc_count))
-        return boost * sum(bm25.idf_double(n, self.index.doc_count) for n in dfs)
+            return float(np.float32(boost) * bm25.combined_idf(dfs, dc))
+        return boost * sum(bm25.idf_double(n, dc) for n in dfs)
 
     # ------------------------------------------------------------------
     # decode UDFs
@@ -129,16 +133,17 @@ class Searcher:
         qdl = LENGTH_TABLE[np.asarray(norms, dtype=np.int64) & 0xFF]
         return bm25.score_double(freqs, qdl, weight, self.index.avgdl_dbl)
 
-    def _scored_term_rows(self, terms_weights: dict[str, float], k: int | None) -> DataFrame:
+    def _scored_term_rows(self, terms_weights: dict[str, float], k: int | None,
+                          field: str | None = None) -> DataFrame:
         """postings rows for terms -> (doc_id, score) with block-max pruning.
 
         Pruning (single-term top-k only, k given): skip blocks whose
         impact-derived max score can't enter the local running top-k
         (ImpactsDISI.java:61-91 / MaxScoreCache.java:70-108 effect)."""
-        rows = self.index.postings_for_terms(list(terms_weights))
+        rows = self.index.postings_for_terms(list(terms_weights), field)
         scoring = self.scoring
-        cache_f32 = self.index.cache_f32
-        avgdl_dbl = self.index.avgdl_dbl
+        cache_f32 = self.index.cache_f32_for(field)
+        avgdl_dbl = self.index.avgdl_dbl_for(field)
         prune = k is not None and len(terms_weights) == 1
 
         def fn(iterator):
@@ -189,9 +194,9 @@ class Searcher:
 
         return self._live(rows.mapInPandas(fn, schema=_SCORE_SCHEMA))
 
-    def _doc_rows(self, terms: list[str]) -> DataFrame:
+    def _doc_rows(self, terms: list[str], field: str | None = None) -> DataFrame:
         """Decoded (doc_id) rows for a term set — non-scoring (FILTER path)."""
-        rows = self.index.postings_for_terms(terms)
+        rows = self.index.postings_for_terms(terms, field)
 
         def fn(iterator):
             for pdf in iterator:
@@ -205,8 +210,14 @@ class Searcher:
         """MultiTermQuery constant-score path: semi-join the postings scan
         against the matching slice of the terms dictionary (broadcast),
         then decode docIDs (MultiTermQueryConstantScoreWrapper.java)."""
-        matching = self.index.term_stats.filter(predicate).select("term", "bucket")
-        rows = self.index.postings.join(
+        stats = self.index.term_stats
+        posts = self.index.postings
+        if self.index.has_field_column:
+            fld = self.index.resolve_field(None)
+            stats = stats.filter(F.col("field") == fld)
+            posts = posts.filter(F.col("field") == fld)
+        matching = stats.filter(predicate).select("term", "bucket")
+        rows = posts.join(
             F.broadcast(matching), ["term", "bucket"], "left_semi"
         )
 
@@ -218,9 +229,9 @@ class Searcher:
 
         return self._live(rows.mapInPandas(fn, schema=_DOCS_SCHEMA))
 
-    def _freq_rows(self, terms: list[str]) -> DataFrame:
+    def _freq_rows(self, terms: list[str], field: str | None = None) -> DataFrame:
         """(doc_id, term, freq, norm) rows — synonym/blended scoring input."""
-        rows = self.index.postings_for_terms(terms)
+        rows = self.index.postings_for_terms(terms, field)
 
         def fn(iterator):
             for pdf in iterator:
@@ -243,13 +254,13 @@ class Searcher:
 
         return self._live(rows.mapInPandas(fn, schema=_FREQ_SCHEMA))
 
-    def _position_rows(self, terms: list[str]) -> DataFrame:
+    def _position_rows(self, terms: list[str], field: str | None = None) -> DataFrame:
         """(doc_id, idx, positions, norm) for phrase matching; idx = index of
         the term in ``terms``. Two-phase: positions only decoded here, for
         phrase terms (TwoPhaseIterator / ExactPhraseMatcher pattern)."""
         if not self.index.manifest.get("with_positions", True):
             raise ValueError("index built without positions; phrase queries unavailable")
-        rows = self.index.postings_for_terms(terms)
+        rows = self.index.postings_for_terms(terms, field)
         idx_of = {t: i for i, t in enumerate(terms)}
 
         def fn(iterator):
@@ -290,11 +301,13 @@ class Searcher:
         a rescore never pays a full-corpus second-pass shuffle."""
         q = P.rewrite(q)
         if isinstance(q, P.TermQ):
-            stats = self.index.stats_for_terms([q.term])
+            stats = self.index.stats_for_terms([q.term], q.field)
             if q.term not in stats:
                 return self._empty_scored()
-            w = self._weight(stats[q.term][0], q.boost)
-            return self._cand(self._scored_term_rows({q.term: w}, k), candidates)
+            w = self._weight(stats[q.term][0], q.boost, q.field)
+            return self._cand(
+                self._scored_term_rows({q.term: w}, k, q.field), candidates
+            )
         if isinstance(q, P.SynonymQ):
             return self._cand(self._synonym_scored(q), candidates)
         if isinstance(q, P.BlendedTermQ):
@@ -373,31 +386,47 @@ class Searcher:
         """SynonymQuery.java:198-214: one pseudo-term, df = max(term dfs),
         per-doc freq = sum of term freqs, scored once."""
         terms = list(dict.fromkeys(q.terms))
-        stats = self.index.stats_for_terms(terms)
+        fld = q.field
+        stats = self.index.stats_for_terms(terms, fld)
         if not stats:
             return self._empty_scored()
         df_max = max(s[0] for s in stats.values())
-        w = self._weight(df_max, q.boost)
-        freqs = self._freq_rows([t for t in terms if t in stats])
+        w = self._weight(df_max, q.boost, fld)
+        freqs = self._freq_rows([t for t in terms if t in stats], fld)
         agg = freqs.groupBy("doc_id").agg(
             F.sum("freq").alias("freq"), F.first("norm").alias("norm")
         )
-        return self._score_freq_df(agg, w)
+        return self._score_freq_df(agg, w, fld)
 
     def _blended_scored(self, q: P.BlendedTermQ) -> DataFrame:
-        """BlendedTermQuery.java: every term scored with the blended df
-        (max over terms — the cross-field stats rewrite), combined via
-        disjunction-max with the builder's tiebreak."""
+        """BlendedTermQuery.java:334 — every Term(field, text) pair is
+        scored with the BLENDED df (max over all pairs; the reference
+        rewrites each TermStates' docFreq up to the max so no field's
+        rarity dominates), while each pair keeps its OWN field norms and
+        avgdl; pairs combine via disjunction-max with the builder's
+        tiebreak (DisjunctionMaxRewrite default)."""
         terms = list(dict.fromkeys(q.terms))
-        stats = self.index.stats_for_terms(terms)
-        if not stats:
+        flds = list(q.fields) if q.fields else [q.field]
+        per_field_stats = {f: self.index.stats_for_terms(terms, f) for f in flds}
+        dfs = [
+            s[0]
+            for st in per_field_stats.values()
+            for s in st.values()
+        ]
+        if not dfs:
             return self._empty_scored()
-        df_max = max(s[0] for s in stats.values())
-        w = self._weight(df_max, q.boost)
-        freqs = self._freq_rows([t for t in terms if t in stats])
-        per_term = self._score_freq_df(
-            freqs.select("doc_id", "freq", "norm"), w
-        )
+        df_max = max(dfs)
+        per_term = None
+        for f in flds:
+            st = per_field_stats[f]
+            present = [t for t in terms if t in st]
+            if not present:
+                continue
+            w = self._weight(df_max, q.boost, f)
+            sc = self._score_freq_df(
+                self._freq_rows(present, f).select("doc_id", "freq", "norm"), w, f
+            )
+            per_term = sc if per_term is None else per_term.unionByName(sc)
         agg = per_term.groupBy("doc_id").agg(
             F.max("score").alias("mx"), F.sum("score").alias("sm")
         )
@@ -411,11 +440,12 @@ class Searcher:
             expr = F.col("mx") + F.lit(float(q.tiebreak)) * (F.col("sm") - F.col("mx"))
         return agg.select("doc_id", expr.alias("score"))
 
-    def _score_freq_df(self, df: DataFrame, weight: float) -> DataFrame:
+    def _score_freq_df(self, df: DataFrame, weight: float,
+                       field: str | None = None) -> DataFrame:
         """(doc_id, freq, norm) -> (doc_id, score) via vectorized UDF."""
         scoring = self.scoring
-        cache_f32 = self.index.cache_f32
-        avgdl_dbl = self.index.avgdl_dbl
+        cache_f32 = self.index.cache_f32_for(field)
+        avgdl_dbl = self.index.avgdl_dbl_for(field)
 
         @F.pandas_udf(T.DoubleType())
         def score_udf(freq: pd.Series, norm: pd.Series) -> pd.Series:
@@ -455,8 +485,9 @@ class Searcher:
             slots = [(t,) for t in q.terms]
             weight_terms = list(q.terms)
         slop = q.slop
+        fld = getattr(q, "field", None)
         uniq = list(dict.fromkeys(t for alt in slots for t in alt))
-        stats = self.index.stats_for_terms(uniq)
+        stats = self.index.stats_for_terms(uniq, fld)
         if isinstance(q, P.MultiPhraseQ):
             # MultiPhrase: a slot matches if ANY alternative exists; drop
             # missing alternatives, fail only if a whole slot is gone
@@ -467,15 +498,15 @@ class Searcher:
             uniq = list(dict.fromkeys(t for alt in slots for t in alt))
         elif any(t not in stats for t in uniq):
             return self._empty_scored()
-        w = self._combined_weight([stats[t][0] for t in weight_terms], q.boost)
+        w = self._combined_weight([stats[t][0] for t in weight_terms], q.boost, fld)
         # ---- phase 1 (TwoPhaseIterator.approximation): docID conjunction
         # from doc blocks ONLY — no position decode, no position shuffle.
         # Slots are intersected rarest-first; the surviving docID set then
         # semi-joins the position rows BEFORE their groupBy, so only
         # survivors' position arrays ever cross a shuffle ("the quick"
         # never ships every "the" doc's positions).
-        surv = self._slot_conjunction_docs(slots, stats)
-        pos = self._position_rows(uniq)
+        surv = self._slot_conjunction_docs(slots, stats, fld)
+        pos = self._position_rows(uniq, fld)
         if candidates is not None:
             pos = self._cand(pos, candidates)
         pos = pos.join(surv, "doc_id", "left_semi")
@@ -546,10 +577,10 @@ class Searcher:
         # Project) — scoring first keeps a single ArrowEvalPython node.
         matched = grouped.withColumn("freq", phrase_freq("plists"))
         return self._score_freq_df(
-            matched.select("doc_id", "freq", "norm"), w
+            matched.select("doc_id", "freq", "norm"), w, fld
         ).filter(F.col("score") > 0.0)
 
-    def _slot_conjunction_docs(self, slots, stats) -> DataFrame:
+    def _slot_conjunction_docs(self, slots, stats, field: str | None = None) -> DataFrame:
         """Phase-1 approximation: docIDs containing some alternative of
         EVERY slot, from doc blocks only (positions never decoded).
         Rarest slot first so the running intersection shrinks fastest;
@@ -561,7 +592,7 @@ class Searcher:
         ordered = sorted(seen, key=lambda key: sum(stats[t][0] for t in key))
         surv = None
         for key in ordered:
-            sd = self._doc_rows(list(key)).distinct()
+            sd = self._doc_rows(list(key), field).distinct()
             surv = sd if surv is None else surv.join(sd, "doc_id", "left_semi")
         return surv
 
@@ -692,6 +723,8 @@ class Searcher:
         if any(t not in stats for t in uniq):
             return self._empty_scored()
         w = self._combined_weight([stats[t][0] for t in terms], q.boost)
+        # intervals run over the default field (field-scoped intervals:
+        # wrap leaf terms per field when the node grows a field attr)
         surv = self._slot_conjunction_docs([(t,) for t in uniq], stats)
         pos = self._position_rows(uniq)
         if candidates is not None:
@@ -816,8 +849,11 @@ class Searcher:
         shape): terms-dictionary scan LIKE 'p%' weighted by collection
         frequency. At scale the stats table is bucket-pruned Parquet;
         the LIKE pushes down to the scan."""
+        stats = self.index.term_stats
+        if self.index.has_field_column:
+            stats = stats.filter(F.col("field") == self.index.resolve_field(None))
         return (
-            self.index.term_stats.filter(F.col("term").startswith(prefix))
+            stats.filter(F.col("term").startswith(prefix))
             .select("term", F.col("ttf").alias("weight"))
             .orderBy(F.desc("weight"), F.asc("term"))
             .limit(n)
@@ -948,8 +984,10 @@ class Searcher:
         overlapping term sets, index without row_impacts)."""
         if not (q.must or q.should):
             return None
-        if not all(isinstance(c, P.TermQ) for c in q.must + q.should):
-            return None
+        if not all(
+            isinstance(c, P.TermQ) and c.field is None for c in q.must + q.should
+        ):
+            return None  # non-term or field-scoped clauses: plain path
         must_t = [(c.term, c.boost) for c in q.must]
         should_t = [(c.term, c.boost) for c in q.should]
         all_terms = [t for t, _ in must_t + should_t]

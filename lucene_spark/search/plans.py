@@ -18,6 +18,7 @@ class TermQ:
 
     term: str
     boost: float = 1.0
+    field: str | None = None  # None = the index's default field
 
 
 @dataclass(frozen=True)
@@ -32,6 +33,7 @@ class PhraseQ:
     terms: tuple
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -43,6 +45,7 @@ class MultiPhraseQ:
     positions: tuple  # tuple[tuple[str, ...], ...]
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -52,6 +55,7 @@ class SynonymQ:
 
     terms: tuple
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -64,6 +68,12 @@ class BlendedTermQ:
     terms: tuple
     tiebreak: float = 0.01
     boost: float = 1.0
+    field: str | None = None
+    # fields to blend across (BlendedTermQuery's whole point is shared
+    # statistics across Term(field, text) pairs, BlendedTermQuery.java:334):
+    # every term is scored in every listed field with the blended (max)
+    # df, combined disjunction-max. None = just the default field.
+    fields: tuple | None = None
 
 
 @dataclass(frozen=True)
