@@ -426,6 +426,8 @@ dfsh AS (SELECT term, count(*) AS df FROM tfh2 GROUP BY term)
 
 _INVH = f"(1.0 / ({K1} * ((1 - {B}) + {B} * qh.qdl / (gh.sum_ttf / gh.doc_count))))"
 
+_POSR_G = ", posr AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM tok)"
+
 
 def _head_term_topk_sql(term: str, k: int) -> str:
     """TermQ over the head field: head's own df, docCount, avgdl, norms."""
@@ -459,6 +461,61 @@ agg AS (
   SELECT doc_id, max(score) AS mx, sum(score) AS sm FROM u GROUP BY doc_id)
 SELECT doc_id, round(mx + {tiebreak} * (sm - mx), 4) AS score_r FROM agg
 ORDER BY round(mx + {tiebreak} * (sm - mx), 4) DESC, doc_id LIMIT {k}"""
+
+
+
+
+def _fuzzy_topk_sql(term: str, max_edits: int, k: int, max_expansions: int = 50) -> str:
+    """TopTermsBlendedFreqScoringRewrite oracle: Damerau expansion with
+    per-term boost 1 - ed/min(|cand|, |query|), top-`max_expansions` by
+    (boost desc, term asc), blended df = max over kept terms, SHOULD-sum
+    (FuzzyQuery.java:52, MultiTermQuery.java:173-212)."""
+    n = len(term)
+    w = "ln(1 + (g.doc_count - dm.v + 0.5) / (dm.v + 0.5))"
+    return f"""{_PRELUDE},
+cand AS (
+  SELECT term, df,
+         CASE WHEN damerau_levenshtein(term, '{term}') = 0 THEN 1.0
+              ELSE 1.0 - damerau_levenshtein(term, '{term}')
+                   / CAST(least(length(term), {n}) AS DOUBLE) END AS boost
+  FROM dfs WHERE damerau_levenshtein(term, '{term}') <= {max_edits}),
+top AS (SELECT * FROM cand ORDER BY boost DESC, term LIMIT {max_expansions}),
+dm AS (SELECT max(df) AS v FROM top),
+scored AS (
+  SELECT tf.doc_id,
+         sum(t.boost * (({w}) - ({w}) / (1 + tf.freq * {_INV}))) AS score
+  FROM tf JOIN top t USING (term) JOIN qdls q USING (doc_id), g, dm
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"""
+
+
+
+
+def _parsed_field_query_sql(k: int) -> str:
+    """Oracle for parse('head:data AND (merge OR sort) -"data line"'):
+    MUST(head:data) + MUST(merge OR sort as a sum-disjunction group),
+    MUST_NOT(exact phrase), score = head score + group score."""
+    w_hd = "(SELECT ln(1 + (gh.doc_count - df + 0.5) / (df + 0.5)) FROM dfsh, gh WHERE term = 'data')"
+    return f"""{_PRELUDE}{_HEAD}{_POSR_G},
+hd AS (
+  SELECT tf.doc_id, ({w_hd}) - ({w_hd}) / (1 + tf.freq * {_INVH}) AS score
+  FROM tfh2 tf JOIN qdlsh qh USING (doc_id), gh WHERE tf.term = 'data'),
+grp AS (
+  SELECT sc.doc_id, sum(sc.score) AS score FROM (
+    {_term_scored_sql('merge')} UNION ALL {_term_scored_sql('sort')}
+  ) sc GROUP BY sc.doc_id),
+ph AS (
+  SELECT DISTINCT s0.doc_id FROM
+    (SELECT doc_id, pos - 1 AS p FROM posr WHERE toks[pos] = 'data') s0
+    JOIN (SELECT doc_id, pos - 2 AS p FROM posr WHERE toks[pos] = 'line') s1
+    USING (doc_id, p)),
+j AS (
+  SELECT hd.doc_id, hd.score + grp.score AS score
+  FROM hd JOIN grp USING (doc_id)
+  WHERE hd.doc_id NOT IN (SELECT doc_id FROM ph))
+SELECT doc_id, round(score, 4) AS score_r FROM j
+ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -498,6 +555,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "mlt_topk": _q_mlt(0, 5, 10),
         "field_term_topk": _q_bool(lambda: TermQ("data", field="head"), 10),
+        "fuzzy_topk": _q_bool(lambda: FuzzyQ("merge", max_edits=2), 20),
+        "parsed_field_query_topk": _q_bool(
+            lambda: parse_query('head:data AND (merge OR sort) -"data line"'), 20
+        ),
         "blended_cross_field_topk": _q_bool(
             lambda: BlendedTermQ(("data",), tiebreak=0.1, fields=("text", "head")), 20
         ),
@@ -786,6 +847,8 @@ ORDER BY score_r DESC, t.doc_id"""
         ),
         "rescore_topk": rescore_sql,
         "field_term_topk": _head_term_topk_sql("data", 10),
+        "fuzzy_topk": _fuzzy_topk_sql("merge", 2, 20),
+        "parsed_field_query_topk": _parsed_field_query_sql(20),
         "blended_cross_field_topk": _blended_cross_field_sql("data", 0.1, 20),
         "suggest_prefix": (
             f"{_PRELUDE} SELECT term, CAST(sum(freq) AS BIGINT) AS weight "

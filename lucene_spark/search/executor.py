@@ -60,6 +60,56 @@ _POS_SCHEMA = T.StructType(
 )
 
 
+def _edit_distance(a: str, b: str, transpositions: bool) -> int:
+    """Levenshtein, or unrestricted Damerau-Levenshtein when
+    `transpositions` (matches DuckDB damerau_levenshtein; see FuzzyQ
+    docstring for the documented OSA-variant deviation from Lucene's
+    parametric automaton)."""
+    la, lb = len(a), len(b)
+    if not transpositions:
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            ca = a[i - 1]
+            for j in range(1, lb + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != b[j - 1]),
+                )
+            prev = cur
+        return prev[lb]
+    # unrestricted Damerau (alphabet + last-row tracking)
+    inf = la + lb
+    da: dict[str, int] = {}
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = inf
+    for i in range(la + 1):
+        d[i + 1][0] = inf
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = inf
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            i1 = da.get(b[j - 1], 0)
+            j1 = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
 def _decode_positions_row(pos_bin: bytes, freqs: np.ndarray) -> list:
     """pos stream -> list of per-doc position arrays (delta decode)."""
     d = decode_value_stream(bytes(pos_bin)).astype(np.int64)
@@ -206,14 +256,14 @@ class Searcher:
 
         return self._live(rows.mapInPandas(fn, schema=_DOCS_SCHEMA))
 
-    def _doc_rows_for_predicate(self, predicate) -> DataFrame:
+    def _doc_rows_for_predicate(self, predicate, field: str | None = None) -> DataFrame:
         """MultiTermQuery constant-score path: semi-join the postings scan
         against the matching slice of the terms dictionary (broadcast),
         then decode docIDs (MultiTermQueryConstantScoreWrapper.java)."""
         stats = self.index.term_stats
         posts = self.index.postings
         if self.index.has_field_column:
-            fld = self.index.resolve_field(None)
+            fld = self.index.resolve_field(field)
             stats = stats.filter(F.col("field") == fld)
             posts = posts.filter(F.col("field") == fld)
         matching = stats.filter(predicate).select("term", "bucket")
@@ -357,7 +407,11 @@ class Searcher:
                 ),
                 candidates,
             )
-        if isinstance(q, (P.PrefixQ, P.WildcardQ, P.RegexpQ, P.FuzzyQ, P.TermRangeQ, P.TermInSetQ)):
+        if isinstance(q, P.FuzzyQ):
+            # reference default: TopTermsBlendedFreqScoringRewrite
+            # (FuzzyQuery.java:52) — scored, not constant-score
+            return self._cand(self._fuzzy_scored(q), candidates)
+        if isinstance(q, (P.PrefixQ, P.WildcardQ, P.RegexpQ, P.TermRangeQ, P.TermInSetQ)):
             # CONSTANT_SCORE_REWRITE default (MultiTermQuery.java:53-83)
             return self._cand(
                 self.doc_set(q).withColumn("score", F.lit(float(q.boost))), candidates
@@ -439,6 +493,74 @@ class Searcher:
         else:
             expr = F.col("mx") + F.lit(float(q.tiebreak)) * (F.col("sm") - F.col("mx"))
         return agg.select("doc_id", expr.alias("score"))
+
+    def _fuzzy_expansions(self, q: P.FuzzyQ) -> list[tuple]:
+        """FuzzyTermsEnum + TopTermsRewrite: (term, df, boost) for the top
+        max_expansions dictionary terms within edit distance, highest
+        boost first (ties: lexicographically smaller term wins, the
+        ScoreTerm priority-queue order, TopTermsRewrite.java:210-212).
+        boost = 1 - ed / min(|candidate|, |query|); exact match = 1
+        (FuzzyTermsEnum.java:249-255)."""
+        target = q.term
+        k = int(q.max_edits)
+        stats = self.index.term_stats
+        if self.index.has_field_column:
+            stats = stats.filter(
+                F.col("field") == self.index.resolve_field(q.field)
+            )
+        # JVM pre-filters pushed to the scan: length band (|len diff| <= k
+        # for either distance variant), prefix constraint, and a loose
+        # plain-Levenshtein bound (a transposition costs <= 2 plain
+        # edits, so damerau <= k implies levenshtein <= 2k)
+        pred = F.abs(F.length(F.col("term")) - F.lit(len(target))) <= k
+        if q.prefix_len:
+            pred = pred & F.col("term").startswith(target[: q.prefix_len])
+        lev_bound = 2 * k if q.transpositions else k
+        pred = pred & (F.levenshtein(F.col("term"), F.lit(target)) <= lev_bound)
+        cand = stats.filter(pred).groupBy("term").agg(F.sum("df").alias("df"))
+
+        transpositions = q.transpositions
+
+        @F.pandas_udf(T.IntegerType())
+        def ed_udf(terms: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    _edit_distance(t, target, transpositions)
+                    for t in terms
+                ],
+                dtype="int32",
+            )
+
+        cand = cand.withColumn("ed", ed_udf("term")).filter(F.col("ed") <= k)
+        boost = F.when(F.col("ed") == 0, F.lit(1.0)).otherwise(
+            1.0 - F.col("ed") / F.least(F.length("term"), F.lit(len(target))).cast("double")
+        )
+        rows = (
+            cand.withColumn("boost", boost)
+            .orderBy(F.desc("boost"), F.asc("term"))
+            .limit(int(q.max_expansions))
+            .collect()
+        )
+        return [(r["term"], int(r["df"]), float(r["boost"])) for r in rows]
+
+    def _fuzzy_scored(self, q: P.FuzzyQ) -> DataFrame:
+        """TopTermsBlendedFreqScoringRewrite (MultiTermQuery.java:173-212):
+        blended df = max over the kept expansions
+        (BlendedTermQuery.java:281-290), each expansion scored as a
+        TermQuery with the blended df wrapped in BoostQuery(term boost),
+        combined as a SHOULD disjunction sum. One postings scan for all
+        expansions (per-term weights resolved inside the decode UDF)."""
+        exp = self._fuzzy_expansions(q)
+        if not exp:
+            return self._empty_scored()
+        df_blend = max(df for _, df, _ in exp)
+        weights = {
+            t: self._weight(df_blend, b * q.boost, q.field) for t, _df, b in exp
+        }
+        per_term = self._scored_term_rows(weights, None, q.field)
+        return per_term.groupBy("doc_id").agg(
+            self._sum_as_float(F.col("score")).alias("score")
+        )
 
     def _score_freq_df(self, df: DataFrame, weight: float,
                        field: str | None = None) -> DataFrame:
@@ -867,26 +989,28 @@ class Searcher:
         """Plan node -> distinct DataFrame(doc_id), no scores (FILTER path)."""
         q = P.rewrite(q)
         if isinstance(q, P.TermQ):
-            return self._doc_rows([q.term]).distinct()
+            return self._doc_rows([q.term], q.field).distinct()
         if isinstance(q, (P.SynonymQ, P.TermInSetQ, P.BlendedTermQ)):
-            return self._doc_rows(list(q.terms)).distinct()
+            return self._doc_rows(list(q.terms), getattr(q, "field", None)).distinct()
         if isinstance(q, P.PrefixQ):
-            return self._doc_rows_for_predicate(F.col("term").startswith(q.prefix)).distinct()
+            return self._doc_rows_for_predicate(
+                F.col("term").startswith(q.prefix), q.field
+            ).distinct()
         if isinstance(q, P.WildcardQ):
             like = q.pattern.replace("%", r"\%").replace("_", r"\_")
             like = like.replace("*", "%").replace("?", "_")
-            return self._doc_rows_for_predicate(F.col("term").like(like)).distinct()
+            return self._doc_rows_for_predicate(F.col("term").like(like), q.field).distinct()
         if isinstance(q, P.RegexpQ):
-            return self._doc_rows_for_predicate(F.col("term").rlike(q.pattern)).distinct()
+            return self._doc_rows_for_predicate(F.col("term").rlike(q.pattern), q.field).distinct()
         if isinstance(q, P.FuzzyQ):
             pred = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
             if q.prefix_len:
                 pred = pred & F.col("term").startswith(q.term[: q.prefix_len])
-            return self._doc_rows_for_predicate(pred).distinct()
+            return self._doc_rows_for_predicate(pred, q.field).distinct()
         if isinstance(q, P.TermRangeQ):
             lo = F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
             hi = F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
-            return self._doc_rows_for_predicate(lo & hi).distinct()
+            return self._doc_rows_for_predicate(lo & hi, q.field).distinct()
         if isinstance(q, P.FieldFilter):
             col = F.col(q.col)
             if q.op == "=":

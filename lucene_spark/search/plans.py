@@ -130,6 +130,7 @@ class PrefixQ:
 
     prefix: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -138,6 +139,7 @@ class WildcardQ:
 
     pattern: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -147,16 +149,31 @@ class RegexpQ:
 
     pattern: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class FuzzyQ:
-    """search/FuzzyQuery.java:52 — Levenshtein <= max_edits expansion."""
+    """search/FuzzyQuery.java:52 — edit-distance <= max_edits expansion.
+
+    Scored path (the reference default): TopTermsBlendedFreqScoringRewrite
+    with maxExpansions terms — per-term boost 1 - ed/min(|term|, |query|)
+    (FuzzyTermsEnum.java:249-255), blended df = max over the kept
+    expansions, SHOULD-sum combine (MultiTermQuery.java:173-212,
+    BlendedTermQuery.java:281-290). `transpositions=True` counts a
+    transposition as one edit (Damerau; we use the unrestricted variant
+    to stay bit-identical with the DuckDB oracle's damerau_levenshtein —
+    Lucene's parametric automaton is the restricted/OSA variant, which
+    differs only on pathological pairs like 'ca'~'abc').
+    doc_set() keeps the CONSTANT_SCORE semantics."""
 
     term: str
     max_edits: int = 2
     prefix_len: int = 0
     boost: float = 1.0
+    max_expansions: int = 50
+    transpositions: bool = True
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -168,6 +185,7 @@ class TermRangeQ:
     include_lower: bool = True
     include_upper: bool = True
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -176,6 +194,7 @@ class TermInSetQ:
 
     terms: tuple
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)

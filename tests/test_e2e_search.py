@@ -126,6 +126,47 @@ def test_bool_topk_wand_identical(built, qb):
     assert pruned == plain
 
 
+def test_fuzzy_scored_blended(built):
+    """FuzzyQuery default scoring rewrite: expansion boosts, blended df,
+    SHOULD-sum — float32 bit-equal to a manual oracle computation."""
+    from lucene_spark import bm25
+    from lucene_spark.search import FuzzyQ
+    from lucene_spark.search.executor import _edit_distance
+
+    index, oracle, _ = built
+    s = Searcher(index, scoring="lucene")
+    q = FuzzyQ("license", max_edits=2)
+    got = spark_hits(s.top_k(q, 15))
+
+    # oracle: expand over the pandas dictionary
+    cands = []
+    for t, plist in oracle.postings.items():
+        ed = _edit_distance(t, q.term, True)
+        if ed <= q.max_edits:
+            boost = 1.0 if ed == 0 else 1.0 - ed / min(len(t), len(q.term))
+            cands.append((t, len(plist), boost))
+    cands.sort(key=lambda x: (-x[2], x[0]))
+    cands = cands[: q.max_expansions]
+    assert cands, "expected expansions for 'license'"
+    df_blend = max(df for _, df, _ in cands)
+    totals: dict[int, float] = {}
+    for t, _df, b in cands:
+        w = np.float32(np.float32(b) * bm25.idf(df_blend, oracle.doc_count))
+        for d, positions in oracle.postings[t].items():
+            sc = bm25.score(
+                np.array([len(positions)], dtype=np.int64),
+                np.array([oracle.norms[d]], dtype=np.int64),
+                w,
+                oracle.cache,
+            )[0]
+            totals[d] = totals.get(d, 0.0) + float(sc)
+    expected = {d: np.float32(v) for d, v in totals.items()}
+    want = oracle.top_k(expected, 15)
+    assert [d for d, _ in got] == [d for d, _ in want], (got, want)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert np.float32(gs) == np.float32(ws), (gd, gs, ws)
+
+
 def test_bool_must_not(built):
     index, oracle, _ = built
     s = Searcher(index)

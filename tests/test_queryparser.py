@@ -83,3 +83,56 @@ def test_multi_token_atom_becomes_or():
 def test_garbage_raises():
     with pytest.raises(ValueError):
         parse('"unterminated')
+
+
+# --- round-2 grammar: field scoping, parentheses, escaping ---------------
+
+def test_field_scoped_term():
+    assert parse("head:data") == P.TermQ("data", field="head")
+
+
+def test_field_scoped_group():
+    q = parse("head:(vector OR data)")
+    assert q == P.BoolQ(
+        should=(P.TermQ("vector", field="head"), P.TermQ("data", field="head"))
+    )
+
+
+def test_parens_grouping():
+    q = parse("(a AND b) OR (c AND d)")
+    assert isinstance(q, P.BoolQ) and len(q.should) == 2
+    assert all(isinstance(c, P.BoolQ) and len(c.must) == 2 for c in q.should)
+
+
+def test_mixed_field_parens_phrase():
+    q = parse('head:data AND (merge OR sort) -"data line"')
+    assert q.must[0] == P.TermQ("data", field="head")
+    assert isinstance(q.must[1], P.BoolQ)
+    assert q.must_not == (P.PhraseQ(("data", "line")),)
+
+
+def test_escaped_colon_not_a_field():
+    q = parse(r"foo\:bar")
+    # escaped colon: no field; analyzer then splits on the colon (same
+    # as the reference: escape defeats the grammar, not the analyzer)
+    assert q == P.BoolQ(should=(P.TermQ("foo"), P.TermQ("bar")))
+
+
+def test_escaped_parens_literal():
+    q = parse(r"\(merge\)")
+    assert q == P.TermQ("merge")
+
+
+def test_field_wildcard_and_fuzzy():
+    q = parse("head:qu?ck body~1")
+    assert q.should[0] == P.WildcardQ("qu?ck", field="head")
+    f = q.should[1]
+    assert f.term == "body" and f.max_edits == 1 and f.field is None
+
+
+def test_unbalanced_paren_raises():
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        parse("(a AND b")
+    with _pt.raises(ValueError):
+        parse("a) b")
