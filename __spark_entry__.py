@@ -721,21 +721,48 @@ def oracle_sql() -> dict[str, str]:
     )
     # sloppy phrase "data line"~2: anchor-greedy freq = sum 1/(1+d),
     # d = nearest offset-adjusted 'line' position per 'data' anchor
+    # Reference-exact sloppy freq (SloppyPhraseMatcher head-hopping, 2-term
+    # closed form): heads h0 = max of first adjusted positions (tie -> the
+    # later slot), h_{k+1} = min element of the OTHER list > h_k; each head
+    # emits gap = h - max(other <= h), weight 1/(1+gap) when gap <= slop.
+    # Fuzz-verified identical to lucene_spark.search.sloppy on 20k random
+    # position sets (tests/test_sloppy.py).
     sloppy_scored = f"""
+ap AS (SELECT doc_id, pos - 1 AS v FROM posr WHERE toks[pos] = 'data'),
+bp AS (SELECT doc_id, pos - 2 AS v FROM posr WHERE toks[pos] = 'line'),
+allp AS (SELECT doc_id, v, 0 AS lst FROM ap UNION ALL SELECT doc_id, v, 1 AS lst FROM bp),
+mins AS (
+  SELECT a.doc_id, a.mina, b.minb
+  FROM (SELECT doc_id, min(v) AS mina FROM ap GROUP BY doc_id) a
+  JOIN (SELECT doc_id, min(v) AS minb FROM bp GROUP BY doc_id) b USING (doc_id)),
+heads(doc_id, h, lst) AS (
+  SELECT doc_id,
+         CASE WHEN minb >= mina THEN minb ELSE mina END,
+         CASE WHEN minb >= mina THEN 1 ELSE 0 END
+  FROM mins
+  UNION ALL
+  SELECT hd.doc_id, o.v, 1 - hd.lst
+  FROM heads hd JOIN allp o
+    ON o.doc_id = hd.doc_id AND o.lst = 1 - hd.lst AND o.v > hd.h
+  WHERE NOT EXISTS (
+    SELECT 1 FROM allp o2
+    WHERE o2.doc_id = hd.doc_id AND o2.lst = 1 - hd.lst
+      AND o2.v > hd.h AND o2.v < o.v)),
+gaps AS (
+  SELECT hd.doc_id, hd.h, hd.h - max(o.v) AS gap
+  FROM heads hd JOIN allp o
+    ON o.doc_id = hd.doc_id AND o.lst = 1 - hd.lst AND o.v <= hd.h
+  GROUP BY hd.doc_id, hd.h, hd.lst),
+sfreq AS (
+  SELECT doc_id, sum(1.0 / (1 + gap)) AS freq FROM gaps
+  WHERE gap <= 2 GROUP BY doc_id),
+sl_scored AS (
   SELECT p.doc_id,
          (wsum.w0) - (wsum.w0) / (1 + p.freq * {_INV}) AS score
-  FROM (
-    SELECT b2.doc_id, sum(1.0 / (1 + b2.d)) AS freq FROM (
-      SELECT pa.doc_id, pa.a, min(abs(pb.b - pa.a)) AS d
-      FROM (SELECT doc_id, pos - 1 AS a FROM posr WHERE toks[pos] = 'data') pa
-      JOIN (SELECT doc_id, pos - 2 AS b FROM posr WHERE toks[pos] = 'line') pb
-        USING (doc_id)
-      GROUP BY pa.doc_id, pa.a) b2
-    WHERE b2.d <= 2 GROUP BY b2.doc_id
-  ) p
+  FROM sfreq p
   JOIN qdls q USING (doc_id), g,
        (SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data')
-             + (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum
+             + (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum)
 """
     multiphrase_scored = f"""
   SELECT p.doc_id,
@@ -826,8 +853,9 @@ ORDER BY score_r DESC, t.doc_id"""
     return {
         "term_topk": _topk_sql(_term_scored_sql("vector"), 10),
         "phrase_sloppy_topk": (
-            f"{_PRELUDE}{_POSR}, scored AS ({sloppy_scored}) "
-            f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+            f"{_PRELUDE.replace('WITH tok', 'WITH RECURSIVE tok', 1)}{_POSR}, "
+            f"{sloppy_scored.strip()} "
+            f"SELECT doc_id, round(score, 4) AS score_r FROM sl_scored "
             f"ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
         ),
         "multiphrase_topk": (

@@ -82,9 +82,11 @@ class PandasOracle:
     def multiphrase_scores(
         self, slots: list[tuple], slop: int = 0, boost: float = 1.0
     ) -> dict[int, np.float32]:
-        """Phrase over alternative-term slots, exact (slop=0) or sloppy
-        (anchor-greedy, weight 1/(1+matchLength)) — mirrors the engine's
-        documented semantics (executor._phrase_scored)."""
+        """Phrase over alternative-term slots, exact (slop=0) or sloppy —
+        mirrors the engine's semantics (executor._phrase_scored): for
+        single-term slots the reference SloppyPhraseMatcher algorithm
+        (sloppy.py); for alternative slots the documented anchor-greedy
+        approximation."""
         all_terms = [t for alt in slots for t in alt if t in self.postings]
         live_slots = [
             [t for t in alt if t in self.postings] for alt in slots
@@ -99,8 +101,23 @@ class PandasOracle:
             set().union(*(self.postings[t].keys() for t in alt)) for alt in live_slots
         ]
         docs = set.intersection(*doc_sets)
+        single_term = all(len(alt) == 1 for alt in live_slots)
         out = {}
         for d in docs:
+            if slop > 0 and single_term:
+                from lucene_spark.search.sloppy import sloppy_phrase_freq
+
+                if any(d not in self.postings[alt[0]] for alt in live_slots):
+                    continue
+                freq = sloppy_phrase_freq(
+                    [(alt[0], self.postings[alt[0]][d]) for alt in live_slots], slop
+                )
+                if freq:
+                    s = bm25.score(
+                        np.array([freq]), np.array([self.norms[d]]), w, self.cache
+                    )
+                    out[d] = s[0]
+                continue
             slot_pos = []
             for off, alt in enumerate(live_slots):
                 parts = [

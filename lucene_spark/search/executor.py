@@ -592,14 +592,14 @@ class Searcher:
         (TwoPhaseIterator / ExactPhraseMatcher pattern).
 
         slop=0: freq = #exact alignments (ExactPhraseMatcher.java:166).
-        slop>0: anchor-greedy sloppy matching — for every occurrence of
-        slot 0, pick per slot the offset-adjusted position closest to the
-        anchor; matchLength = max-min of the adjusted picks; the anchor
-        contributes sloppyWeight = 1/(1+matchLength) when matchLength <=
-        slop (PhraseScorer.java:75-81 weight; a documented simplification
-        of SloppyPhraseMatcher.java:169's repeat handling — for phrases
-        without repeated slots and slop windows smaller than the term
-        gap, the two agree)."""
+        slop>0, plain phrase (single-term slots): the REFERENCE
+        SloppyPhraseMatcher algorithm exactly — PhraseQueue propagation
+        of the least PhrasePosition with repeat-group collision
+        resolution (sloppy.py; SloppyPhraseMatcher.java:163-205, 365-470)
+        — including correct handling of repeated terms ("get get value").
+        slop>0 MultiPhrase (alternative slots): anchor-greedy
+        approximation (documented divergence; the reference's
+        multi-term-repeat machinery is not reproduced)."""
         if isinstance(q, P.MultiPhraseQ):
             slots = [tuple(alt) for alt in q.positions]
             weight_terms = [t for alt in slots for t in alt]
@@ -645,13 +645,30 @@ class Searcher:
             )
         )
 
+        single_term_slots = all(len(idxs) == 1 for idxs in slot_spec)
+
         @F.pandas_udf(T.DoubleType())
         def phrase_freq(plists: pd.Series) -> pd.Series:
+            from lucene_spark.search.sloppy import sloppy_phrase_freq
+
             out = np.zeros(len(plists), dtype=np.float64)
             for r, entries in enumerate(plists):
                 arrs = {}
                 for e in entries:
                     arrs[e["idx"]] = np.asarray(e["positions"], dtype=np.int64)
+                if slop > 0 and single_term_slots:
+                    # reference-exact sloppy matcher (repeat-safe)
+                    slot_in = []
+                    ok = True
+                    for idxs in slot_spec:
+                        ti = idxs[0]
+                        if ti not in arrs:
+                            ok = False
+                            break
+                        slot_in.append((ti, arrs[ti]))
+                    if ok:
+                        out[r] = sloppy_phrase_freq(slot_in, slop)
+                    continue
                 # offset-adjusted union per slot
                 slot_pos = []
                 ok = True
