@@ -26,7 +26,12 @@ from pyspark.sql import Window as W
 
 from lucene_spark.index import Index, build_index
 from lucene_spark.pipeline import dedup, multimodal, similarity, textstats
-from lucene_spark.search.plans import IntervalOrdered, IntervalQ, IntervalTerm
+from lucene_spark.search.plans import (
+    IntervalNotContaining,
+    IntervalOrdered,
+    IntervalQ,
+    IntervalTerm,
+)
 from lucene_spark.search.queryparser import parse as parse_query
 from lucene_spark.search import (
     BlendedTermQ,
@@ -588,6 +593,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             20,
         ),
+        "interval_not_containing_topk": _q_bool(
+            lambda: IntervalQ(
+                IntervalNotContaining(
+                    IntervalOrdered((IntervalTerm("data"), IntervalTerm("line"))),
+                    IntervalTerm("big"),
+                )
+            ),
+            20,
+        ),
         "synonym_topk": _q_bool(lambda: SynonymQ(("merge", "join")), 20),
         "dismax_topk": _q_bool(lambda: DisMaxQ((TermQ("merge"), TermQ("sort")), 0.1), 20),
         "prefix_docs": _q_docset(lambda: PrefixQ("s")),
@@ -935,6 +949,29 @@ ORDER BY score_r DESC, t.doc_id"""
             "FROM pf p JOIN qdls q USING (doc_id), g, "
             f"(SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data') "
             f"+ (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum) "
+            "SELECT doc_id, round(score, 4) AS score_r FROM scored "
+            "ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
+        ),
+        # notContaining(ordered(data..line), big): minimal ordered intervals
+        # that do NOT contain a 'big' occurrence; weight sums idf of all
+        # leaf terms incl. the (optional) subtrahend when present
+        "interval_not_containing_topk": (
+            f"{_PRELUDE}{_POSR}, "
+            "pa AS (SELECT doc_id, pos - 1 AS a FROM posr WHERE toks[pos] = 'data'), "
+            "pb AS (SELECT doc_id, pos - 1 AS b FROM posr WHERE toks[pos] = 'line'), "
+            "pc AS (SELECT doc_id, pos - 1 AS c FROM posr WHERE toks[pos] = 'big'), "
+            "chain AS (SELECT pa.doc_id, pa.a, min(pb.b) AS b FROM pa "
+            "JOIN pb ON pb.doc_id = pa.doc_id AND pb.b > pa.a GROUP BY pa.doc_id, pa.a), "
+            "minimal AS (SELECT doc_id, max(a) AS a, b FROM chain GROUP BY doc_id, b), "
+            "kept AS (SELECT m.doc_id, m.a, m.b FROM minimal m WHERE NOT EXISTS ("
+            "SELECT 1 FROM pc WHERE pc.doc_id = m.doc_id AND pc.c BETWEEN m.a AND m.b)), "
+            "pf AS (SELECT doc_id, sum(1.0 / (b - a)) AS freq FROM kept GROUP BY doc_id), "
+            "scored AS (SELECT p.doc_id, "
+            f"(wsum.w0) - (wsum.w0) / (1 + p.freq * {_INV}) AS score "
+            "FROM pf p JOIN qdls q USING (doc_id), g, "
+            f"(SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data') "
+            f"+ (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') "
+            f"+ coalesce((SELECT {_w('df')} FROM dfs, g WHERE term = 'big'), 0) AS w0) wsum) "
             "SELECT doc_id, round(score, 4) AS score_r FROM scored "
             "ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
         ),

@@ -859,12 +859,22 @@ class Searcher:
         terms = IV.leaf_terms(q.source)
         uniq = list(dict.fromkeys(terms))
         stats = self.index.stats_for_terms(uniq)
-        if any(t not in stats for t in uniq):
-            return self._empty_scored()
-        w = self._combined_weight([stats[t][0] for t in terms], q.boost)
+        # phase-1 conjunction uses REQUIRED slots only: negative
+        # combinators' subtrahends and or-alternatives are optional
+        # (intervals.required_terms); a slot with no present term kills
+        # the query, an absent optional term just has no positions
+        req_slots = []
+        for slot in IV.required_terms(q.source):
+            present = tuple(t for t in dict.fromkeys(slot) if t in stats)
+            if not present:
+                return self._empty_scored()
+            req_slots.append(present)
+        present_terms = [t for t in terms if t in stats]
+        uniq = [t for t in uniq if t in stats]
+        w = self._combined_weight([stats[t][0] for t in present_terms], q.boost)
         # intervals run over the default field (field-scoped intervals:
         # wrap leaf terms per field when the node grows a field attr)
-        surv = self._slot_conjunction_docs([(t,) for t in uniq], stats)
+        surv = self._slot_conjunction_docs(req_slots, stats)
         pos = self._position_rows(uniq)
         if candidates is not None:
             pos = self._cand(pos, candidates)

@@ -29,14 +29,62 @@ import numpy as np
 from lucene_spark.search import plans as P
 
 
+def _children(src) -> list:
+    if isinstance(src, (P.IntervalOrdered, P.IntervalUnordered, P.IntervalOr)):
+        return list(src.sources)
+    if isinstance(src, P.IntervalContaining):
+        return [src.big, src.small]
+    if isinstance(src, P.IntervalContainedBy):
+        return [src.small, src.big]
+    if isinstance(src, P.IntervalNotContaining):
+        return [src.minuend, src.subtrahend]
+    if isinstance(src, P.IntervalNotContainedBy):
+        return [src.small, src.big]
+    if isinstance(src, P.IntervalNotWithin):
+        return [src.minuend, src.subtrahend]
+    raise TypeError(f"not an interval source: {src!r}")
+
+
 def leaf_terms(src) -> list[str]:
+    """ALL terms under the source (stats/weights + position fetch)."""
     if isinstance(src, P.IntervalTerm):
         return [src.term]
+    out: list[str] = []
+    for s in _children(src):
+        out.extend(leaf_terms(s))
+    return out
+
+
+def required_terms(src) -> list[list[str]]:
+    """Conjunction slots for the phase-1 docID approximation: a doc can
+    match only if, for every slot, at least ONE of the slot's terms is
+    present. `or` contributes one slot with all alternatives; negative
+    combinators (notContaining / notContainedBy / notWithin) contribute
+    only their positive side — the subtrahend is optional
+    (FilteringIntervalsSource semantics)."""
+    if isinstance(src, P.IntervalTerm):
+        return [[src.term]]
     if isinstance(src, (P.IntervalOrdered, P.IntervalUnordered)):
-        out: list[str] = []
+        out: list[list[str]] = []
         for s in src.sources:
-            out.extend(leaf_terms(s))
+            out.extend(required_terms(s))
         return out
+    if isinstance(src, P.IntervalOr):
+        # one slot: union of every alternative's terms
+        alts: list[str] = []
+        for s in src.sources:
+            alts.extend(leaf_terms(s))
+        return [alts]
+    if isinstance(src, P.IntervalContaining):
+        return required_terms(src.big) + required_terms(src.small)
+    if isinstance(src, P.IntervalContainedBy):
+        return required_terms(src.small) + required_terms(src.big)
+    if isinstance(src, P.IntervalNotContaining):
+        return required_terms(src.minuend)
+    if isinstance(src, P.IntervalNotContainedBy):
+        return required_terms(src.small)
+    if isinstance(src, P.IntervalNotWithin):
+        return required_terms(src.minuend)
     raise TypeError(f"not an interval source: {src!r}")
 
 
@@ -58,6 +106,47 @@ def evaluate(src, pos_by_term: dict) -> list[tuple[int, int]]:
         if pos is None or len(pos) == 0:
             return []
         return [(int(p), int(p)) for p in pos]
+    if isinstance(src, P.IntervalOr):
+        merged: list[tuple[int, int]] = []
+        for s in src.sources:
+            merged.extend(evaluate(s, pos_by_term))
+        return _minimalize(merged)
+    if isinstance(src, P.IntervalContaining):
+        big = evaluate(src.big, pos_by_term)
+        small = evaluate(src.small, pos_by_term)
+        return [
+            b for b in big
+            if any(b[0] <= s0 and s1 <= b[1] for s0, s1 in small)
+        ]
+    if isinstance(src, P.IntervalContainedBy):
+        small = evaluate(src.small, pos_by_term)
+        big = evaluate(src.big, pos_by_term)
+        return [
+            s for s in small
+            if any(b0 <= s[0] and s[1] <= b1 for b0, b1 in big)
+        ]
+    if isinstance(src, P.IntervalNotContaining):
+        minuend = evaluate(src.minuend, pos_by_term)
+        sub = evaluate(src.subtrahend, pos_by_term)
+        return [
+            m for m in minuend
+            if not any(m[0] <= s0 and s1 <= m[1] for s0, s1 in sub)
+        ]
+    if isinstance(src, P.IntervalNotContainedBy):
+        small = evaluate(src.small, pos_by_term)
+        big = evaluate(src.big, pos_by_term)
+        return [
+            s for s in small
+            if not any(b0 <= s[0] and s[1] <= b1 for b0, b1 in big)
+        ]
+    if isinstance(src, P.IntervalNotWithin):
+        minuend = evaluate(src.minuend, pos_by_term)
+        sub = evaluate(src.subtrahend, pos_by_term)
+        n = src.positions
+        return [
+            m for m in minuend
+            if not any(m[0] <= s1 + n and s0 - n <= m[1] for s0, s1 in sub)
+        ]
     if isinstance(src, P.IntervalOrdered):
         subs = [evaluate(s, pos_by_term) for s in src.sources]
         if any(not s for s in subs):
@@ -109,10 +198,27 @@ def _filter(src, k: int, intervals: list[tuple[int, int]]) -> list[tuple[int, in
     return out
 
 
+def _gap_k(src) -> int:
+    """Leaf count used for the per-interval gaps approximation. For the
+    negative/filter combinators the RESULT intervals come from the
+    positive side only, so gaps are judged against its leaf count."""
+    if isinstance(src, P.IntervalContaining):
+        return _gap_k(src.big)
+    if isinstance(src, (P.IntervalContainedBy, P.IntervalNotContainedBy)):
+        return _gap_k(src.small)
+    if isinstance(src, (P.IntervalNotContaining, P.IntervalNotWithin)):
+        return _gap_k(src.minuend)
+    if isinstance(src, P.IntervalOr):
+        # result intervals each come from one alternative; use the
+        # smallest alternative's k (width-0 leaves dominate in practice)
+        return min(_gap_k(s) for s in src.sources)
+    return max(1, len(leaf_terms(src)))
+
+
 def freq_of(src, pos_by_term: dict, n_leaves: int | None = None) -> float:
     """Scoring freq: sum of 1/(1+gaps) over result intervals."""
     ivs = evaluate(src, pos_by_term)
     if not ivs:
         return 0.0
-    k = len(leaf_terms(src))
+    k = _gap_k(src)
     return float(sum(1.0 / (1.0 + max(0, (e - s) - (k - 1))) for s, e in ivs))

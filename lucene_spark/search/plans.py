@@ -227,6 +227,63 @@ class IntervalUnordered:
 
 
 @dataclass(frozen=True)
+class IntervalOr:
+    """Intervals.or (queries/intervals/Intervals.java:106): union of the
+    sources' intervals, minimalized."""
+
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class IntervalContaining:
+    """Intervals.containing (Intervals.java:293): intervals of `big` that
+    contain an interval of `small`."""
+
+    big: object
+    small: object
+
+
+@dataclass(frozen=True)
+class IntervalContainedBy:
+    """Intervals.containedBy (Intervals.java:313): intervals of `small`
+    contained within an interval of `big`."""
+
+    small: object
+    big: object
+
+
+@dataclass(frozen=True)
+class IntervalNotContaining:
+    """Intervals.notContaining (Intervals.java:303): intervals of
+    `minuend` that do NOT contain any interval of `subtrahend`.
+    The subtrahend's terms are optional — a doc without them matches
+    everywhere the minuend does."""
+
+    minuend: object
+    subtrahend: object
+
+
+@dataclass(frozen=True)
+class IntervalNotContainedBy:
+    """Intervals.notContainedBy (Intervals.java:323): intervals of
+    `small` not contained by any interval of `big` (big optional)."""
+
+    small: object
+    big: object
+
+
+@dataclass(frozen=True)
+class IntervalNotWithin:
+    """Intervals.notWithin (Intervals.java:283): intervals of `minuend`
+    that do not overlap `subtrahend` intervals extended by `positions`
+    on both sides (subtrahend optional)."""
+
+    minuend: object
+    positions: int
+    subtrahend: object
+
+
+@dataclass(frozen=True)
 class IntervalQ:
     """queries/.../intervals/IntervalQuery.java:59 — matches docs where
     the interval source produces >= 1 interval; per-interval weight

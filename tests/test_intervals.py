@@ -143,3 +143,77 @@ def test_e2e_interval_query(spark, tmp_path_factory):
             want[d] = float(np.float32(sc[0]))
     assert got == want
     assert len(got) > 0
+
+
+# --- round-2 combinators (Intervals.java or/containing/containedBy/
+#     notContaining/notContainedBy/notWithin) -----------------------------
+
+def _pos(**kw):
+    import numpy as np
+    return {k: np.asarray(v) for k, v in kw.items()}
+
+
+def test_interval_or():
+    pos = _pos(a=[1, 9], b=[4])
+    src = P.IntervalOr((P.IntervalTerm("a"), P.IntervalTerm("b")))
+    assert IV.evaluate(src, pos) == [(1, 1), (4, 4), (9, 9)]
+
+
+def test_interval_or_minimalizes():
+    pos = _pos(a=[1], b=[2], c=[2])
+    # ordered(a,b) yields (1,2); term c yields (2,2) which is contained
+    src = P.IntervalOr(
+        (P.IntervalOrdered((P.IntervalTerm("a"), P.IntervalTerm("b"))),
+         P.IntervalTerm("c"))
+    )
+    assert IV.evaluate(src, pos) == [(2, 2)]
+
+
+def test_containing():
+    pos = _pos(a=[0, 10], b=[3, 20], c=[1])
+    big = P.IntervalOrdered((P.IntervalTerm("a"), P.IntervalTerm("b")))
+    # big intervals: (0,3), (10,20); only (0,3) contains c at (1,1)
+    src = P.IntervalContaining(big, P.IntervalTerm("c"))
+    assert IV.evaluate(src, pos) == [(0, 3)]
+
+
+def test_contained_by():
+    pos = _pos(a=[0, 10], b=[3, 20], c=[1, 15])
+    big = P.IntervalOrdered((P.IntervalTerm("a"), P.IntervalTerm("b")))
+    src = P.IntervalContainedBy(P.IntervalTerm("c"), big)
+    assert IV.evaluate(src, pos) == [(1, 1), (15, 15)]
+
+
+def test_not_containing():
+    pos = _pos(a=[0, 10], b=[3, 20], c=[1])
+    big = P.IntervalOrdered((P.IntervalTerm("a"), P.IntervalTerm("b")))
+    src = P.IntervalNotContaining(big, P.IntervalTerm("c"))
+    assert IV.evaluate(src, pos) == [(10, 20)]
+
+
+def test_not_containing_missing_subtrahend_keeps_all():
+    pos = _pos(a=[0], b=[3])
+    big = P.IntervalOrdered((P.IntervalTerm("a"), P.IntervalTerm("b")))
+    src = P.IntervalNotContaining(big, P.IntervalTerm("zzz"))
+    assert IV.evaluate(src, pos) == [(0, 3)]
+
+
+def test_not_contained_by():
+    pos = _pos(a=[0, 10], b=[3, 20], c=[1, 30])
+    big = P.IntervalOrdered((P.IntervalTerm("a"), P.IntervalTerm("b")))
+    src = P.IntervalNotContainedBy(P.IntervalTerm("c"), big)
+    assert IV.evaluate(src, pos) == [(30, 30)]
+
+
+def test_not_within():
+    pos = _pos(a=[0, 10, 30], b=[12])
+    src = P.IntervalNotWithin(P.IntervalTerm("a"), 3, P.IntervalTerm("b"))
+    # a@10 is within 3 of b@12 -> dropped; a@0 and a@30 survive
+    assert IV.evaluate(src, pos) == [(0, 0), (30, 30)]
+
+
+def test_required_terms_shapes():
+    big = P.IntervalOrdered((P.IntervalTerm("a"), P.IntervalTerm("b")))
+    assert IV.required_terms(P.IntervalNotContaining(big, P.IntervalTerm("c"))) == [["a"], ["b"]]
+    assert IV.required_terms(P.IntervalContaining(big, P.IntervalTerm("c"))) == [["a"], ["b"], ["c"]]
+    assert IV.required_terms(P.IntervalOr((P.IntervalTerm("x"), P.IntervalTerm("y")))) == [["x", "y"]]
