@@ -127,7 +127,7 @@ g AS (
   FROM dls),
 terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
 tf AS (SELECT doc_id, term, count(*) AS freq FROM terms GROUP BY doc_id, term),
-dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+dfs AS (SELECT term, count(*) AS df, sum(freq) AS ttf FROM tf GROUP BY term)
 """
 
 
@@ -174,6 +174,20 @@ def _q_term(term: str, k: int):
     def fn(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         return _topk_rounded(s.scored(TermQ(term)), k)
+
+    return fn
+
+
+def _q_sim(sim_name: str, builder, k: int, **sim_kwargs):
+    """Top-k under a pluggable similarity (IndexSearcher.setSimilarity
+    analog; see lucene_spark/similarities.py)."""
+
+    def fn(spark, sf_dir):
+        s = Searcher(
+            _get_index(spark, sf_dir), scoring="double",
+            similarity=sim_name, **sim_kwargs,
+        )
+        return _topk_rounded(s.scored(builder()), k)
 
     return fn
 
@@ -523,6 +537,55 @@ SELECT doc_id, round(score, 4) AS score_r FROM j
 ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"""
 
 
+# ---------------------------------------------------------------------------
+# pluggable-similarity oracles (lucene_spark/similarities.py): single-term
+# scored rows with the term's (df, ttf) and the field's (docCount, sumTtf)
+# in scope as doubles; each formula mirrors the reference class cited on
+# the matching Similarity subclass.
+# ---------------------------------------------------------------------------
+
+
+def _sim_scored_sql(term: str, score_expr: str) -> str:
+    return f"""
+  SELECT doc_id, ({score_expr}) AS score FROM (
+    SELECT tf.doc_id, CAST(tf.freq AS DOUBLE) AS freq,
+           CAST(q.qdl AS DOUBLE) AS qdl,
+           CAST(st.df AS DOUBLE) AS df, CAST(st.ttf AS DOUBLE) AS ttf,
+           CAST(g.doc_count AS DOUBLE) AS nd, g.sum_ttf AS sttf
+    FROM tf JOIN qdls q USING (doc_id), g,
+         (SELECT df, ttf FROM dfs WHERE term = '{term}') st
+    WHERE tf.term = '{term}')
+"""
+
+
+_CLASSIC_EXPR = "sqrt(freq) * (ln((nd+1.0)/(df+1.0)) + 1.0) / sqrt(qdl)"
+_LMD_EXPR = (
+    "ln(1.0 + freq/(2000.0*((ttf+1.0)/(sttf+1.0))))"
+    " + ln(2000.0/(qdl+2000.0))"
+)
+_LMJM_EXPR = "ln(1.0 + (0.3*freq/qdl)/(0.7*((ttf+1.0)/(sttf+1.0))))"
+_DFI_E = "((ttf+1.0)*qdl/(sttf+1.0))"
+_DFI_EXPR = (
+    f"CASE WHEN freq <= {_DFI_E} THEN 0.0 "
+    f"ELSE log2((freq-{_DFI_E})*(freq-{_DFI_E})/{_DFI_E} + 1.0) END"
+)
+_DFR_LAM = "((ttf+1.0)/(nd+ttf+1.0))"
+_TFN_H2 = "(freq*log2(1.0 + (sttf/nd)/qdl))"  # NormalizationH2, c=1
+_DFR_EXPR = (
+    f"(log2((1.0+{_DFR_LAM})/{_DFR_LAM})"
+    f" - (log2((1.0+{_DFR_LAM})/{_DFR_LAM}) - log2({_DFR_LAM}+1.0))/(1.0+{_TFN_H2}))"
+    f" * ((ttf+1.0)/df)"
+)
+_IB_LAM = "((df+1.0)/(nd+1.0))"
+_IB_Q = f"(1.0 - 1.0/({_TFN_H2}+1.0))"
+_IB_EXPR = f"-ln((pow({_IB_LAM},{_IB_Q})-{_IB_LAM})/(1.0-{_IB_LAM}))"
+
+_BOOLEAN_SIM_SQL = (
+    "SELECT doc_id, CAST(count(DISTINCT term) AS DOUBLE) AS score "
+    "FROM tf WHERE term IN ('merge','sort') GROUP BY doc_id"
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the full index on sf0.001 and run a scored boolean
     query (OR of two terms, lang-filtered) through the compressed postings."""
@@ -614,6 +677,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_hits": _q_total_hits(("merge", "sort", "hash")),
         "sort_by_field": _q_sort_field("vector", 10),
         "search_after_page2": _q_search_after("the", 10),
+        # --- pluggable similarities (lucene_spark/similarities.py) ---
+        "classic_term_topk": _q_sim("classic", lambda: TermQ("vector"), 10),
+        "boolean_sim_topk": _q_sim(
+            "boolean", lambda: BoolQ(should=(TermQ("merge"), TermQ("sort"))), 20
+        ),
+        "lmdirichlet_topk": _q_sim("lmdirichlet", lambda: TermQ("vector"), 10),
+        "lmjm_topk": _q_sim(
+            "lmjelinekmercer", lambda: TermQ("vector"), 10, lam=0.7
+        ),
+        "dfi_topk": _q_sim("dfi", lambda: TermQ("vector"), 10),
+        "dfr_gb2_topk": _q_sim("dfr", lambda: TermQ("vector"), 10),
+        "ib_spl_topk": _q_sim("ib", lambda: TermQ("vector"), 10),
         # --- training-data pipeline ops (lucene_spark.pipeline) ---
         "text_token_counts": _q_pipeline(
             lambda s, d: textstats.with_token_counts(_docs_df(s, d)).orderBy("doc_id")
@@ -866,6 +941,13 @@ FROM top20 t LEFT JOIN ph USING (doc_id)
 ORDER BY score_r DESC, t.doc_id"""
     return {
         "term_topk": _topk_sql(_term_scored_sql("vector"), 10),
+        "classic_term_topk": _topk_sql(_sim_scored_sql("vector", _CLASSIC_EXPR), 10),
+        "boolean_sim_topk": _topk_sql(_BOOLEAN_SIM_SQL, 20),
+        "lmdirichlet_topk": _topk_sql(_sim_scored_sql("vector", _LMD_EXPR), 10),
+        "lmjm_topk": _topk_sql(_sim_scored_sql("vector", _LMJM_EXPR), 10),
+        "dfi_topk": _topk_sql(_sim_scored_sql("vector", _DFI_EXPR), 10),
+        "dfr_gb2_topk": _topk_sql(_sim_scored_sql("vector", _DFR_EXPR), 10),
+        "ib_spl_topk": _topk_sql(_sim_scored_sql("vector", _IB_EXPR), 10),
         "phrase_sloppy_topk": (
             f"{_PRELUDE.replace('WITH tok', 'WITH RECURSIVE tok', 1)}{_POSR}, "
             f"{sloppy_scored.strip()} "

@@ -82,6 +82,11 @@ class Index:
             return 0.0
         return fs["sum_ttf"] / float(fs["doc_count"])
 
+    def sum_ttf_for(self, field: str | None) -> int:
+        """CollectionStatistics.sumTotalTermFreq for the field."""
+        fs = self._field_stats.get(self.resolve_field(field))
+        return int(fs["sum_ttf"]) if fs else 0
+
     # --- lazy tables -------------------------------------------------------
 
     def _read_union(self, paths: list[str]) -> DataFrame:

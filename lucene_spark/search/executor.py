@@ -131,8 +131,19 @@ class Searcher:
     WAND_MIN_POSTINGS = 5_000_000
 
     def __init__(self, index: Index, scoring: str = "lucene", prune: bool = True,
-                 wand_min_postings: int | None = None):
+                 wand_min_postings: int | None = None,
+                 similarity: str | object | None = None, **sim_kwargs):
         assert scoring in ("lucene", "double")
+        # IndexSearcher.setSimilarity analog: None = the default BM25
+        # (float32 bit-parity path); named similarities compute in
+        # float64 and require the oracle-checkable "double" mode.
+        if similarity is not None:
+            from lucene_spark import similarities as _sims
+
+            self.sim = _sims.by_name(similarity, **sim_kwargs)
+            assert scoring == "double", "non-BM25 similarities score in float64"
+        else:
+            self.sim = None
         self.index = index
         self.scoring = scoring
         self.prune_enabled = prune  # block-max WAND for boolean top-k
@@ -154,9 +165,17 @@ class Searcher:
     # weights (createWeight analog: one-time global stats)
     # ------------------------------------------------------------------
 
-    def _weight(self, df: int, boost: float, field: str | None = None) -> float:
+    def _weight(self, df: int, boost: float, field: str | None = None,
+                ttf: int = 0):
         """weight = boost * idf (BM25Similarity.java:242), idf against the
-        FIELD's docCount (per-field CollectionStatistics)."""
+        FIELD's docCount (per-field CollectionStatistics). With a
+        pluggable similarity installed the weight is that similarity's
+        createWeight-time params tuple instead of a float."""
+        if self.sim is not None:
+            return self.sim.weight(
+                df, ttf, self.index.doc_count_for(field),
+                self.index.sum_ttf_for(field), boost,
+            )
         dc = self.index.doc_count_for(field)
         if self.scoring == "lucene":
             return float(np.float32(boost) * bm25.idf(df, dc))
@@ -166,6 +185,11 @@ class Searcher:
                          field: str | None = None) -> float:
         """Multi-term weight: per-term float idfs summed in double
         (BM25Similarity.java:191-200)."""
+        if self.sim is not None:
+            return self.sim.combined_weight(
+                [(n, 0) for n in dfs], self.index.doc_count_for(field),
+                self.index.sum_ttf_for(field), boost,
+            )
         dc = self.index.doc_count_for(field)
         if self.scoring == "lucene":
             return float(np.float32(boost) * bm25.combined_idf(dfs, dc))
@@ -176,6 +200,9 @@ class Searcher:
     # ------------------------------------------------------------------
 
     def _score_arrays(self, freqs, norms, weight):
+        if self.sim is not None:
+            qdl = LENGTH_TABLE[np.asarray(norms, dtype=np.int64) & 0xFF]
+            return self.sim.score(freqs, qdl, weight)
         if self.scoring == "lucene":
             return bm25.score(freqs, norms, np.float32(weight), self.index.cache_f32).astype(
                 np.float64
@@ -192,6 +219,7 @@ class Searcher:
         (ImpactsDISI.java:61-91 / MaxScoreCache.java:70-108 effect)."""
         rows = self.index.postings_for_terms(list(terms_weights), field)
         scoring = self.scoring
+        sim = self.sim
         cache_f32 = self.index.cache_f32_for(field)
         avgdl_dbl = self.index.avgdl_dbl_for(field)
         prune = k is not None and len(terms_weights) == 1
@@ -206,6 +234,8 @@ class Searcher:
             def block_max(impacts, weight):
                 f = np.array([p["freq"] for p in impacts], dtype=np.float32)
                 nm = np.array([p["norm"] for p in impacts], dtype=np.int64)
+                if sim is not None:
+                    return float(np.max(sim.score(f, LENGTH_TABLE[nm & 0xFF], weight)))
                 if scoring == "lucene":
                     return float(np.max(bm25.score(f, nm, np.float32(weight), cache_f32)))
                 qdl = LENGTH_TABLE[nm & 0xFF]
@@ -220,7 +250,10 @@ class Searcher:
                             if block_max(blk["impacts"], w) <= threshold:
                                 continue  # non-competitive block skipped
                         d, f, nm = decode_block(blk)
-                        if scoring == "lucene":
+                        if sim is not None:
+                            qdl = LENGTH_TABLE[nm.astype(np.int64) & 0xFF]
+                            s = sim.score(f, qdl, w)
+                        elif scoring == "lucene":
                             s = bm25.score(f, nm, np.float32(w), cache_f32).astype(np.float64)
                         else:
                             qdl = LENGTH_TABLE[nm.astype(np.int64) & 0xFF]
@@ -354,7 +387,8 @@ class Searcher:
             stats = self.index.stats_for_terms([q.term], q.field)
             if q.term not in stats:
                 return self._empty_scored()
-            w = self._weight(stats[q.term][0], q.boost, q.field)
+            w = self._weight(stats[q.term][0], q.boost, q.field,
+                             ttf=stats[q.term][1])
             return self._cand(
                 self._scored_term_rows({q.term: w}, k, q.field), candidates
             )
@@ -445,7 +479,8 @@ class Searcher:
         if not stats:
             return self._empty_scored()
         df_max = max(s[0] for s in stats.values())
-        w = self._weight(df_max, q.boost, fld)
+        w = self._weight(df_max, q.boost, fld,
+                         ttf=max(s[1] for s in stats.values()))
         freqs = self._freq_rows([t for t in terms if t in stats], fld)
         agg = freqs.groupBy("doc_id").agg(
             F.sum("freq").alias("freq"), F.first("norm").alias("norm")
@@ -566,6 +601,7 @@ class Searcher:
                        field: str | None = None) -> DataFrame:
         """(doc_id, freq, norm) -> (doc_id, score) via vectorized UDF."""
         scoring = self.scoring
+        sim = self.sim
         cache_f32 = self.index.cache_f32_for(field)
         avgdl_dbl = self.index.avgdl_dbl_for(field)
 
@@ -573,7 +609,9 @@ class Searcher:
         def score_udf(freq: pd.Series, norm: pd.Series) -> pd.Series:
             f = freq.to_numpy()
             nm = norm.to_numpy()
-            if scoring == "lucene":
+            if sim is not None:
+                s = sim.score(f, LENGTH_TABLE[nm.astype(np.int64) & 0xFF], weight)
+            elif scoring == "lucene":
                 s = bm25.score(f, nm, np.float32(weight), cache_f32).astype(np.float64)
             else:
                 qdl = LENGTH_TABLE[nm.astype(np.int64) & 0xFF]
@@ -1153,7 +1191,10 @@ class Searcher:
         msm = q.min_should_match
         if not must_t and len(should_t) < max(1, msm):
             return self._empty_scored().limit(k)
-        weights = {t: self._weight(stats[t][0], b) for t, b in must_t + should_t}
+        weights = {
+            t: self._weight(stats[t][0], b, ttf=stats[t][1])
+            for t, b in must_t + should_t
+        }
         if len(weights) < 2:
             return None  # single-term: the plain path already prunes
         if sum(stats[t][0] for t in weights) < self.wand_min_postings:
@@ -1199,6 +1240,7 @@ class Searcher:
 
         # ---- pass 2: salt-level upper bounds (metadata-only read) ----
         scoring = self.scoring
+        sim = self.sim
         cache_f32 = self.index.cache_f32
         avgdl_dbl = self.index.avgdl_dbl
 
@@ -1207,6 +1249,8 @@ class Searcher:
             nm = np.array([p["norm"] for p in impacts], dtype=np.int64)
             if len(f) == 0:
                 return 0.0
+            if sim is not None:
+                return float(np.max(sim.score(f, LENGTH_TABLE[nm & 0xFF], w)))
             if scoring == "lucene":
                 return float(np.max(bm25.score(f, nm, np.float32(w), cache_f32)))
             return float(
@@ -1256,7 +1300,10 @@ class Searcher:
                         if bmax + others < theta_f:
                             continue
                         d, f, nm = decode_block(blk)
-                        if scoring == "lucene":
+                        if sim is not None:
+                            qdl = LENGTH_TABLE[nm.astype(np.int64) & 0xFF]
+                            sc = sim.score(f, qdl, w)
+                        elif scoring == "lucene":
                             sc = bm25.score(f, nm, np.float32(w), cache_f32).astype(
                                 np.float64
                             )
