@@ -89,6 +89,64 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return Searcher(_get_index(spark, sf_dir), scoring="double")
 
 
+# Analyzer-chain index (lucene_spark/analysis.py zoo): the corpus
+# vocabulary has no plural/accented forms, so morphological variation is
+# derived DETERMINISTICALLY (odd doc_ids pluralize two terms) in both the
+# engine input and the oracle SQL; the chain is ascii_fold + index-time
+# synonym injection (fast -> quick, keepOrig) + EnglishMinimalStemmer.
+_AN_ANALYZER = {
+    "ascii_fold": True,
+    "synonyms": {"fast": ["quick"]},
+    "keep_orig": True,
+    "filters": ["english_minimal_stem"],
+}
+# DuckDB-side derivation ('g' = replace all; RE2 \b word boundary)
+_AN_DERIVE_SQL = (
+    "CASE WHEN doc_id % 2 = 1 THEN regexp_replace(regexp_replace("
+    "text, '\\bmerge\\b', 'merges', 'g'), '\\bvalue\\b', 'values', 'g') "
+    "ELSE text END"
+)
+
+
+def _an_derive_col():
+    # Spark-side derivation (java.util.regex; replaces all by default)
+    plural = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"\bmerge\b", "merges"),
+        r"\bvalue\b",
+        "values",
+    )
+    return F.when(F.col("doc_id") % 2 == 1, plural).otherwise(F.col("text"))
+
+
+def _get_an_index(spark: SparkSession, sf_dir: str) -> Index:
+    key = os.path.normpath(sf_dir) + "|an"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.withColumn("text", _an_derive_col())
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        keep_cols=["lang"], num_buckets=8, salt_rows=2048, resume=True,
+        analyzer=_AN_ANALYZER,
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_analyzed_term(qtext: str, k: int):
+    """Query text through the index's analyzer chain (QueryBuilder
+    re-analysis), then a scored TermQuery on the analyzer index."""
+
+    def fn(spark, sf_dir):
+        s = Searcher(_get_an_index(spark, sf_dir), scoring="double")
+        toks = s.analyze(qtext)
+        return _topk_rounded(s.scored(TermQ(toks[0])), k)
+
+    return fn
+
+
 def _topk_rounded(scored: DataFrame, k: int) -> DataFrame:
     out = scored.withColumn("score_r", F.round(F.col("score"), 4))
     return (
@@ -586,6 +644,57 @@ _BOOLEAN_SIM_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# analyzer-chain oracle: derived corpus -> tokenize -> synonym-inject ->
+# S-stem, then the standard BM25 prelude shapes (tf/dfs/qdls/g) so
+# _term_scored_sql plugs in unchanged. dl counts ORIGINAL tokens only
+# (injected synonyms are posIncr=0 overlaps, discountOverlaps=true).
+# ---------------------------------------------------------------------------
+
+
+def _an_prelude() -> str:
+    from lucene_spark.analysis import minimal_stem_sql
+
+    return f"""
+WITH doc2 AS (
+  SELECT doc_id, {_AN_DERIVE_SQL} AS text FROM documents
+),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
+  FROM doc2
+),
+dls AS (SELECT doc_id, len(toks) AS dl FROM tok),
+qdls AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 32 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+                     << (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+    END AS qdl
+  FROM dls),
+g AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         count(*) AS maxdoc,
+         CAST(sum(dl) AS DOUBLE) AS sum_ttf
+  FROM dls),
+rawterms AS (SELECT doc_id, unnest(toks) AS rt FROM tok),
+terms AS (
+  SELECT doc_id, {minimal_stem_sql('rt')} AS term FROM rawterms
+  UNION ALL
+  SELECT doc_id, 'quick' AS term FROM rawterms WHERE rt = 'fast'
+),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM terms GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df, sum(freq) AS ttf FROM tf GROUP BY term)
+"""
+
+
+def _an_topk_sql(term: str, k: int) -> str:
+    return (
+        f"{_an_prelude()}, scored AS ({_term_scored_sql(term)}) "
+        f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+        f"ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the full index on sf0.001 and run a scored boolean
     query (OR of two terms, lang-filtered) through the compressed postings."""
@@ -689,6 +798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfi_topk": _q_sim("dfi", lambda: TermQ("vector"), 10),
         "dfr_gb2_topk": _q_sim("dfr", lambda: TermQ("vector"), 10),
         "ib_spl_topk": _q_sim("ib", lambda: TermQ("vector"), 10),
+        # --- analyzer chain: S-stemmer + index-time synonyms + folding ---
+        "stemmed_term_topk": _q_analyzed_term("merges", 20),
+        "synonym_index_topk": _q_analyzed_term("quick", 20),
         # --- training-data pipeline ops (lucene_spark.pipeline) ---
         "text_token_counts": _q_pipeline(
             lambda s, d: textstats.with_token_counts(_docs_df(s, d)).orderBy("doc_id")
@@ -948,6 +1060,8 @@ ORDER BY score_r DESC, t.doc_id"""
         "dfi_topk": _topk_sql(_sim_scored_sql("vector", _DFI_EXPR), 10),
         "dfr_gb2_topk": _topk_sql(_sim_scored_sql("vector", _DFR_EXPR), 10),
         "ib_spl_topk": _topk_sql(_sim_scored_sql("vector", _IB_EXPR), 10),
+        "stemmed_term_topk": _an_topk_sql("merge", 20),
+        "synonym_index_topk": _an_topk_sql("quick", 20),
         "phrase_sloppy_topk": (
             f"{_PRELUDE.replace('WITH tok', 'WITH RECURSIVE tok', 1)}{_POSR}, "
             f"{sloppy_scored.strip()} "

@@ -31,6 +31,7 @@ in the Spark hot path (the UDF receives a pandas Series of documents).
 from __future__ import annotations
 
 import re
+import unicodedata
 
 import numpy as np
 import pandas as pd
@@ -42,27 +43,286 @@ TOKEN_REGEX = re.compile(r"[0-9a-z_]+")
 TOKEN_REGEX_SQL = "[0-9a-z_]+"  # identical RE2 pattern for DuckDB oracles
 
 
-def tokenize(text: str, stopwords: frozenset | None = None):
+# ---------------------------------------------------------------------------
+# analysis/common zoo: char filter + token filters, configured per index
+# via an ``analyzer`` dict stored in the manifest so index- and
+# query-time analysis always agree (Analyzer reuse contract):
+#
+#   {"ascii_fold": bool,                  # ASCIIFoldingFilter (pre-tokenize)
+#    "stopwords": [..],                   # StopFilter set
+#    "synonyms": {tok: [syn, ..]},        # SynonymFilter, index-time expand
+#    "keep_orig": bool,                   # SynonymMap keepOrig
+#    "filters": ["english_minimal_stem" | "porter_stem", ..]}
+#
+# Chain order: ascii_fold -> tokenize -> lowercase is implicit (we fold
+# the lowered text) -> StopFilter -> SynonymFilter (injected tokens at
+# the same position, posIncr=0) -> stemmers. Injected tokens do NOT
+# count toward the field length (discountOverlaps=true default,
+# BM25Similarity / TFIDFSimilarity "discountOverlaps"), so synonyms
+# leave dl/norms unchanged. Query-side analysis applies the same chain
+# MINUS synonym expansion (index-time expansion indexes the synonym;
+# expanding again at query time would double-match).
+# ---------------------------------------------------------------------------
+
+# Non-decomposable Latin-1/Latin-A folds from ASCIIFoldingFilter.java
+# (the NFKD pass handles every accent that decomposes to base+mark).
+_FOLD_SUPPLEMENT = str.maketrans(
+    {
+        "ß": "ss", "æ": "ae", "ø": "o", "þ": "th", "ð": "d",
+        "đ": "d", "ħ": "h", "ı": "i", "ĸ": "k", "ł": "l",
+        "ŋ": "n", "œ": "oe", "ŧ": "t", "ſ": "s",
+    }
+)
+_COMBINING_RE = re.compile(
+    "[\\u0300-\\u036f\\u1ab0-\\u1aff\\u1dc0-\\u1dff\\u20d0-\\u20ff\\ufe20-\\ufe2f]"
+)
+
+
+def fold_ascii(text: str) -> str:
+    """ASCIIFoldingFilter analog (miscellaneous/ASCIIFoldingFilter.java):
+    NFKD-decompose, strip combining marks, fold the non-decomposable
+    Latin supplements. Applied to the lowered text BEFORE tokenization
+    (our tokenizer's ASCII alphabet would otherwise split at accented
+    chars — a documented consequence of the UAX#29-subset tokenizer)."""
+    return _COMBINING_RE.sub(
+        "", unicodedata.normalize("NFKD", text)
+    ).translate(_FOLD_SUPPLEMENT)
+
+
+def english_minimal_stem(w: str) -> str:
+    """Harman S-stemmer (en/EnglishMinimalStemmer.java:26-44):
+    plural-only stripping. Mirrors the reference rule-for-rule; also
+    expressed in ANSI SQL by ``MINIMAL_STEM_SQL`` for the oracles."""
+    if len(w) < 3 or w[-1] != "s":
+        return w
+    c = w[-2]
+    if c in ("u", "s"):
+        return w
+    if c == "e":
+        if len(w) > 3 and w[-3] == "i" and w[-4] not in ("a", "e"):
+            return w[:-3] + "y"
+        if w[-3] in ("i", "a", "o", "e"):
+            return w
+    return w[:-1]
+
+
+def minimal_stem_sql(col: str) -> str:
+    """The exact EnglishMinimalStemmer rules as a SQL CASE over ``col``
+    (for the DuckDB oracle cross-check)."""
+    L = f"length({col})"
+    c2 = f"substr({col}, {L}-1, 1)"   # s[len-2]
+    c3 = f"substr({col}, {L}-2, 1)"   # s[len-3]
+    c4 = f"substr({col}, {L}-3, 1)"   # s[len-4]
+    return (
+        f"CASE WHEN {L} < 3 OR substr({col}, {L}, 1) != 's' THEN {col} "
+        f"WHEN {c2} IN ('u','s') THEN {col} "
+        f"WHEN {c2} = 'e' THEN ("
+        f"  CASE WHEN {L} > 3 AND {c3} = 'i' AND {c4} NOT IN ('a','e')"
+        f"       THEN substr({col}, 1, {L}-3) || 'y' "
+        f"       WHEN {c3} IN ('i','a','o','e') THEN {col} "
+        f"       ELSE substr({col}, 1, {L}-1) END) "
+        f"ELSE substr({col}, 1, {L}-1) END"
+    )
+
+
+# --- Porter stemmer (en/PorterStemmer.java, Porter 1980 + official
+# errata: step2 y->i needs a vowel in the stem, "bli"->"ble",
+# "logi"->"log"). Verified against the reference's porterTestData
+# vocabulary in tests/test_analysis_chain.py. ---
+
+_VOWELS = frozenset("aeiou")
+
+
+def _cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _cons(w, i - 1)
+    return True
+
+
+def _measure(w: str) -> int:
+    """m in [C](VC)^m[V] over the whole string."""
+    m, i, n = 0, 0, len(w)
+    while i < n and _cons(w, i):
+        i += 1
+    while True:
+        while i < n and not _cons(w, i):
+            i += 1
+        if i >= n:
+            return m
+        m += 1
+        while i < n and _cons(w, i):
+            i += 1
+
+
+def _has_vowel(w: str) -> bool:
+    return any(not _cons(w, i) for i in range(len(w)))
+
+
+def _doublec(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    n = len(w)
+    if n < 3 or not _cons(w, n - 1) or _cons(w, n - 2) or not _cons(w, n - 3):
+        return False
+    return w[-1] not in "wxy"
+
+
+_STEP3 = [  # (suffix, replacement), m(stem) > 0
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("bli", "ble"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ("logi", "log"),
+]
+_STEP4 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_STEP5 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(w: str) -> str:
+    if len(w) <= 2:
+        return w
+    # step 1a: plurals
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("s") and not w.endswith("ss"):
+        w = w[:-1]
+    # step 1b: -ed / -ing
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        stem = None
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            stem = w[:-2]
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            stem = w[:-3]
+        if stem is not None:
+            w = stem
+            if w.endswith(("at", "bl", "iz")):
+                w = w + "e"
+            elif _doublec(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w = w + "e"
+    # step 2 (paper 1c, official variant): y -> i with a vowel in the stem
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # steps 3 + 4: double suffixes, m(stem) > 0
+    for table in (_STEP3, _STEP4):
+        for suf, rep in table:
+            if w.endswith(suf):
+                if _measure(w[: -len(suf)]) > 0:
+                    w = w[: -len(suf)] + rep
+                break
+    # step 5: strip in <c>vcvc<v> context, m(stem) > 1
+    for suf in _STEP5:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                break
+            if _measure(stem) > 1:
+                w = stem
+            break
+    # step 6: final -e, final double -l
+    if w.endswith("e"):
+        a = _measure(w)
+        if a > 1 or (a == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+    if w.endswith("l") and _doublec(w) and _measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+_TOKEN_FILTERS = {
+    "english_minimal_stem": english_minimal_stem,
+    "porter_stem": porter_stem,
+}
+
+
+def _filter_map(vocab, filters: list[str]) -> dict[str, str]:
+    """Apply the token-filter chain once per UNIQUE token (the hot-path
+    trick: factorize the batch vocabulary, stem each unique surface form
+    once, map the stream through the dict)."""
+    fns = [_TOKEN_FILTERS[f] for f in filters]
+    out = {}
+    for t in vocab:
+        v = t
+        for fn in fns:
+            v = fn(v)
+        out[t] = v
+    return out
+
+
+def _norm_analyzer(analyzer: dict | None, stopwords=None):
+    """Normalize the analyzer config + legacy stopwords arg into
+    (fold, stopset, synonyms, keep_orig, filters)."""
+    a = analyzer or {}
+    stopset = stopwords if stopwords is not None else (
+        frozenset(a["stopwords"]) if a.get("stopwords") else None
+    )
+    return (
+        bool(a.get("ascii_fold")),
+        stopset,
+        {k: list(v) for k, v in (a.get("synonyms") or {}).items()},
+        bool(a.get("keep_orig", True)),
+        list(a.get("filters") or []),
+    )
+
+
+def tokenize(text: str, stopwords: frozenset | None = None,
+             analyzer: dict | None = None, expand_synonyms: bool = True):
     """One document -> (terms:list[str], positions:list[int]).
 
-    Positions count stopword holes (StopFilter position increments).
-    """
+    Positions count stopword holes (StopFilter position increments);
+    synonym-injected terms repeat the source position (posIncr=0)."""
+    fold, stopset, synonyms, keep_orig, filters = _norm_analyzer(
+        analyzer, stopwords
+    )
     if not text:
         return [], []
-    terms, positions = [], []
+    text = text.lower()
+    if fold:
+        text = fold_ascii(text)
+    raw, positions = [], []
     pos = 0
-    for m in TOKEN_REGEX.finditer(text.lower()):
+    for m in TOKEN_REGEX.finditer(text):
         tok = m.group()
         for i in range(0, len(tok), MAX_TOKEN_LENGTH):
             piece = tok[i : i + MAX_TOKEN_LENGTH]
-            if stopwords is None or piece not in stopwords:
-                terms.append(piece)
-                positions.append(pos)
+            if stopset is None or piece not in stopset:
+                if piece in synonyms and expand_synonyms:
+                    if keep_orig:
+                        raw.append(piece)
+                        positions.append(pos)
+                    for s in synonyms[piece]:
+                        raw.append(s)
+                        positions.append(pos)
+                else:
+                    raw.append(piece)
+                    positions.append(pos)
             pos += 1
-    return terms, positions
+    if filters:
+        fmap = _filter_map(set(raw), filters)
+        raw = [fmap[t] for t in raw]
+    return raw, positions
 
 
-def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None) -> pd.DataFrame:
+def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
+                  analyzer: dict | None = None) -> pd.DataFrame:
     """Vectorized batch tokenize: Series[str] -> DataFrame(terms, positions, dl, norm).
 
     dl = field length minus overlaps (we produce no overlap tokens, so
@@ -74,9 +334,26 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None) -> pd.Da
     So dl = len(terms).
     norm = SmallFloat.intToByte4(dl) (BM25Similarity.java:137-148).
     """
+    fold, stopset, synonyms, keep_orig, filters = _norm_analyzer(
+        analyzer, stopwords
+    )
     lowered = texts.fillna("").str.lower()
+    if fold:
+        lowered = (
+            lowered.str.normalize("NFKD")
+            .str.replace(_COMBINING_RE, "", regex=True)
+            .map(lambda s: s.translate(_FOLD_SUPPLEMENT))
+        )
     all_terms = lowered.str.findall(TOKEN_REGEX)
-    out_terms, out_pos = [], []
+    out_terms, out_pos, out_dl = [], [], []
+    fmap: dict[str, str] = {}
+    if filters:
+        vocab = set()
+        for toks in all_terms:
+            vocab.update(toks)
+        for syns in synonyms.values():
+            vocab.update(syns)
+        fmap = _filter_map(vocab, filters)
     for toks in all_terms:
         if any(len(t) > MAX_TOKEN_LENGTH for t in toks):
             toks = [
@@ -84,18 +361,29 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None) -> pd.Da
                 for t in toks
                 for i in range(0, len(t), MAX_TOKEN_LENGTH)
             ]
-        if stopwords:
-            terms, positions = [], []
+        if stopset or synonyms or filters:
+            terms, positions, n_orig = [], [], 0
             for p, t in enumerate(toks):
-                if t not in stopwords:
-                    terms.append(t)
+                if stopset and t in stopset:
+                    continue  # hole: position advances, length doesn't
+                n_orig += 1
+                if synonyms and t in synonyms:
+                    emitted = ([t] if keep_orig else []) + synonyms[t]
+                else:
+                    emitted = (t,)
+                for e in emitted:
+                    terms.append(fmap.get(e, e) if filters else e)
                     positions.append(p)
             out_terms.append(terms)
             out_pos.append(positions)
+            # discountOverlaps=true (the reference default): injected
+            # synonym tokens (posIncr=0) don't count toward length
+            out_dl.append(n_orig)
         else:
             out_terms.append(list(toks))
             out_pos.append(list(range(len(toks))))
-    dl = np.fromiter((len(t) for t in out_terms), dtype=np.int64, count=len(out_terms))
+            out_dl.append(len(toks))
+    dl = np.asarray(out_dl, dtype=np.int64)
     return pd.DataFrame(
         {
             "terms": out_terms,
@@ -106,6 +394,9 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None) -> pd.Da
     )
 
 
-def analyze_query_text(text: str, stopwords: frozenset | None = None) -> list[str]:
-    """Query-side analysis (util/QueryBuilder.java re-runs the analyzer)."""
-    return tokenize(text, stopwords)[0]
+def analyze_query_text(text: str, stopwords: frozenset | None = None,
+                       analyzer: dict | None = None) -> list[str]:
+    """Query-side analysis (util/QueryBuilder.java re-runs the analyzer).
+
+    Synonym expansion is index-time only, so it's skipped here."""
+    return tokenize(text, stopwords, analyzer, expand_synonyms=False)[0]

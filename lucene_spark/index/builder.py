@@ -232,7 +232,51 @@ def _check_doc_ids(spark: SparkSession, corpus_path: str) -> int:
     return rows
 
 
-def _invert_map(fields: list, salt_rows: int, num_buckets: int, with_positions: bool):
+def _make_dl_expr(analyzer: dict | None):
+    """Per-field doc-length column factory for the docs table.
+
+    Default chain: a pure JVM column expression over the same token
+    regex as the analyzer (each >255-char run contributes ceil(len/255)
+    pieces, StandardTokenizer.java:77) — stays inside whole-stage
+    codegen. When the analyzer folds chars or removes stopwords the
+    token COUNT itself depends on the Python chain, so an Arrow-batched
+    UDF running the real analyzer (synonyms/stemmers stripped: neither
+    changes dl) replaces it. Stemming/synonym-only chains keep the fast
+    JVM path."""
+    from lucene_spark.analysis import TOKEN_REGEX_SQL
+
+    if analyzer and (analyzer.get("ascii_fold") or analyzer.get("stopwords")):
+        dl_conf = {**analyzer, "synonyms": {}, "filters": []}
+
+        def dl_expr_for(col: str):
+            @F.pandas_udf(T.LongType())
+            def dl_udf(texts: pd.Series) -> pd.Series:
+                return pd.Series(
+                    analyze_batch(texts, analyzer=dl_conf)["dl"].to_numpy()
+                )
+
+            return dl_udf(F.col(col))
+
+        return dl_expr_for
+
+    def dl_expr_for(col: str):
+        toks = F.regexp_extract_all(
+            F.lower(F.col(col)), F.lit(TOKEN_REGEX_SQL), F.lit(0)
+        )
+        return F.coalesce(
+            F.aggregate(
+                F.transform(toks, lambda t: F.ceil(F.length(t) / 255).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        )
+
+    return dl_expr_for
+
+
+def _invert_map(fields: list, salt_rows: int, num_buckets: int,
+                with_positions: bool, analyzer: dict | None = None):
     """mapInPandas fn: corpus rows -> (field, term, doc_id, freq,
     pos_bytes, norm, bucket, salt) — one inverted stream per field
     (IndexingChain.java:583-603 inverts each indexed field of a doc).
@@ -263,9 +307,13 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int, with_positions: 
     def fn(iterator):
         for pdf in iterator:
           for field_name, col in fields:
-            an = analyze_batch(pdf[col])
+            an = analyze_batch(pdf[col], analyzer=analyzer)
             doc_ids = pdf["doc_id"].to_numpy()
-            counts = an["dl"].to_numpy()  # tokens per doc
+            # EMITTED tokens per doc (>= dl when the analyzer injects
+            # synonym overlaps; dl/norm discount those, the stream no)
+            counts = np.fromiter(
+                (len(t) for t in an["terms"]), dtype=np.int64, count=len(an)
+            )
             total = int(counts.sum())
             if total == 0:
                 yield _empty
@@ -403,8 +451,14 @@ def build_index(
     with_positions: bool = True,
     corpus_parts: int | None = None,
     resume: bool = True,
+    analyzer: dict | None = None,
 ) -> dict:
     """Build the full index under ``index_dir``. Returns the manifest.
+
+    ``analyzer``: optional analysis-chain config (see
+    lucene_spark/analysis.py) — stored in the manifest so query-time
+    analysis and later segment appends use the identical chain (the
+    IndexWriterConfig.setAnalyzer contract).
 
     ``doc_id_col``: pass an existing deterministic id column to skip rank
     assignment; else ``order_cols`` defines reference ingest order.
@@ -462,7 +516,7 @@ def build_index(
         t1 = time.time()
         field_cols = sorted({c for _, c in fields})
         inverted = corpus_ids.select("doc_id", *field_cols).mapInPandas(
-            _invert_map(fields, salt_rows, num_buckets, with_positions),
+            _invert_map(fields, salt_rows, num_buckets, with_positions, analyzer),
             schema=INVERTED_SCHEMA,
         )
         # groupBy.applyInPandas hash-shuffles on (bucket, salt) itself —
@@ -490,21 +544,9 @@ def build_index(
         # via one vectorized Arrow UDF on ints. No dependency on the
         # inverted stream -> tokenize output flows straight into the
         # encode shuffle with nothing persisted.
-        from lucene_spark.analysis import TOKEN_REGEX_SQL
         from lucene_spark.smallfloat import int_to_byte4
 
-        def dl_expr_for(col: str):
-            toks = F.regexp_extract_all(
-                F.lower(F.col(col)), F.lit(TOKEN_REGEX_SQL), F.lit(0)
-            )
-            return F.coalesce(
-                F.aggregate(
-                    F.transform(toks, lambda t: F.ceil(F.length(t) / 255).cast("long")),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ),
-                F.lit(0),
-            )
+        dl_expr_for = _make_dl_expr(analyzer)
 
         @F.pandas_udf(T.IntegerType())
         def norm_udf(dl: pd.Series) -> pd.Series:
@@ -601,6 +643,7 @@ def build_index(
                 "with_positions": with_positions,
                 "text_col": text_col,
                 "keep_cols": keep_cols,
+                "analyzer": analyzer,
                 "paths": {
                     "corpus": corpus_path,
                     "postings": postings_path,
@@ -879,6 +922,7 @@ def append_to_index(
     num_buckets = manifest["num_buckets"]
     salt_rows = manifest["salt_rows"]
     with_positions = manifest["with_positions"]
+    analyzer = manifest.get("analyzer")
     fields: list[tuple[str, str]] = sorted(
         manifest.get("fields", {text_col: text_col}).items(),
         key=lambda kv: (kv[0] != text_col, kv[0]),
@@ -915,7 +959,7 @@ def append_to_index(
 
     field_cols = sorted({c for _, c in fields})
     inverted = corpus_ids.select("doc_id", *field_cols).mapInPandas(
-        _invert_map(fields, salt_rows, num_buckets, with_positions),
+        _invert_map(fields, salt_rows, num_buckets, with_positions, analyzer),
         schema=INVERTED_SCHEMA,
     )
     postings = inverted.groupBy("bucket", "salt").applyInPandas(
@@ -923,19 +967,9 @@ def append_to_index(
     )
     postings.write.mode("overwrite").parquet(postings_path)
 
-    from lucene_spark.analysis import TOKEN_REGEX_SQL
     from lucene_spark.smallfloat import int_to_byte4
 
-    def dl_expr_for(col: str):
-        toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_REGEX_SQL), F.lit(0))
-        return F.coalesce(
-            F.aggregate(
-                F.transform(toks, lambda t: F.ceil(F.length(t) / 255).cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-            F.lit(0),
-        )
+    dl_expr_for = _make_dl_expr(analyzer)
 
     @F.pandas_udf(T.IntegerType())
     def norm_udf(dl: pd.Series) -> pd.Series:

@@ -48,6 +48,9 @@ class Index:
             "fields", {self.default_field: self.default_field}
         )
         self.has_field_column = "fields" in self.manifest
+        # analysis-chain config the index was built with (manifest-pinned
+        # so query-side analysis matches; lucene_spark/analysis.py)
+        self.analyzer = self.manifest.get("analyzer")
         self._field_stats = self.manifest.get(
             "field_stats",
             {self.default_field: {"sum_ttf": self.sum_ttf, "doc_count": self.doc_count}},

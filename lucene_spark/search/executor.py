@@ -991,7 +991,7 @@ class Searcher:
             return P.BoolQ()
         from lucene_spark.analysis import analyze_query_text
 
-        toks = analyze_query_text(row[0][0] or "")
+        toks = analyze_query_text(row[0][0] or "", analyzer=self.index.analyzer)
         if not toks:
             return P.BoolQ()
         tf: dict[str, int] = {}
@@ -1045,6 +1045,14 @@ class Searcher:
             .orderBy(F.desc("weight"), F.asc("term"))
             .limit(n)
         )
+
+    def analyze(self, text: str) -> list[str]:
+        """Query-side analysis with the INDEX's analyzer chain
+        (util/QueryBuilder.java re-runs the analyzer on query text;
+        synonym expansion stays index-time only)."""
+        from lucene_spark.analysis import analyze_query_text
+
+        return analyze_query_text(text, analyzer=self.index.analyzer)
 
     # ------------------------------------------------------------------
     # non-scoring doc sets

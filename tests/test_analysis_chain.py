@@ -1,0 +1,155 @@
+"""Analysis-chain zoo tests (lucene_spark/analysis.py).
+
+The Porter stemmer is verified against the reference's own vocabulary
+fixture (analysis/common/src/test/org/apache/lucene/analysis/en/
+porterTestData.zip — ~23.5k (word, stem) pairs distributed with the
+algorithm); the S-stemmer against the EnglishMinimalStemmer rules; the
+chain semantics (stop holes, synonym overlaps, discounted lengths)
+against hand-built expectations.
+"""
+
+import os
+import zipfile
+
+import duckdb
+import pytest
+
+from lucene_spark.analysis import (
+    analyze_batch,
+    analyze_query_text,
+    english_minimal_stem,
+    fold_ascii,
+    minimal_stem_sql,
+    porter_stem,
+    tokenize,
+)
+
+import pandas as pd
+
+_PORTER_ZIP = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis/en/porterTestData.zip"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(_PORTER_ZIP), reason="no reference data")
+def test_porter_full_vocabulary():
+    with zipfile.ZipFile(_PORTER_ZIP) as z:
+        voc = z.read("voc.txt").decode().split()
+        out = z.read("output.txt").decode().split()
+    assert len(voc) == len(out) and len(voc) > 20_000
+    mism = [(v, porter_stem(v), o) for v, o in zip(voc, out) if porter_stem(v) != o]
+    assert mism == []
+
+
+def test_english_minimal_stem_rules():
+    # en/EnglishMinimalStemmer.java:26-44 branch-by-branch
+    cases = {
+        "as": "as",          # len < 3
+        "day": "day",        # no trailing s
+        "bus": "bus",        # -us kept
+        "class": "class",    # -ss kept
+        "ponies": "pony",    # -ies -> y
+        "aes": "aes",        # s[len-4] == 'a' blocks the ies rule... (len==3 path)
+        "dies": "dy",
+        "goes": "goes",      # -oes kept
+        "sees": "sees",      # -ees kept
+        "ties": "ty",
+        "types": "type",     # -es after consonant: drop s
+        "tables": "table",
+        "rows": "row",
+        "mergers": "merger",
+    }
+    for w, want in cases.items():
+        assert english_minimal_stem(w) == want, w
+
+
+def test_minimal_stem_sql_matches_python():
+    """The SQL CASE the oracles use and the Python rule must agree on a
+    broad sample (incl. every branch boundary)."""
+    words = [
+        "a", "as", "ss", "us", "bus", "gas", "its", "ies", "dies", "aies",
+        "eies", "oies", "pies", "ponies", "movies", "series", "goes",
+        "toes", "sees", "fees", "shoes", "types", "tables", "classes",
+        "values", "merges", "rows", "vectors", "days", "boys", "xyz",
+    ]
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {minimal_stem_sql('w')} FROM (SELECT unnest(?) AS w)", [words]
+    ).fetchall()
+    for w, (g,) in zip(words, got):
+        assert g == english_minimal_stem(w), w
+
+
+def test_fold_ascii():
+    # representative ASCIIFoldingFilter mappings: decomposables via NFKD,
+    # non-decomposables via the supplement table
+    assert fold_ascii("café") == "cafe"
+    assert fold_ascii("naïve") == "naive"
+    assert fold_ascii("straße") == "strasse"
+    assert fold_ascii("ångström") == "angstrom"
+    assert fold_ascii("łódź œuf þing") == "lodz oeuf thing"
+    assert fold_ascii("plain ascii_42") == "plain ascii_42"
+
+
+def test_fold_joins_tokens_pre_tokenize():
+    # unfolded, é splits the run; folded it joins — fold runs BEFORE
+    # the tokenizer so the emitted token is the folded whole word
+    terms, _ = tokenize("café", analyzer={"ascii_fold": True})
+    assert terms == ["cafe"]
+    terms, _ = tokenize("café")
+    assert terms == ["caf"]
+
+
+def test_synonym_injection_positions_and_dl():
+    an = {"synonyms": {"fast": ["quick", "rapid"]}, "keep_orig": True}
+    df = analyze_batch(pd.Series(["fast merge fast"]), analyzer=an)
+    # injected tokens share the source position (posIncr=0)
+    assert list(df["terms"][0]) == [
+        "fast", "quick", "rapid", "merge", "fast", "quick", "rapid"
+    ]
+    assert list(df["positions"][0]) == [0, 0, 0, 1, 2, 2, 2]
+    # discountOverlaps: dl counts originals only
+    assert df["dl"][0] == 3
+
+
+def test_synonym_keep_orig_false():
+    an = {"synonyms": {"fast": ["quick"]}, "keep_orig": False}
+    df = analyze_batch(pd.Series(["fast merge"]), analyzer=an)
+    assert list(df["terms"][0]) == ["quick", "merge"]
+    assert df["dl"][0] == 2
+
+
+def test_stop_then_synonym_then_stem_order():
+    an = {
+        "stopwords": ["the"],
+        "synonyms": {"fast": ["quick"]},
+        "keep_orig": True,
+        "filters": ["english_minimal_stem"],
+    }
+    df = analyze_batch(pd.Series(["the fast merges"]), analyzer=an)
+    # 'the' removed with a hole, synonyms injected, then everything
+    # (originals + injected) stemmed
+    assert list(df["terms"][0]) == ["fast", "quick", "merge"]
+    assert list(df["positions"][0]) == [1, 1, 2]
+    assert df["dl"][0] == 2
+
+
+def test_query_side_skips_synonyms():
+    an = {"synonyms": {"fast": ["quick"]}, "filters": ["english_minimal_stem"]}
+    assert analyze_query_text("fast merges", analyzer=an) == ["fast", "merge"]
+
+
+def test_batch_matches_single_doc_path():
+    an = {
+        "ascii_fold": True,
+        "stopwords": ["a"],
+        "synonyms": {"fast": ["quick"]},
+        "filters": ["porter_stem"],
+    }
+    texts = ["a fast café merging", "", "relational databases", None]
+    df = analyze_batch(pd.Series(texts), analyzer=an)
+    for i, t in enumerate(texts):
+        terms, pos = tokenize(t or "", analyzer=an)
+        assert list(df["terms"][i]) == terms
+        assert list(df["positions"][i]) == pos
