@@ -42,6 +42,7 @@ from lucene_spark.search import (
     FieldFilter,
     FuzzyQ,
     MultiPhraseQ,
+    NGramPhraseQ,
     PhraseQ,
     PrefixQ,
     RegexpQ,
@@ -300,6 +301,14 @@ def _q_total_hits(terms: tuple):
         s = _searcher(spark, sf_dir)
         n = s.count(BoolQ(should=tuple(TermQ(t) for t in terms)))
         return spark.createDataFrame([(n,)], T.StructType([T.StructField("total", T.LongType())]))
+
+    return fn
+
+
+def _q_sort_multi(term: str, k: int):
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        return s.top_field(TermQ(term), [("lang", False), ("n_chars", True)], k)
 
     return fn
 
@@ -757,6 +766,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             20,
         ),
+        "feature_sigmoid_topk": _q_bool(
+            lambda: BoolQ(
+                must=(TermQ("data"),),
+                should=(
+                    FeatureQ("n_chars", "sigmoid", pivot=1000.0, boost=0.5, a=2.0),
+                ),
+            ),
+            20,
+        ),
+        "ngram_phrase_topk": _q_bool(
+            lambda: NGramPhraseQ(2, ("key", "agg", "row")), 20
+        ),
+        "sort_multi_field": _q_sort_multi("merge", 10),
         "interval_ordered_topk": _q_bool(
             lambda: IntervalQ(
                 IntervalOrdered(
@@ -1127,6 +1149,39 @@ ORDER BY score_r DESC, t.doc_id"""
             f"FROM ({_term_scored_sql('data')}) a "
             f"JOIN documents d USING (doc_id)",
             20,
+        ),
+        "feature_sigmoid_topk": _topk_sql(
+            f"SELECT a.doc_id, a.score "
+            f"+ 0.5 * (1.0 - pow(1000.0, 2)"
+            f" / (pow(CAST(d.n_chars AS DOUBLE), 2) + pow(1000.0, 2))) AS score "
+            f"FROM ({_term_scored_sql('data')}) a "
+            f"JOIN documents d USING (doc_id)",
+            20,
+        ),
+        # NGramPhraseQuery rewrite: keep key@0 / row@2, middle slot
+        # unchecked; weight = idf(key)+idf(row) over the KEPT terms
+        "ngram_phrase_topk": _topk_sql(
+            f"""
+  SELECT p.doc_id, (wsum.w0) - (wsum.w0) / (1 + p.freq * {_INV}) AS score
+  FROM (
+    SELECT a.doc_id, count(*) AS freq
+    FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+          FROM tok) a
+    WHERE a.toks[a.pos] = 'key' AND a.pos + 2 <= len(a.toks)
+      AND a.toks[a.pos + 2] = 'row'
+    GROUP BY a.doc_id
+  ) p
+  JOIN qdls q USING (doc_id), g,
+       (SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'key')
+             + (SELECT {_w('df')} FROM dfs, g WHERE term = 'row') AS w0) wsum
+""",
+            20,
+        ),
+        "sort_multi_field": (
+            f"{_PRELUDE} SELECT m.doc_id, d.lang, d.n_chars "
+            f"FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') m "
+            f"JOIN documents d USING (doc_id) "
+            f"ORDER BY d.lang ASC, d.n_chars DESC, m.doc_id LIMIT 10"
         ),
         # ordered interval (data .. line, max_gaps=3): per 'data' anchor a
         # the nearest following 'line' b; minimality = per b keep max(a);

@@ -408,6 +408,12 @@ class Searcher:
                 expr = F.lit(float(q.boost)) * feat / (feat + F.lit(float(q.pivot)))
             elif q.fn == "log":
                 expr = F.lit(float(q.boost)) * F.log(F.lit(float(q.pivot)) + feat)
+            elif q.fn == "sigmoid":
+                # FeatureField.java:440-452: 1 - k^a / (f^a + k^a)
+                pivot_pa = F.lit(float(q.pivot) ** float(q.a))
+                expr = F.lit(float(q.boost)) * (
+                    F.lit(1.0) - pivot_pa / (F.pow(feat, F.lit(float(q.a))) + pivot_pa)
+                )
             else:
                 raise ValueError(q.fn)
             if self.scoring == "lucene":
@@ -641,9 +647,16 @@ class Searcher:
         if isinstance(q, P.MultiPhraseQ):
             slots = [tuple(alt) for alt in q.positions]
             weight_terms = [t for alt in slots for t in alt]
+            offsets = list(range(len(slots)))
         else:
             slots = [(t,) for t in q.terms]
             weight_terms = list(q.terms)
+            # explicit positions (PhraseQuery.Builder.add(term, pos) /
+            # the NGramPhraseQuery rewrite); exact matching only
+            explicit = getattr(q, "positions", None)
+            assert explicit is None or q.slop == 0, \
+                "explicit phrase positions require slop=0"
+            offsets = list(explicit) if explicit else list(range(len(slots)))
         slop = q.slop
         fld = getattr(q, "field", None)
         uniq = list(dict.fromkeys(t for alt in slots for t in alt))
@@ -710,7 +723,7 @@ class Searcher:
                 # offset-adjusted union per slot
                 slot_pos = []
                 ok = True
-                for off, idxs in enumerate(slot_spec):
+                for off, idxs in zip(offsets, slot_spec):
                     parts = [arrs[i] - off for i in idxs if i in arrs]
                     if not parts:
                         ok = False
@@ -1150,6 +1163,35 @@ class Searcher:
         for ff in field_filters:
             scored = scored.join(self.doc_set(ff), "doc_id", "left_semi")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def top_field(self, q, sort: list[tuple[str, bool]], k: int,
+                  missing: dict | None = None) -> DataFrame:
+        """TopFieldCollector with a MULTI-field Sort
+        (search/TopFieldCollector.java:58, search/Sort.java,
+        search/SortField.java): top-k of the matching docs ordered by
+        each (docs-table column, reverse) SortField analog in turn,
+        final tie-break docID asc (FieldValueHitQueue comparator
+        cascade). ``missing`` maps column -> substituted value for null
+        docs (SortField.setMissingValue); unsubstituted nulls sort
+        first ascending / last descending.
+
+        Physical plan: the doc-set semi-joins a pruned docs projection,
+        then ONE TakeOrderedAndProject — per-partition top-k + driver
+        merge, never a global sort."""
+        cols = [c for c, _ in sort]
+        base = self.doc_set(q).join(
+            self.index.docs.select("doc_id", *cols), "doc_id"
+        )
+        order = []
+        for c, reverse in sort:
+            col = F.col(c)
+            if missing and c in missing:
+                col = F.coalesce(col, F.lit(missing[c]))
+            order.append(
+                col.desc_nulls_last() if reverse else col.asc_nulls_first()
+            )
+        order.append(F.asc("doc_id"))
+        return base.orderBy(*order).limit(k).select("doc_id", *cols)
 
     # ------------------------------------------------------------------
     # block-max WAND for boolean top-k

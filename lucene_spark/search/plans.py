@@ -34,6 +34,22 @@ class PhraseQ:
     slop: int = 0
     boost: float = 1.0
     field: str | None = None
+    # explicit per-term positions (PhraseQuery.Builder.add(term, pos));
+    # None = consecutive 0..len-1. Used by the NGramPhraseQ rewrite.
+    positions: tuple | None = None
+
+
+@dataclass(frozen=True)
+class NGramPhraseQ:
+    """search/NGramPhraseQuery.java:30-77 — phrase over an n-gram token
+    stream. rewrite() drops redundant overlapping grams (keep every
+    n-th term and the last, at their ORIGINAL positions) when slop=0,
+    n>=2 and len>=3; otherwise degrades to the plain PhraseQuery."""
+
+    n: int
+    terms: tuple
+    boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -313,13 +329,18 @@ class FeatureQ:
     SHOULD clause:
       fn='saturation': boost * feature / (feature + pivot)
       fn='log':        boost * ln(scale + feature)
+      fn='sigmoid':    boost * f^a / (f^a + pivot^a), computed as
+                       boost * (1 - pivot^a/(f^a + pivot^a)) like the
+                       reference (FeatureField.java:440-452 rewrites it
+                       so it never decreases with f under rounding)
     Matches every doc with a non-null feature (the reference matches
     docs that indexed the feature term)."""
 
     col: str
-    fn: str = "saturation"  # or 'log'
-    pivot: float = 1.0      # saturation pivot / log scale
+    fn: str = "saturation"  # or 'log' or 'sigmoid'
+    pivot: float = 1.0      # saturation/sigmoid pivot / log scale
     boost: float = 1.0
+    a: float = 1.0          # sigmoid exponent (SigmoidFunction.a)
 
 
 @dataclass(frozen=True)
@@ -351,4 +372,18 @@ def rewrite(q):
         if q.boost == 1.0:
             return inner
         return BoostQ(inner, q.boost)
+    if isinstance(q, NGramPhraseQ):
+        # NGramPhraseQuery.rewrite (NGramPhraseQuery.java:46-77)
+        terms = tuple(q.terms)
+        if q.n >= 2 and len(terms) >= 3:
+            keep = [
+                (t, i)
+                for i, t in enumerate(terms)
+                if i % q.n == 0 or i == len(terms) - 1
+            ]
+            return PhraseQ(
+                tuple(t for t, _ in keep), 0, q.boost, q.field,
+                positions=tuple(i for _, i in keep),
+            )
+        return PhraseQ(terms, 0, q.boost, q.field)
     return q
