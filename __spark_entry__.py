@@ -779,6 +779,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda: NGramPhraseQ(2, ("key", "agg", "row")), 20
         ),
         "sort_multi_field": _q_sort_multi("merge", 10),
+        # multi-term SCORING rewrites (ScoringRewrite / TopTermsRewrite)
+        "prefix_scored_topk": _q_bool(
+            lambda: PrefixQ("s", rewrite="scoring_boolean"), 20
+        ),
+        "wildcard_blended_topk": _q_bool(
+            lambda: WildcardQ("s*", rewrite="top_terms_blended", max_expansions=3),
+            20,
+        ),
         "interval_ordered_topk": _q_bool(
             lambda: IntervalQ(
                 IntervalOrdered(
@@ -883,6 +891,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _BLEND_W = _w("(SELECT max(df) FROM dfs WHERE term IN ('merge','join'))")
+_WBL3 = _w(
+    "(SELECT max(df) FROM (SELECT df FROM dfs WHERE term LIKE 's%' "
+    "ORDER BY term LIMIT 3))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1174,6 +1186,31 @@ ORDER BY score_r DESC, t.doc_id"""
   JOIN qdls q USING (doc_id), g,
        (SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'key')
              + (SELECT {_w('df')} FROM dfs, g WHERE term = 'row') AS w0) wsum
+""",
+            20,
+        ),
+        # ScoringRewrite: every 's%' term scored with its OWN df, summed
+        "prefix_scored_topk": _topk_sql(
+            f"""
+  SELECT tf.doc_id,
+         sum(({_w('dfs.df')}) - ({_w('dfs.df')}) / (1 + tf.freq * {_INV})) AS score
+  FROM tf JOIN dfs USING (term) JOIN qdls q USING (doc_id), g
+  WHERE tf.term LIKE 's%'
+  GROUP BY tf.doc_id
+""",
+            20,
+        ),
+        # TopTermsBlendedFreq: 3 lexicographically-first 's%' terms,
+        # blended df = max over kept
+        "wildcard_blended_topk": _topk_sql(
+            f"""
+  SELECT tf.doc_id,
+         sum(({_WBL3}) - ({_WBL3}) / (1 + tf.freq * {_INV})) AS score
+  FROM tf
+  JOIN (SELECT term FROM dfs WHERE term LIKE 's%' ORDER BY term LIMIT 3) kept
+    USING (term)
+  JOIN qdls q USING (doc_id), g
+  GROUP BY tf.doc_id
 """,
             20,
         ),

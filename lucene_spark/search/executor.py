@@ -452,11 +452,92 @@ class Searcher:
             # (FuzzyQuery.java:52) — scored, not constant-score
             return self._cand(self._fuzzy_scored(q), candidates)
         if isinstance(q, (P.PrefixQ, P.WildcardQ, P.RegexpQ, P.TermRangeQ, P.TermInSetQ)):
-            # CONSTANT_SCORE_REWRITE default (MultiTermQuery.java:53-83)
-            return self._cand(
-                self.doc_set(q).withColumn("score", F.lit(float(q.boost))), candidates
-            )
+            rw = getattr(q, "rewrite", "constant_score")
+            if rw == "constant_score":
+                # CONSTANT_SCORE_REWRITE default (MultiTermQuery.java:53-83)
+                return self._cand(
+                    self.doc_set(q).withColumn("score", F.lit(float(q.boost))),
+                    candidates,
+                )
+            return self._cand(self._multiterm_scored(q, rw), candidates)
         raise TypeError(f"unsupported query node: {q!r}")
+
+    MAX_CLAUSE_COUNT = 1024  # IndexSearcher.maxClauseCount default
+
+    def _multiterm_scored(self, q, rw: str) -> DataFrame:
+        """Scoring rewrites for multi-term queries
+        (MultiTermQuery.java:96-212, ScoringRewrite.java,
+        TopTermsRewrite.java): expand against the terms dictionary, then
+        score the expansions as a SHOULD disjunction in ONE postings
+        scan (per-term weights resolved inside the decode UDF)."""
+        exp = self._predicate_term_stats(self._multiterm_pred(q), q.field)
+        if rw == "scoring_boolean":
+            # every term with its OWN stats (ScoringRewrite.java:60-100)
+            if len(exp) > self.MAX_CLAUSE_COUNT:
+                raise ValueError(
+                    f"maxClauseCount exceeded: {len(exp)} expansions"
+                )
+            weights = {
+                t: self._weight(df, q.boost, q.field, ttf=ttf)
+                for t, df, ttf in exp
+            }
+        elif rw == "top_terms_blended":
+            # equal boosts -> ScoreTerm queue keeps the lexicographically
+            # smallest (TopTermsRewrite.java:210-212); blended df/ttf =
+            # max over kept (BlendedTermQuery.java:281-290)
+            exp = sorted(exp)[: int(getattr(q, "max_expansions", 50))]
+            if exp:
+                df_b = max(df for _, df, _ in exp)
+                ttf_b = max(ttf for _, _, ttf in exp)
+                weights = {
+                    t: self._weight(df_b, q.boost, q.field, ttf=ttf_b)
+                    for t, _df, _ttf in exp
+                }
+            else:
+                weights = {}
+        else:
+            raise ValueError(f"unknown rewrite method: {rw}")
+        if not weights:
+            return self._empty_scored()
+        per = self._scored_term_rows(weights, None, q.field)
+        return per.groupBy("doc_id").agg(
+            self._sum_as_float(F.col("score")).alias("score")
+        )
+
+    def _multiterm_pred(self, q):
+        """Terms-dictionary predicate for a multi-term query node (the
+        TermsEnum intersection, pushed to the stats/postings scans)."""
+        if isinstance(q, P.PrefixQ):
+            return F.col("term").startswith(q.prefix)
+        if isinstance(q, P.WildcardQ):
+            like = q.pattern.replace("%", r"\%").replace("_", r"\_")
+            like = like.replace("*", "%").replace("?", "_")
+            return F.col("term").like(like)
+        if isinstance(q, P.RegexpQ):
+            return F.col("term").rlike(q.pattern)
+        if isinstance(q, P.TermRangeQ):
+            lo = F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+            hi = F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+            return lo & hi
+        if isinstance(q, P.TermInSetQ):
+            return F.col("term").isin(list(q.terms))
+        raise TypeError(f"not a multi-term node: {q!r}")
+
+    def _predicate_term_stats(self, pred, field: str | None) -> list[tuple]:
+        """[(term, df, ttf)] for dictionary terms matching ``pred`` —
+        cross-segment stats summed like Index.stats_for_terms."""
+        stats = self.index.term_stats
+        if self.index.has_field_column:
+            stats = stats.filter(
+                F.col("field") == self.index.resolve_field(field)
+            )
+        rows = (
+            stats.filter(pred)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            .collect()
+        )
+        return [(r["term"], int(r["df"]), int(r["ttf"])) for r in rows]
 
     def _empty_scored(self) -> DataFrame:
         return self.index.spark.createDataFrame([], _SCORE_SCHEMA)
@@ -1078,25 +1159,19 @@ class Searcher:
             return self._doc_rows([q.term], q.field).distinct()
         if isinstance(q, (P.SynonymQ, P.TermInSetQ, P.BlendedTermQ)):
             return self._doc_rows(list(q.terms), getattr(q, "field", None)).distinct()
-        if isinstance(q, P.PrefixQ):
+        if isinstance(q, (P.PrefixQ, P.WildcardQ, P.RegexpQ)):
             return self._doc_rows_for_predicate(
-                F.col("term").startswith(q.prefix), q.field
+                self._multiterm_pred(q), q.field
             ).distinct()
-        if isinstance(q, P.WildcardQ):
-            like = q.pattern.replace("%", r"\%").replace("_", r"\_")
-            like = like.replace("*", "%").replace("?", "_")
-            return self._doc_rows_for_predicate(F.col("term").like(like), q.field).distinct()
-        if isinstance(q, P.RegexpQ):
-            return self._doc_rows_for_predicate(F.col("term").rlike(q.pattern), q.field).distinct()
         if isinstance(q, P.FuzzyQ):
             pred = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
             if q.prefix_len:
                 pred = pred & F.col("term").startswith(q.term[: q.prefix_len])
             return self._doc_rows_for_predicate(pred, q.field).distinct()
         if isinstance(q, P.TermRangeQ):
-            lo = F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
-            hi = F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
-            return self._doc_rows_for_predicate(lo & hi, q.field).distinct()
+            return self._doc_rows_for_predicate(
+                self._multiterm_pred(q), q.field
+            ).distinct()
         if isinstance(q, P.FieldFilter):
             col = F.col(q.col)
             if q.op == "=":

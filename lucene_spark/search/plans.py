@@ -142,20 +142,35 @@ class MatchAllQ:
 
 @dataclass(frozen=True)
 class PrefixQ:
-    """search/PrefixQuery.java:29."""
+    """search/PrefixQuery.java:29.
+
+    ``rewrite`` = MultiTermQuery.setRewriteMethod analog:
+    'constant_score' (the reference default, MultiTermQuery.java:53-83),
+    'scoring_boolean' (ScoringRewrite.SCORING_BOOLEAN_REWRITE: every
+    matching term scored with its OWN df, SHOULD-sum; TooManyClauses
+    beyond 1024 expansions, BooleanQuery.java maxClauseCount), or
+    'top_terms_blended' (TopTermsBlendedFreqScoringRewrite: keep
+    max_expansions terms — equal boosts, so lexicographically smallest
+    survive the ScoreTerm queue, TopTermsRewrite.java:210-212 — scored
+    with the blended max df)."""
 
     prefix: str
     boost: float = 1.0
     field: str | None = None
+    rewrite: str = "constant_score"
+    max_expansions: int = 50
 
 
 @dataclass(frozen=True)
 class WildcardQ:
-    """search/WildcardQuery.java:38 — * and ? over terms."""
+    """search/WildcardQuery.java:38 — * and ? over terms.
+    ``rewrite``: see PrefixQ."""
 
     pattern: str
     boost: float = 1.0
     field: str | None = None
+    rewrite: str = "constant_score"
+    max_expansions: int = 50
 
 
 @dataclass(frozen=True)
