@@ -136,6 +136,42 @@ def _get_an_index(spark: SparkSession, sf_dir: str) -> Index:
     return _INDEXES[key]
 
 
+# UAX#29-join tokenizer index: docs with doc_id % 3 == 0 get appended
+# dotted/apostrophe forms so MidNumLet joins actually fire ("pkg.main",
+# "don't", "v1.2" stay single tokens; "mix.4" splits — mixed category).
+_UAX_APPEND = " pkg.main don't v1.2 mix.4"
+
+
+def _get_uax_index(spark: SparkSession, sf_dir: str) -> Index:
+    key = os.path.normpath(sf_dir) + "|uax"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(_UAX_APPEND))
+        ).otherwise(F.col("text")),
+    )
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        keep_cols=["lang"], num_buckets=8, salt_rows=2048, resume=True,
+        analyzer={"tokenizer": "uax29"},
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_uax_term(term: str, k: int):
+    def fn(spark, sf_dir):
+        s = Searcher(_get_uax_index(spark, sf_dir), scoring="double")
+        return _topk_rounded(s.scored(TermQ(term)), k)
+
+    return fn
+
+
 def _q_analyzed_term(qtext: str, k: int):
     """Query text through the index's analyzer chain (QueryBuilder
     re-analysis), then a scored TermQuery on the analyzer index."""
@@ -696,6 +732,44 @@ dfs AS (SELECT term, count(*) AS df, sum(freq) AS ttf FROM tf GROUP BY term)
 """
 
 
+def _uax_prelude() -> str:
+    from lucene_spark.analysis import uax29_tokens_sql
+
+    return f"""
+WITH doc2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' pkg.main don''t v1.2 mix.4' ELSE text END AS text
+  FROM documents
+),
+tok AS (SELECT doc_id, {uax29_tokens_sql('text')} AS toks FROM doc2),
+dls AS (SELECT doc_id, len(toks) AS dl FROM tok),
+qdls AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 32 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+                     << (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+    END AS qdl
+  FROM dls),
+g AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         count(*) AS maxdoc,
+         CAST(sum(dl) AS DOUBLE) AS sum_ttf
+  FROM dls),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM terms GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df, sum(freq) AS ttf FROM tf GROUP BY term)
+"""
+
+
+def _uax_topk_sql(term_sql: str, k: int) -> str:
+    return (
+        f"{_uax_prelude()}, scored AS ({_term_scored_sql(term_sql)}) "
+        f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+        f"ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"
+    )
+
+
 def _an_topk_sql(term: str, k: int) -> str:
     return (
         f"{_an_prelude()}, scored AS ({_term_scored_sql(term)}) "
@@ -831,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- analyzer chain: S-stemmer + index-time synonyms + folding ---
         "stemmed_term_topk": _q_analyzed_term("merges", 20),
         "synonym_index_topk": _q_analyzed_term("quick", 20),
+        "uax29_term_topk": _q_uax_term("pkg.main", 20),
         # --- training-data pipeline ops (lucene_spark.pipeline) ---
         "text_token_counts": _q_pipeline(
             lambda s, d: textstats.with_token_counts(_docs_df(s, d)).orderBy("doc_id")
@@ -1096,6 +1171,7 @@ ORDER BY score_r DESC, t.doc_id"""
         "ib_spl_topk": _topk_sql(_sim_scored_sql("vector", _IB_EXPR), 10),
         "stemmed_term_topk": _an_topk_sql("merge", 20),
         "synonym_index_topk": _an_topk_sql("quick", 20),
+        "uax29_term_topk": _uax_topk_sql("pkg.main", 20),
         "phrase_sloppy_topk": (
             f"{_PRELUDE.replace('WITH tok', 'WITH RECURSIVE tok', 1)}{_POSR}, "
             f"{sloppy_scored.strip()} "

@@ -89,6 +89,63 @@ def fold_ascii(text: str) -> str:
     ).translate(_FOLD_SUPPLEMENT)
 
 
+# ---------------------------------------------------------------------------
+# UAX#29 word-break joins (analysis/standard/StandardTokenizer.java:38):
+# '.' (MidNumLet) and "'" (Single_Quote/MidNumLetQ) do NOT break a word
+# when flanked by two letters (WB6/WB7) or two digits (WB11/WB12) —
+# "don't", "3.14" and "foo.bar" stay single tokens. Implemented as a
+# two-pass marker substitution: valid separators become the uppercase
+# markers D / Q (impossible in the lowered text), the token regex
+# accepts markers, and tokens restore them. Two passes resolve chains
+# like "a.b.c.d" (pass 1 consumes every other separator, pass 2 the
+# stranded ones; non-overlapping leftmost semantics are identical in
+# Python `re` and RE2, so ``uax29_tokens_sql`` reproduces the exact
+# stream for the DuckDB oracles). Documented deviations from full
+# UAX#29: '_' (ExtendNumLet) does not enable joins, and MidLetter
+# chars other than the apostrophe (e.g. ':') are not joined.
+# ---------------------------------------------------------------------------
+
+_UAX_JOIN_RULES = [  # (pattern, marker replacement)
+    (re.compile(r"([a-z])\.([a-z])"), r"\1D\2"),
+    (re.compile(r"([a-z])'([a-z])"), r"\1Q\2"),
+    (re.compile(r"([0-9])\.([0-9])"), r"\1D\2"),
+    (re.compile(r"([0-9])'([0-9])"), r"\1Q\2"),
+]
+UAX_TOKEN_REGEX = re.compile(r"[0-9a-z_DQ]+")
+_UAX_RESTORE = str.maketrans({"D": ".", "Q": "'"})
+
+
+def uax29_join(text: str) -> str:
+    """Mark join-eligible separators in lowered text (two passes)."""
+    for _ in range(2):
+        for pat, rep in _UAX_JOIN_RULES:
+            text = pat.sub(rep, text)
+    return text
+
+
+def _uax29_restore(tok: str) -> str:
+    return tok.translate(_UAX_RESTORE) if ("D" in tok or "Q" in tok) else tok
+
+
+def uax29_tokens_sql(col: str) -> str:
+    """DuckDB expression: token list of ``col`` under the uax29
+    tokenizer — the same two-pass marker replaces, token regex and
+    restore as the Python chain."""
+    s = f"lower({col})"
+    for _ in range(2):
+        for pat, marker in (
+            (r"([a-z])\.([a-z])", "D"),
+            (r"([a-z])''([a-z])", "Q"),
+            (r"([0-9])\.([0-9])", "D"),
+            (r"([0-9])''([0-9])", "Q"),
+        ):
+            s = f"regexp_replace({s}, '{pat}', '\\1{marker}\\2', 'g')"
+    return (
+        f"list_transform(regexp_extract_all({s}, '[0-9a-z_DQ]+'), "
+        f"t -> replace(replace(t, 'D', '.'), 'Q', ''''))"
+    )
+
+
 def english_minimal_stem(w: str) -> str:
     """Harman S-stemmer (en/EnglishMinimalStemmer.java:26-44):
     plural-only stripping. Mirrors the reference rule-for-rule; also
@@ -269,12 +326,13 @@ def _filter_map(vocab, filters: list[str]) -> dict[str, str]:
 
 def _norm_analyzer(analyzer: dict | None, stopwords=None):
     """Normalize the analyzer config + legacy stopwords arg into
-    (fold, stopset, synonyms, keep_orig, filters)."""
+    (tokenizer, fold, stopset, synonyms, keep_orig, filters)."""
     a = analyzer or {}
     stopset = stopwords if stopwords is not None else (
         frozenset(a["stopwords"]) if a.get("stopwords") else None
     )
     return (
+        a.get("tokenizer", "standard"),
         bool(a.get("ascii_fold")),
         stopset,
         {k: list(v) for k, v in (a.get("synonyms") or {}).items()},
@@ -289,7 +347,7 @@ def tokenize(text: str, stopwords: frozenset | None = None,
 
     Positions count stopword holes (StopFilter position increments);
     synonym-injected terms repeat the source position (posIncr=0)."""
-    fold, stopset, synonyms, keep_orig, filters = _norm_analyzer(
+    tokenizer, fold, stopset, synonyms, keep_orig, filters = _norm_analyzer(
         analyzer, stopwords
     )
     if not text:
@@ -297,10 +355,13 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     text = text.lower()
     if fold:
         text = fold_ascii(text)
+    uax = tokenizer == "uax29"
+    if uax:
+        text = uax29_join(text)
     raw, positions = [], []
     pos = 0
-    for m in TOKEN_REGEX.finditer(text):
-        tok = m.group()
+    for m in (UAX_TOKEN_REGEX if uax else TOKEN_REGEX).finditer(text):
+        tok = _uax29_restore(m.group()) if uax else m.group()
         for i in range(0, len(tok), MAX_TOKEN_LENGTH):
             piece = tok[i : i + MAX_TOKEN_LENGTH]
             if stopset is None or piece not in stopset:
@@ -334,7 +395,7 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     So dl = len(terms).
     norm = SmallFloat.intToByte4(dl) (BM25Similarity.java:137-148).
     """
-    fold, stopset, synonyms, keep_orig, filters = _norm_analyzer(
+    tokenizer, fold, stopset, synonyms, keep_orig, filters = _norm_analyzer(
         analyzer, stopwords
     )
     lowered = texts.fillna("").str.lower()
@@ -344,7 +405,14 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
             .str.replace(_COMBINING_RE, "", regex=True)
             .map(lambda s: s.translate(_FOLD_SUPPLEMENT))
         )
-    all_terms = lowered.str.findall(TOKEN_REGEX)
+    uax = tokenizer == "uax29"
+    if uax:
+        for _ in range(2):
+            for pat, rep in _UAX_JOIN_RULES:
+                lowered = lowered.str.replace(pat, rep, regex=True)
+    all_terms = lowered.str.findall(UAX_TOKEN_REGEX if uax else TOKEN_REGEX)
+    if uax:
+        all_terms = all_terms.map(lambda ts: [_uax29_restore(t) for t in ts])
     out_terms, out_pos, out_dl = [], [], []
     fmap: dict[str, str] = {}
     if filters:

@@ -245,7 +245,11 @@ def _make_dl_expr(analyzer: dict | None):
     JVM path."""
     from lucene_spark.analysis import TOKEN_REGEX_SQL
 
-    if analyzer and (analyzer.get("ascii_fold") or analyzer.get("stopwords")):
+    if analyzer and (
+        analyzer.get("ascii_fold")
+        or analyzer.get("stopwords")
+        or analyzer.get("tokenizer", "standard") != "standard"
+    ):
         dl_conf = {**analyzer, "synonyms": {}, "filters": []}
 
         def dl_expr_for(col: str):

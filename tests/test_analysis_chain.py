@@ -140,6 +140,46 @@ def test_query_side_skips_synonyms():
     assert analyze_query_text("fast merges", analyzer=an) == ["fast", "merge"]
 
 
+_UAX_CASES = [
+    "don't stop 3.14 foo.bar a.1 1.a x..y a. .b a.b.c.d.e ver1.2 e'' 'q' it's",
+    "pkg.main.sub v9.9.9 under_score.join",
+    "",
+    "mix.4 4.mix _.a a._",
+]
+
+
+def test_uax29_joins():
+    an = {"tokenizer": "uax29"}
+    terms, _ = tokenize(_UAX_CASES[0], analyzer=an)
+    # StandardTokenizer UAX#29 WB6/WB7 + WB11/WB12: letter.letter,
+    # letter'letter, digit.digit join; mixed categories break
+    assert "don't" in terms and "3.14" in terms and "foo.bar" in terms
+    assert "a.b.c.d.e" in terms and "ver1.2" in terms and "it's" in terms
+    assert "a.1" not in terms and "x..y" not in terms
+    terms, _ = tokenize("mix.4 4.mix", analyzer=an)
+    assert terms == ["mix", "4", "4", "mix"]
+    # '_' is ExtendNumLet inside runs but does not enable '.'/'\'' joins
+    terms, _ = tokenize("under_score.join _.a", analyzer=an)
+    assert terms == ["under_score.join", "_", "a"]
+
+
+def test_uax29_sql_parity():
+    from lucene_spark.analysis import uax29_tokens_sql
+
+    an = {"tokenizer": "uax29"}
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {uax29_tokens_sql('t')} FROM (SELECT unnest(?) AS t)",
+        [_UAX_CASES],
+    ).fetchall()
+    for c, (g,) in zip(_UAX_CASES, got):
+        assert tokenize(c, analyzer=an)[0] == list(g), c
+    # batch path agrees with the per-string path
+    df = analyze_batch(pd.Series(_UAX_CASES), analyzer=an)
+    for i, c in enumerate(_UAX_CASES):
+        assert list(df["terms"][i]) == tokenize(c, analyzer=an)[0]
+
+
 def test_batch_matches_single_doc_path():
     an = {
         "ascii_fold": True,
