@@ -56,6 +56,24 @@ def test_multiterm_expansion_broadcast(searcher):
     assert "StartsWith(term,lic)" in plan, plan  # dictionary filter pushed down
 
 
+def test_top_field_plan(searcher):
+    # multi-field sort: per-partition top-k + merge, never a global sort
+    plan = plan_of(
+        searcher.top_field(TermQ("license"), [("lang", False)], 5)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan  # no global Sort node
+
+
+def test_multiterm_scored_rewrite_plan(searcher):
+    # scoring rewrite: ONE postings scan for all expansions (a single
+    # parquet read of the postings table), term filter pushed down
+    s = Searcher(searcher.index, scoring="double")
+    plan = plan_of(s.scored(PrefixQ("lic", rewrite="scoring_boolean")))
+    assert plan.count("Scan parquet") <= 2, plan  # postings (+deletes none)
+    assert "term" in plan.split("PushedFilters")[1][:300], plan
+
+
 def test_textstats_projection_shuffle_free(spark):
     docs = spark.createDataFrame(
         [(1, "hello world")], "doc_id long, text string"
