@@ -935,6 +935,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_a", "doc_b"
             )
         ),
+        "dedup_clusters": _q_pipeline(
+            lambda s, d: dedup.cluster_duplicates(
+                dedup.minhash_dedup_pairs(_docs_df(s, d), tau=0.3)
+            ).orderBy("doc_id")
+        ),
         "dedup_simhash": _q_pipeline(
             lambda s, d: dedup.simhash(_docs_df(s, d)).orderBy("doc_id")
         ),
@@ -1398,6 +1403,7 @@ ORDER BY score_r DESC, t.doc_id"""
         "dedup_exact": dedup.exact_duplicates_sql(),
         "dedup_jaccard_pairs": dedup.jaccard_pairs_sql(0.3),
         "dedup_minhash_pairs": dedup.minhash_pairs_sql(0.3),
+        "dedup_clusters": dedup.clusters_sql(dedup.minhash_pairs_sql(0.3)),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(8),
         "dedup_embedding_pairs": dedup.embedding_pairs_sql(0.2),

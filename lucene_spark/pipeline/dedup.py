@@ -270,6 +270,99 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution: pairs -> connected components -> survivors
+# ---------------------------------------------------------------------------
+
+
+def cluster_duplicates(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: (doc_id,
+    cluster) where cluster = min docID in the component — the step that
+    turns pairwise near-dup hits into actual dedup decisions.
+
+    Distributed hash-min label propagation: every node repeatedly takes
+    the min label over itself and its neighbors; iterations = graph
+    diameter (near-dup clusters are shallow — dozens of hops would mean
+    a pathological chain). Each round is ONE shuffle (join + groupBy on
+    the symmetric edge list); labels are localCheckpoint()ed per round
+    so lineage stays flat, and convergence is detected with a cheap
+    changed-count. At 100 TB the edge list is the (already sparse)
+    verified-pair output, orders of magnitude smaller than the corpus;
+    for adversarial long-chain graphs swap in large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")."""
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("nlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlabel").alias("minn"))
+        )
+        new = (
+            labels.join(neigh_min.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("minn", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster"))
+
+
+def canonical_survivors(clusters: DataFrame) -> DataFrame:
+    """(dup_doc_id, keeper_doc_id): every clustered doc except the
+    cluster representative (min docID), ready to anti-join against the
+    corpus — the keep-one-per-cluster dedup policy."""
+    return clusters.filter(F.col("doc_id") != F.col("cluster")).select(
+        F.col("doc_id").alias("dup_doc_id"), F.col("cluster").alias("keeper_doc_id")
+    )
+
+
+def clusters_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: exact connected components over the same pair set
+    via a recursive reachability CTE, labeled by min reachable docID."""
+    return f"""
+WITH RECURSIVE p AS ({pairs_sql}),
+e AS (SELECT doc_a AS s, doc_b AS d FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+reach(node, root) AS (
+  SELECT DISTINCT s, s FROM e
+  UNION
+  SELECT e.d, r.root FROM reach r JOIN e ON e.s = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster FROM reach
+GROUP BY node ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

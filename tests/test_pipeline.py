@@ -292,3 +292,41 @@ def test_scrub_redacts_pii(spark):
     assert out[1]["clean_md5"] != raw1
     raw3 = hashlib.md5("clean text only".encode()).hexdigest()
     assert out[3]["clean_md5"] == raw3
+
+
+def test_cluster_duplicates_chain_and_survivors(spark):
+    # chain 0-1-2-3 needs multiple propagation rounds; 7-8 separate;
+    # 5 appears only via (5,9)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (7, 8), (5, 9)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.cluster_duplicates(pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 7: 7, 8: 7, 5: 5, 9: 5}
+    surv = {
+        (r["dup_doc_id"], r["keeper_doc_id"])
+        for r in dedup.canonical_survivors(
+            dedup.cluster_duplicates(pairs)
+        ).collect()
+    }
+    assert surv == {(1, 0), (2, 0), (3, 0), (8, 7), (9, 5)}
+
+
+def test_clusters_sql_matches_engine(spark):
+    # the recursive-CTE oracle and the label-propagation engine agree on
+    # a branched component with a cycle
+    rows = [(10, 11), (11, 12), (10, 13), (12, 13), (20, 21)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    eng = sorted(
+        (r["doc_id"], r["cluster"])
+        for r in dedup.cluster_duplicates(pairs).collect()
+    )
+    con = duckdb.connect()
+    pairs_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({a}, {b})" for a, b in rows
+    ) + ") AS t(doc_a, doc_b)"
+    ora = con.execute(dedup.clusters_sql(pairs_sql)).fetchall()
+    assert eng == sorted((int(a), int(b)) for a, b in ora)
