@@ -40,6 +40,7 @@ from lucene_spark.search import (
     DisMaxQ,
     FeatureQ,
     FieldFilter,
+    FunctionScoreQ,
     FuzzyQ,
     MultiPhraseQ,
     NGramPhraseQ,
@@ -849,6 +850,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             20,
         ),
+        # FunctionScoreQuery.boostByValue: BM25 * ln(1 + n_chars)
+        "function_score_topk": _q_bool(
+            lambda: FunctionScoreQ(
+                TermQ("merge"), "ln(1.0 + n_chars)", mode="multiply"
+            ),
+            20,
+        ),
         "ngram_phrase_topk": _q_bool(
             lambda: NGramPhraseQ(2, ("key", "agg", "row")), 20
         ),
@@ -1248,6 +1256,12 @@ ORDER BY score_r DESC, t.doc_id"""
             f"+ 0.5 * (1.0 - pow(1000.0, 2)"
             f" / (pow(CAST(d.n_chars AS DOUBLE), 2) + pow(1000.0, 2))) AS score "
             f"FROM ({_term_scored_sql('data')}) a "
+            f"JOIN documents d USING (doc_id)",
+            20,
+        ),
+        "function_score_topk": _topk_sql(
+            f"SELECT a.doc_id, a.score * ln(1.0 + d.n_chars) AS score "
+            f"FROM ({_term_scored_sql('merge')}) a "
             f"JOIN documents d USING (doc_id)",
             20,
         ),

@@ -132,7 +132,8 @@ class Searcher:
 
     def __init__(self, index: Index, scoring: str = "lucene", prune: bool = True,
                  wand_min_postings: int | None = None,
-                 similarity: str | object | None = None, **sim_kwargs):
+                 similarity: str | object | None = None,
+                 query_cache=None, **sim_kwargs):
         assert scoring in ("lucene", "double")
         # IndexSearcher.setSimilarity analog: None = the default BM25
         # (float32 bit-parity path); named similarities compute in
@@ -151,6 +152,9 @@ class Searcher:
             self.WAND_MIN_POSTINGS if wand_min_postings is None else wand_min_postings
         )
         self._wand_meta_cache: dict = {}  # per-reader MaxScoreCache analog
+        # LRUQueryCache analog (search/querycache.py): caches persisted
+        # doc-set DataFrames for repeated filter-context queries
+        self.query_cache = query_cache
         self._deletes = index.deletes  # None when nothing deleted
 
     def _live(self, df: DataFrame) -> DataFrame:
@@ -425,6 +429,23 @@ class Searcher:
                     )
                 ),
                 candidates,
+            )
+        if isinstance(q, P.FunctionScoreQ):
+            # FunctionScoreQuery.createWeight: inner supplies the match
+            # set, score comes from the values source (replace) or
+            # inner * source (boostByValue). k is NOT forwarded: the
+            # transformed score reorders docs, so inner-side block-max
+            # pruning against the BM25 ranking would be unsound (the
+            # reference likewise never propagates setMinCompetitiveScore
+            # through the score transform).
+            inner = self.scored(q.inner, None, candidates)
+            src = F.expr(q.source).cast("double") * F.lit(float(q.boost))
+            new_score = src if q.mode == "replace" else F.col("score") * src
+            if self.scoring == "lucene":
+                new_score = new_score.cast("float").cast("double")
+            return (
+                inner.join(self.index.docs, "doc_id")
+                .select("doc_id", new_score.alias("score"))
             )
         if isinstance(q, P.BoolQ):
             return self._bool_scored(q, k=k, candidates=candidates)
@@ -1153,8 +1174,20 @@ class Searcher:
     # ------------------------------------------------------------------
 
     def doc_set(self, q) -> DataFrame:
-        """Plan node -> distinct DataFrame(doc_id), no scores (FILTER path)."""
+        """Plan node -> distinct DataFrame(doc_id), no scores (FILTER path).
+
+        With a query_cache installed, repeated filters serve a persisted
+        doc set once the usage-tracking policy threshold clears
+        (LRUQueryCache; IndexSearcher applies the cache exactly to this
+        non-scoring Weight context)."""
         q = P.rewrite(q)
+        if self.query_cache is not None:
+            return self.query_cache.get_or_compute(
+                q, lambda: self._doc_set_uncached(q)
+            )
+        return self._doc_set_uncached(q)
+
+    def _doc_set_uncached(self, q) -> DataFrame:
         if isinstance(q, P.TermQ):
             return self._doc_rows([q.term], q.field).distinct()
         if isinstance(q, (P.SynonymQ, P.TermInSetQ, P.BlendedTermQ)):

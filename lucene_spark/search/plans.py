@@ -65,6 +65,21 @@ class MultiPhraseQ:
 
 
 @dataclass(frozen=True)
+class FunctionScoreQ:
+    """queries/function/FunctionScoreQuery.java:44-103 — re-score the
+    inner query's matches from a DoubleValuesSource over doc values:
+      mode='replace':  score = source  (FunctionScoreQuery(in, source))
+      mode='multiply': score = inner score * source  (boostByValue)
+    ``source`` is a SQL column expression over docs-table columns (the
+    expressions-module analog: Catalyst compiles it JVM-side)."""
+
+    inner: object
+    source: str
+    mode: str = "replace"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SynonymQ:
     """search/SynonymQuery.java:52 — terms scored as one pseudo-term:
     df = max over terms, ttf = sum, freq = per-doc sum (lines 198-214)."""
