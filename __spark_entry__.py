@@ -142,6 +142,73 @@ def _get_an_index(spark: SparkSession, sf_dir: str) -> Index:
 # "don't", "v1.2" stay single tokens; "mix.4" splits — mixed category).
 _UAX_APPEND = " pkg.main don't v1.2 mix.4"
 
+# word-delimiter index (WordDelimiterGraphFilter analog): docs with
+# doc_id % 3 == 1 get appended camelCase identifiers, so subword terms
+# ("frame", "server") only match through the case-change splits.
+_WD_APPEND = " getDataFrame parseJSONValue HTTPServer2"
+
+
+def _get_wd_index(spark: SparkSession, sf_dir: str) -> Index:
+    key = os.path.normpath(sf_dir) + "|wd"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(_WD_APPEND))
+        ).otherwise(F.col("text")),
+    )
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        keep_cols=["lang"], num_buckets=8, salt_rows=2048, resume=True,
+        analyzer={"word_delimiter": True},
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_wd_term(term: str, k: int):
+    def fn(spark, sf_dir):
+        s = Searcher(_get_wd_index(spark, sf_dir), scoring="double")
+        return _topk_rounded(s.scored(TermQ(term)), k)
+
+    return fn
+
+
+def _q_spell(term: str, n: int):
+    def fn(spark, sf_dir):
+        from lucene_spark.search.spell import suggest_similar
+
+        out = suggest_similar(_get_index(spark, sf_dir), term, num_sug=n)
+        return (
+            out.withColumn("score_r", F.round("score", 4))
+            .select("suggestion", "df", "score_r")
+            .orderBy(F.desc("score_r"), F.desc("df"), F.asc("suggestion"))
+        )
+
+    return fn
+
+
+def _spell_sql(term: str, n: int) -> str:
+    t = term.lower().replace("'", "''")
+    sim = (
+        f"1.0 - CAST(damerau_levenshtein(term, '{t}') AS DOUBLE)"
+        f" / least(len(term), {len(t)})"
+    )
+    return f"""{_PRELUDE}
+SELECT term AS suggestion, df, round({sim}, 4) AS score_r
+FROM dfs
+WHERE term <> '{t}'
+  AND substr(term, 1, 1) = '{t[0]}'
+  AND abs(len(term) - {len(t)}) <= 2
+  AND damerau_levenshtein(term, '{t}') <= 2
+  AND {sim} >= 0.5
+ORDER BY round({sim}, 4) DESC, df DESC, suggestion
+LIMIT {n}"""
+
 
 def _get_uax_index(spark: SparkSession, sf_dir: str) -> Index:
     key = os.path.normpath(sf_dir) + "|uax"
@@ -508,7 +575,11 @@ def _q_facet_range(term: str):
     return fn
 
 
-def _q_join_parent(term: str):
+def _q_join_parent(term: str, mode: str = "max"):
+    """ToParentBlockJoinQuery score modes (join/.../ScoreMode.java:
+    Max / Avg / Total / Min) — parent score aggregates child scores."""
+    agg = {"max": F.max, "avg": F.avg, "total": F.sum, "min": F.min}[mode]
+
     def fn(spark, sf_dir):
         s = _searcher(spark, sf_dir)
         scored = s.scored(TermQ(term)).withColumn("score_r", F.round("score", 4))
@@ -516,7 +587,7 @@ def _q_join_parent(term: str):
             scored.join(s.index.docs.select("doc_id", "source"), "doc_id")
             .groupBy("source")
             .agg(
-                F.max("score_r").alias("parent_score"),
+                F.round(agg("score_r"), 4).alias("parent_score"),
                 F.count(F.lit(1)).alias("n_children"),
             )
             .orderBy(F.desc("parent_score"), F.asc("source"))
@@ -779,6 +850,48 @@ def _an_topk_sql(term: str, k: int) -> str:
     )
 
 
+def _wd_prelude() -> str:
+    from lucene_spark.analysis import word_delimit_sql
+
+    return f"""
+WITH doc2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 1 THEN text || '{_WD_APPEND}'
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower({word_delimit_sql('text')}), '[0-9a-z_]+') AS toks
+  FROM doc2
+),
+dls AS (SELECT doc_id, len(toks) AS dl FROM tok),
+qdls AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 32 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+                     << (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+    END AS qdl
+  FROM dls),
+g AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         count(*) AS maxdoc,
+         CAST(sum(dl) AS DOUBLE) AS sum_ttf
+  FROM dls),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM terms GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df, sum(freq) AS ttf FROM tf GROUP BY term)
+"""
+
+
+def _wd_topk_sql(term: str, k: int) -> str:
+    return (
+        f"{_wd_prelude()}, scored AS ({_term_scored_sql(term)}) "
+        f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+        f"ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the full index on sf0.001 and run a scored boolean
     query (OR of two terms, lang-filtered) through the compressed postings."""
@@ -827,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_prefix": _q_suggest("s", 10),
         "facet_range_nchars": _q_facet_range("vector"),
         "join_parent_max": _q_join_parent("merge"),
+        "join_parent_avg": _q_join_parent("merge", "avg"),
         "regexp_docs": _q_docset(lambda: RegexpQ("^b[aeiou]g$")),
         "parsed_query_topk": _q_bool(
             lambda: parse_query("merge AND sort -join"), 20
@@ -913,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- analyzer chain: S-stemmer + index-time synonyms + folding ---
         "stemmed_term_topk": _q_analyzed_term("merges", 20),
         "synonym_index_topk": _q_analyzed_term("quick", 20),
+        "wd_subword_topk": _q_wd_term("frame", 20),
+        "spell_suggest": _q_spell("mrge", 5),
         "uax29_term_topk": _q_uax_term("pkg.main", 20),
         # --- training-data pipeline ops (lucene_spark.pipeline) ---
         "text_token_counts": _q_pipeline(
@@ -1184,6 +1300,8 @@ ORDER BY score_r DESC, t.doc_id"""
         "ib_spl_topk": _topk_sql(_sim_scored_sql("vector", _IB_EXPR), 10),
         "stemmed_term_topk": _an_topk_sql("merge", 20),
         "synonym_index_topk": _an_topk_sql("quick", 20),
+        "wd_subword_topk": _wd_topk_sql("frame", 20),
+        "spell_suggest": _spell_sql("mrge", 5),
         "uax29_term_topk": _uax_topk_sql("pkg.main", 20),
         "phrase_sloppy_topk": (
             f"{_PRELUDE.replace('WITH tok', 'WITH RECURSIVE tok', 1)}{_POSR}, "
@@ -1227,6 +1345,13 @@ ORDER BY score_r DESC, t.doc_id"""
         "join_parent_max": (
             f"{_PRELUDE}, scored AS ({_term_scored_sql('merge')}) "
             f"SELECT d.source, max(round(s.score, 4)) AS parent_score, "
+            f"count(*) AS n_children "
+            f"FROM scored s JOIN documents d USING (doc_id) "
+            f"GROUP BY d.source ORDER BY parent_score DESC, d.source"
+        ),
+        "join_parent_avg": (
+            f"{_PRELUDE}, scored AS ({_term_scored_sql('merge')}) "
+            f"SELECT d.source, round(avg(round(s.score, 4)), 4) AS parent_score, "
             f"count(*) AS n_children "
             f"FROM scored s JOIN documents d USING (doc_id) "
             f"GROUP BY d.source ORDER BY parent_score DESC, d.source"

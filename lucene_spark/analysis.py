@@ -324,9 +324,45 @@ def _filter_map(vocab, filters: list[str]) -> dict[str, str]:
     return out
 
 
+_WD_RULES = [
+    # WordDelimiterGraphFilter analog (analysis/common/.../miscellaneous/
+    # WordDelimiterGraphFilter.java, default flags GENERATE_WORD_PARTS |
+    # GENERATE_NUMBER_PARTS | SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS):
+    # intra-word case / digit / underscore boundaries become token
+    # breaks BEFORE lowercasing, expressed as a vectorizable string
+    # rewrite — "getHTTPResponse_v2" -> "get HTTP Response v 2". Parts
+    # take consecutive positions (the parts-only subset of the
+    # reference's token graph; catenate/preserveOriginal variants are
+    # not reproduced).
+    (re.compile(r"_"), " "),
+    (re.compile(r"([A-Z]+)([A-Z][a-z])"), r"\1 \2"),  # HTTPServer -> HTTP Server
+    (re.compile(r"([a-z])([A-Z])"), r"\1 \2"),        # camelCase -> camel Case
+    (re.compile(r"([A-Za-z])([0-9])"), r"\1 \2"),     # v2 -> v 2
+    (re.compile(r"([0-9])([A-Za-z])"), r"\1 \2"),     # 2x -> 2 x
+]
+
+
+def word_delimit(text: str) -> str:
+    """Apply the word-delimiter split rules to (case-intact) text."""
+    for rx, rep in _WD_RULES:
+        text = rx.sub(rep, text)
+    return text
+
+
+def word_delimit_sql(col: str) -> str:
+    """DuckDB expression mirroring ``word_delimit`` (oracle parity):
+    the same substitutions, chained regexp_replace with the 'g' flag."""
+    s = col
+    for rx, rep in _WD_RULES:
+        pat = rx.pattern.replace("'", "''")
+        rep_sql = rep.replace("\\1", "\\1").replace("'", "''")
+        s = f"regexp_replace({s}, '{pat}', '{rep_sql}', 'g')"
+    return s
+
+
 def _norm_analyzer(analyzer: dict | None, stopwords=None):
     """Normalize the analyzer config + legacy stopwords arg into
-    (tokenizer, fold, stopset, synonyms, keep_orig, filters)."""
+    (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd)."""
     a = analyzer or {}
     stopset = stopwords if stopwords is not None else (
         frozenset(a["stopwords"]) if a.get("stopwords") else None
@@ -338,6 +374,7 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
         {k: list(v) for k, v in (a.get("synonyms") or {}).items()},
         bool(a.get("keep_orig", True)),
         list(a.get("filters") or []),
+        bool(a.get("word_delimiter")),
     )
 
 
@@ -347,11 +384,13 @@ def tokenize(text: str, stopwords: frozenset | None = None,
 
     Positions count stopword holes (StopFilter position increments);
     synonym-injected terms repeat the source position (posIncr=0)."""
-    tokenizer, fold, stopset, synonyms, keep_orig, filters = _norm_analyzer(
+    tokenizer, fold, stopset, synonyms, keep_orig, filters, wd = _norm_analyzer(
         analyzer, stopwords
     )
     if not text:
         return [], []
+    if wd:
+        text = word_delimit(text)
     text = text.lower()
     if fold:
         text = fold_ascii(text)
@@ -383,8 +422,20 @@ def tokenize(text: str, stopwords: frozenset | None = None,
 
 
 def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
-                  analyzer: dict | None = None) -> pd.DataFrame:
+                  analyzer: dict | None = None,
+                  want_offsets: bool = False) -> pd.DataFrame:
     """Vectorized batch tokenize: Series[str] -> DataFrame(terms, positions, dl, norm).
+
+    ``want_offsets`` adds an ``offsets`` column: per doc a flat int list
+    interleaving (start_char, surface_len) per emitted token, aligned
+    with ``terms`` (OffsetAttribute; Lucene stores startOffset+endOffset
+    in the .pos/.pay files when IndexOptions include offsets,
+    Lucene90PostingsFormat.java:64-78). Offsets point into the ORIGINAL
+    text, so they are only supported for length-preserving chains: the
+    default tokenizer, stopwords, synonyms and stemmers are fine (the
+    surface span survives token filters, like the reference where
+    filters mutate termAtt but not offsetAtt); ascii_fold and the uax29
+    join rules rewrite the string and raise.
 
     dl = field length minus overlaps (we produce no overlap tokens, so
     dl = emitted token count + stopword holes? No: Lucene's
@@ -395,10 +446,16 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     So dl = len(terms).
     norm = SmallFloat.intToByte4(dl) (BM25Similarity.java:137-148).
     """
-    tokenizer, fold, stopset, synonyms, keep_orig, filters = _norm_analyzer(
+    tokenizer, fold, stopset, synonyms, keep_orig, filters, wd = _norm_analyzer(
         analyzer, stopwords
     )
-    lowered = texts.fillna("").str.lower()
+    filled = texts.fillna("")
+    if wd:
+        # vectorized: the split rules are plain regex substitutions on
+        # the case-intact text, chained with pandas .str.replace
+        for rx, rep in _WD_RULES:
+            filled = filled.str.replace(rx, rep, regex=True)
+    lowered = filled.str.lower()
     if fold:
         lowered = (
             lowered.str.normalize("NFKD")
@@ -410,10 +467,25 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
         for _ in range(2):
             for pat, rep in _UAX_JOIN_RULES:
                 lowered = lowered.str.replace(pat, rep, regex=True)
-    all_terms = lowered.str.findall(UAX_TOKEN_REGEX if uax else TOKEN_REGEX)
-    if uax:
-        all_terms = all_terms.map(lambda ts: [_uax29_restore(t) for t in ts])
-    out_terms, out_pos, out_dl = [], [], []
+    all_starts = None
+    if want_offsets:
+        if fold or uax or wd:
+            raise ValueError(
+                "offsets require a length-preserving chain "
+                "(no ascii_fold / uax29 / word_delimiter)"
+            )
+        tok_lists, start_lists = [], []
+        for s in lowered:
+            matches = list(TOKEN_REGEX.finditer(s))
+            tok_lists.append([m.group() for m in matches])
+            start_lists.append([m.start() for m in matches])
+        all_terms = pd.Series(tok_lists, index=lowered.index, dtype=object)
+        all_starts = start_lists
+    else:
+        all_terms = lowered.str.findall(UAX_TOKEN_REGEX if uax else TOKEN_REGEX)
+        if uax:
+            all_terms = all_terms.map(lambda ts: [_uax29_restore(t) for t in ts])
+    out_terms, out_pos, out_dl, out_off = [], [], [], []
     fmap: dict[str, str] = {}
     if filters:
         vocab = set()
@@ -422,15 +494,20 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
         for syns in synonyms.values():
             vocab.update(syns)
         fmap = _filter_map(vocab, filters)
-    for toks in all_terms:
+    for di, toks in enumerate(all_terms):
+        starts = all_starts[di] if all_starts is not None else None
         if any(len(t) > MAX_TOKEN_LENGTH for t in toks):
-            toks = [
-                t[i : i + MAX_TOKEN_LENGTH]
-                for t in toks
-                for i in range(0, len(t), MAX_TOKEN_LENGTH)
-            ]
+            split, split_starts = [], []
+            for k, t in enumerate(toks):
+                for i in range(0, len(t), MAX_TOKEN_LENGTH):
+                    split.append(t[i : i + MAX_TOKEN_LENGTH])
+                    if starts is not None:
+                        split_starts.append(starts[k] + i)
+            toks = split
+            if starts is not None:
+                starts = split_starts
         if stopset or synonyms or filters:
-            terms, positions, n_orig = [], [], 0
+            terms, positions, offs, n_orig = [], [], [], 0
             for p, t in enumerate(toks):
                 if stopset and t in stopset:
                     continue  # hole: position advances, length doesn't
@@ -442,24 +519,34 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
                 for e in emitted:
                     terms.append(fmap.get(e, e) if filters else e)
                     positions.append(p)
+                    if starts is not None:
+                        # injected/stemmed tokens keep the surface span
+                        offs.extend((starts[p], len(t)))
             out_terms.append(terms)
             out_pos.append(positions)
             # discountOverlaps=true (the reference default): injected
             # synonym tokens (posIncr=0) don't count toward length
             out_dl.append(n_orig)
+            if starts is not None:
+                out_off.append(offs)
         else:
             out_terms.append(list(toks))
             out_pos.append(list(range(len(toks))))
             out_dl.append(len(toks))
+            if starts is not None:
+                out_off.append(
+                    [v for s, t in zip(starts, toks) for v in (s, len(t))]
+                )
     dl = np.asarray(out_dl, dtype=np.int64)
-    return pd.DataFrame(
-        {
-            "terms": out_terms,
-            "positions": out_pos,
-            "dl": dl,
-            "norm": int_to_byte4(dl).astype(np.int32),
-        }
-    )
+    data = {
+        "terms": out_terms,
+        "positions": out_pos,
+        "dl": dl,
+        "norm": int_to_byte4(dl).astype(np.int32),
+    }
+    if want_offsets:
+        data["offsets"] = out_off
+    return pd.DataFrame(data)
 
 
 def analyze_query_text(text: str, stopwords: frozenset | None = None,

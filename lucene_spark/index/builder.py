@@ -97,6 +97,12 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("ttf", T.LongType()),
         T.StructField("blocks", T.ArrayType(BLOCK_STRUCT)),
         T.StructField("pos", T.BinaryType()),
+        # optional char offsets (IndexOptions ..._AND_OFFSETS,
+        # Lucene90PostingsFormat.java:64-78): per position a
+        # (startOffset delta, surface length) u32 pair; b"" when the
+        # index was built without with_offsets (opt-in — offsets double
+        # the per-position payload, so the default build never pays)
+        T.StructField("off", T.BinaryType()),
         T.StructField("bucket", T.IntegerType()),
         # row-level pareto impacts (CompetitiveImpactAccumulator over the
         # whole (term, salt) run): lets WAND-style planners read clause
@@ -127,6 +133,8 @@ INVERTED_SCHEMA = T.StructType(
         # object lists (measured: the array<int> payload dominated the
         # exchange at 400k docs and capped N->4N scaling efficiency)
         T.StructField("pos_bytes", T.BinaryType()),
+        # (start_delta, len) u32 pairs per position, b"" unless offsets on
+        T.StructField("off_bytes", T.BinaryType()),
         T.StructField("norm", T.IntegerType()),
         T.StructField("bucket", T.IntegerType()),
         T.StructField("salt", T.IntegerType()),
@@ -248,6 +256,7 @@ def _make_dl_expr(analyzer: dict | None):
     if analyzer and (
         analyzer.get("ascii_fold")
         or analyzer.get("stopwords")
+        or analyzer.get("word_delimiter")
         or analyzer.get("tokenizer", "standard") != "standard"
     ):
         dl_conf = {**analyzer, "synonyms": {}, "filters": []}
@@ -280,7 +289,8 @@ def _make_dl_expr(analyzer: dict | None):
 
 
 def _invert_map(fields: list, salt_rows: int, num_buckets: int,
-                with_positions: bool, analyzer: dict | None = None):
+                with_positions: bool, analyzer: dict | None = None,
+                with_offsets: bool = False):
     """mapInPandas fn: corpus rows -> (field, term, doc_id, freq,
     pos_bytes, norm, bucket, salt) — one inverted stream per field
     (IndexingChain.java:583-603 inverts each indexed field of a doc).
@@ -302,6 +312,7 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
             "doc_id": np.array([], dtype=np.int64),
             "freq": np.array([], dtype=np.int32),
             "pos_bytes": pd.array([], dtype=object),
+            "off_bytes": pd.array([], dtype=object),
             "norm": np.array([], dtype=np.int32),
             "bucket": np.array([], dtype=np.int32),
             "salt": np.array([], dtype=np.int32),
@@ -311,7 +322,8 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
     def fn(iterator):
         for pdf in iterator:
           for field_name, col in fields:
-            an = analyze_batch(pdf[col], analyzer=analyzer)
+            an = analyze_batch(pdf[col], analyzer=analyzer,
+                               want_offsets=with_offsets)
             doc_ids = pdf["doc_id"].to_numpy()
             # EMITTED tokens per doc (>= dl when the analyzer injects
             # synonym overlaps; dl/norm discount those, the stream no)
@@ -340,6 +352,7 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
             starts = np.flatnonzero(change)
             freqs = np.diff(np.append(starts, total)).astype(np.int32)
             uniq_buckets = term_bucket_py(pd.Series(uniq), num_buckets).astype(np.int32)
+            ends = np.append(starts[1:], total)
             if with_positions:
                 # one vectorized delta pass over the whole sorted stream:
                 # delta[i] = pos[i] - pos[i-1] within a run, run starts
@@ -347,12 +360,32 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
                 deltas = np.diff(ps, prepend=np.int64(0))
                 deltas[starts] = ps[starts]
                 buf = deltas.astype(np.uint32).tobytes()
-                ends = np.append(starts[1:], total)
                 pos_bytes = [
                     buf[4 * s : 4 * e] for s, e in zip(starts.tolist(), ends.tolist())
                 ]
             else:
                 pos_bytes = [b""] * len(starts)
+            if with_offsets:
+                # same delta trick on char start offsets, interleaved
+                # with surface lengths: (start_delta, len) u32 per token
+                off_flat = np.fromiter(
+                    chain.from_iterable(an["offsets"]),
+                    dtype=np.int64, count=2 * total,
+                ).reshape(-1, 2)
+                ost = off_flat[:, 0][order]
+                oln = off_flat[:, 1][order]
+                od = np.diff(ost, prepend=np.int64(0))
+                od[starts] = ost[starts]
+                inter = np.empty((total, 2), dtype=np.uint32)
+                inter[:, 0] = od.astype(np.uint32)
+                inter[:, 1] = oln.astype(np.uint32)
+                obuf = inter.tobytes()
+                off_bytes = [
+                    obuf[8 * s : 8 * e]
+                    for s, e in zip(starts.tolist(), ends.tolist())
+                ]
+            else:
+                off_bytes = [b""] * len(starts)
             yield pd.DataFrame(
                 {
                     "field": pd.array([field_name] * len(starts), dtype=object),
@@ -360,6 +393,7 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
                     "doc_id": dc[starts],
                     "freq": freqs,
                     "pos_bytes": pos_bytes,
+                    "off_bytes": off_bytes,
                     "norm": norm_rep[order][starts].astype(np.int32),
                     "bucket": uniq_buckets[tc[starts]],
                     "salt": (dc[starts] // salt_rows).astype(np.int32),
@@ -369,7 +403,7 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
     return fn
 
 
-def _encode_group(with_positions: bool):
+def _encode_group(with_positions: bool, with_offsets: bool = False):
     """applyInPandas fn over (bucket, salt): encode every term in the group."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -389,6 +423,13 @@ def _encode_group(with_positions: bool):
                 )
             else:
                 pos_bin = b""
+            if with_offsets:
+                allo = b"".join(bytes(b) for b in g["off_bytes"])
+                off_bin = encode_value_stream(
+                    np.frombuffer(allo, dtype=np.uint32).astype(np.uint64)
+                )
+            else:
+                off_bin = b""
             out_rows.append(
                 {
                     "field": field_name,
@@ -398,6 +439,7 @@ def _encode_group(with_positions: bool):
                     "ttf": int(freqs.sum()),
                     "blocks": blocks,
                     "pos": pos_bin,
+                    "off": off_bin,
                     "bucket": int(g["bucket"].iat[0]),
                     "row_impacts": [
                         {"freq": int(a), "norm": int(b)}
@@ -408,8 +450,8 @@ def _encode_group(with_positions: bool):
         return pd.DataFrame(
             out_rows,
             columns=[
-                "field", "term", "salt", "df", "ttf", "blocks", "pos", "bucket",
-                "row_impacts",
+                "field", "term", "salt", "df", "ttf", "blocks", "pos", "off",
+                "bucket", "row_impacts",
             ],
         )
 
@@ -453,6 +495,7 @@ def build_index(
     num_buckets: int = 8,
     salt_rows: int = 1 << 14,
     with_positions: bool = True,
+    with_offsets: bool = False,
     corpus_parts: int | None = None,
     resume: bool = True,
     analyzer: dict | None = None,
@@ -520,7 +563,8 @@ def build_index(
         t1 = time.time()
         field_cols = sorted({c for _, c in fields})
         inverted = corpus_ids.select("doc_id", *field_cols).mapInPandas(
-            _invert_map(fields, salt_rows, num_buckets, with_positions, analyzer),
+            _invert_map(fields, salt_rows, num_buckets, with_positions, analyzer,
+                        with_offsets),
             schema=INVERTED_SCHEMA,
         )
         # groupBy.applyInPandas hash-shuffles on (bucket, salt) itself —
@@ -528,7 +572,7 @@ def build_index(
         # count = num_buckets * ceil(maxDoc/salt_rows); tune salt_rows so
         # groups >= cores at the target scale.
         postings = inverted.groupBy("bucket", "salt").applyInPandas(
-            _encode_group(with_positions), schema=POSTINGS_SCHEMA
+            _encode_group(with_positions, with_offsets), schema=POSTINGS_SCHEMA
         )
         # Flat write, no dynamic partitioning: partitionBy("bucket")
         # costs a full UnsafeRow sort of the big binary rows per task
@@ -645,6 +689,7 @@ def build_index(
                 "num_buckets": num_buckets,
                 "salt_rows": salt_rows,
                 "with_positions": with_positions,
+                "with_offsets": with_offsets,
                 "text_col": text_col,
                 "keep_cols": keep_cols,
                 "analyzer": analyzer,
@@ -689,6 +734,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     gen = int(manifest.get("compaction_gen", 0)) + 1
     t0 = time.time()
     with_positions = manifest["with_positions"]
+    with_offsets = bool(manifest.get("with_offsets", False))
 
     deletes = (
         spark.read.parquet(*del_paths).select("doc_id").distinct()
@@ -718,7 +764,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         out_rows = []
         pdf = pdf.sort_values("first_doc", kind="mergesort")
         for (field_name, term), g in pdf.groupby(["field", "term"], sort=False):
-            docs_all, freqs_all, norms_all, pos_all = [], [], [], []
+            docs_all, freqs_all, norms_all, pos_all, off_all = [], [], [], [], []
             for _, row in g.iterrows():
                 f_row = []
                 for blk in row["blocks"]:
@@ -734,6 +780,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                     pos_all.append(
                         (decode_value_stream(bytes(row["pos"])), f_concat)
                     )
+                if with_offsets:
+                    off_all.append(decode_value_stream(bytes(row["off"])))
             d = np.concatenate(docs_all) if docs_all else np.zeros(0, np.int64)
             f = np.concatenate(freqs_all) if freqs_all else np.zeros(0, np.int64)
             nm = np.concatenate(norms_all) if norms_all else np.zeros(0, np.uint8)
@@ -742,6 +790,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                     np.concatenate([p for p, _ in pos_all])
                     if pos_all
                     else np.zeros(0, np.uint64)
+                )
+            if with_offsets:
+                off_stream = (
+                    np.concatenate(off_all) if off_all else np.zeros(0, np.uint64)
                 )
             keep = (
                 ~np.isin(d, dels, assume_unique=False)
@@ -765,6 +817,21 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                 )
             else:
                 pos_bin = b""
+            if with_offsets and len(d):
+                # offsets are (delta, len) pairs: 2 values per position
+                ob = np.concatenate([[0], np.cumsum(2 * f)]).astype(np.int64)
+                kept_off = [
+                    off_stream[ob[i] : ob[i + 1]]
+                    for i in range(len(d))
+                    if keep[i]
+                ]
+                off_bin = encode_value_stream(
+                    np.concatenate(kept_off).astype(np.uint64)
+                    if kept_off
+                    else np.zeros(0, np.uint64)
+                )
+            else:
+                off_bin = b""
             d, f, nm = d[keep], f[keep], nm[keep]
             out_rows.append(
                 {
@@ -775,6 +842,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                     "ttf": int(f.sum()),
                     "blocks": encode_posting_blocks(d, f, nm),
                     "pos": pos_bin,
+                    "off": off_bin,
                     "bucket": int(g["bucket"].iat[0]),
                     "row_impacts": [
                         {"freq": int(a), "norm": int(b)}
@@ -785,15 +853,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         return pd.DataFrame(
             out_rows,
             columns=[
-                "field", "term", "salt", "df", "ttf", "blocks", "pos", "bucket",
-                "row_impacts",
+                "field", "term", "salt", "df", "ttf", "blocks", "pos", "off",
+                "bucket", "row_impacts",
             ],
         )
 
     seg_postings = [spark.read.parquet(p) for p in as_list(paths["postings"])]
     allp = seg_postings[0]
     for sp in seg_postings[1:]:
-        allp = allp.unionByName(sp)
+        allp = allp.unionByName(sp, allowMissingColumns=True)
     allp = allp.withColumn(
         "first_doc", F.element_at(F.col("blocks"), 1)["first_docid"]
     )
@@ -926,6 +994,7 @@ def append_to_index(
     num_buckets = manifest["num_buckets"]
     salt_rows = manifest["salt_rows"]
     with_positions = manifest["with_positions"]
+    with_offsets = bool(manifest.get("with_offsets", False))
     analyzer = manifest.get("analyzer")
     fields: list[tuple[str, str]] = sorted(
         manifest.get("fields", {text_col: text_col}).items(),
@@ -963,11 +1032,12 @@ def append_to_index(
 
     field_cols = sorted({c for _, c in fields})
     inverted = corpus_ids.select("doc_id", *field_cols).mapInPandas(
-        _invert_map(fields, salt_rows, num_buckets, with_positions, analyzer),
+        _invert_map(fields, salt_rows, num_buckets, with_positions, analyzer,
+                    with_offsets),
         schema=INVERTED_SCHEMA,
     )
     postings = inverted.groupBy("bucket", "salt").applyInPandas(
-        _encode_group(with_positions), schema=POSTINGS_SCHEMA
+        _encode_group(with_positions, with_offsets), schema=POSTINGS_SCHEMA
     )
     postings.write.mode("overwrite").parquet(postings_path)
 

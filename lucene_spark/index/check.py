@@ -45,7 +45,8 @@ _POSTING_CHECK_SCHEMA = T.StructType(
 )
 
 
-def _check_posting_rows(salt_rows: int, with_positions: bool):
+def _check_posting_rows(salt_rows: int, with_positions: bool,
+                        with_offsets: bool = False):
     def fn(iterator):
         for pdf in iterator:
             terms, salts, msgs = [], [], []
@@ -81,6 +82,10 @@ def _check_posting_rows(salt_rows: int, with_positions: bool):
                     pos = decode_value_stream(bytes(row["pos"]))
                     if len(pos) != int(f.sum()):
                         bad(row["term"], row["salt"], "positions length != sum(freqs)")
+                if with_offsets:
+                    off = decode_value_stream(bytes(row["off"]))
+                    if len(off) != 2 * int(f.sum()):
+                        bad(row["term"], row["salt"], "offsets length != 2*sum(freqs)")
             yield pd.DataFrame({"term": terms, "salt": salts, "violation": msgs})
 
     return fn
@@ -97,7 +102,11 @@ def check_index(index: Index, sample_terms: int | None = None) -> dict:
     if sample_terms:
         postings = postings.limit(sample_terms)
     viol = postings.mapInPandas(
-        _check_posting_rows(index.manifest["salt_rows"], index.manifest["with_positions"]),
+        _check_posting_rows(
+            index.manifest["salt_rows"],
+            index.manifest["with_positions"],
+            bool(index.manifest.get("with_offsets", False)),
+        ),
         schema=_POSTING_CHECK_SCHEMA,
     )
     vrows = viol.groupBy("violation").count().collect()

@@ -99,7 +99,10 @@ class Index:
         dfs = [self.spark.read.parquet(p) for p in paths]
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            # allowMissingColumns: a segment appended after a format
+            # upgrade (e.g. the optional offsets column) unions with
+            # pre-upgrade segments, missing columns null-filled
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     @property

@@ -1272,6 +1272,52 @@ class Searcher:
             scored = scored.join(self.doc_set(ff), "doc_id", "left_semi")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def top_k_batch(self, queries: dict[str, object], k: int) -> DataFrame:
+        """Run MANY top-k queries as ONE Spark job:
+        DataFrame(query_id, doc_id, score, rank), rank 1..k per query by
+        (score desc, docID asc) — the same HitQueue contract as top_k.
+
+        Why: a query suite executed one .collect() at a time pays the
+        fixed job overhead (planning, scheduling, stage launch) per
+        query; at local[N] that floor does not parallelize, which is
+        what capped the measured N->4N query-suite scaling. Union-ing
+        the scored plans under a single action lets Spark run every
+        query's stages concurrently across all cores and pay the
+        scheduling floor once per BATCH. This is the search-side twin of
+        IndexSearcher's CollectorManager reduce: per-query collectors
+        run independently, one reduce at the end
+        (IndexSearcher.java:660-712).
+
+        Block-max WAND pruning stays on per query (same routing as
+        top_k); the per-query limit is a row_number window partitioned
+        by query_id — one shuffle of at most ~(candidates) rows, and
+        WAND-pruned queries contribute only their surviving blocks."""
+        from pyspark.sql.window import Window
+
+        parts = []
+        for qid, q in queries.items():
+            qr = P.rewrite(q)
+            scored = None
+            if isinstance(qr, P.BoolQ) and self.prune_enabled:
+                scored = self._bool_topk_wand(qr, k)
+            if scored is None:
+                scored = self.scored(qr, k=k)
+            parts.append(
+                scored.select(
+                    F.lit(qid).alias("query_id"), "doc_id", "score"
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            u.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
     def top_field(self, q, sort: list[tuple[str, bool]], k: int,
                   missing: dict | None = None) -> DataFrame:
         """TopFieldCollector with a MULTI-field Sort

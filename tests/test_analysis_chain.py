@@ -193,3 +193,78 @@ def test_batch_matches_single_doc_path():
         terms, pos = tokenize(t or "", analyzer=an)
         assert list(df["terms"][i]) == terms
         assert list(df["positions"][i]) == pos
+
+
+# ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter analog (word_delimiter analyzer option)
+# ---------------------------------------------------------------------------
+
+_WD_CASES = [
+    "getHTTPResponse_v2 fooBar",
+    "X509CertPath parse2JSON",
+    "snake_case_name PLAIN lower 42abc",
+    "",
+]
+
+
+def test_word_delimiter_splits():
+    an = {"word_delimiter": True}
+    assert tokenize("getHTTPResponse_v2", analyzer=an)[0] == [
+        "get", "http", "response", "v", "2",
+    ]
+    assert tokenize("X509CertPath", analyzer=an)[0] == ["x", "509", "cert", "path"]
+    assert tokenize("snake_case", analyzer=an)[0] == ["snake", "case"]
+    # already-lowercase text is untouched
+    assert tokenize("plain text", analyzer=an)[0] == ["plain", "text"]
+
+
+def test_word_delimiter_sql_parity():
+    from lucene_spark.analysis import word_delimit, word_delimit_sql
+
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {word_delimit_sql('t')} FROM (SELECT unnest(?) AS t)",
+        [_WD_CASES],
+    ).fetchall()
+    for c, (g,) in zip(_WD_CASES, got):
+        assert word_delimit(c) == g, c
+    df = analyze_batch(pd.Series(_WD_CASES), analyzer={"word_delimiter": True})
+    for i, c in enumerate(_WD_CASES):
+        terms, pos = tokenize(c, analyzer={"word_delimiter": True})
+        assert list(df["terms"][i]) == terms
+        assert list(df["positions"][i]) == pos
+
+
+def test_word_delimiter_e2e_search(spark, tmp_path_factory):
+    """A camelCase identifier is findable by its subwords through a
+    built index, with dl/norm counting the split tokens."""
+    import pandas as _pd
+
+    from lucene_spark.index import Index, build_index
+    from lucene_spark.search import PhraseQ, Searcher, TermQ
+
+    pdf = _pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "content": [
+                "def getUserName(self): return self.userName",
+                "plain words only here",
+                "class HTTPServerConfig: pass",
+            ],
+        }
+    )
+    idx_dir = str(tmp_path_factory.mktemp("idx_wd"))
+    build_index(
+        spark, spark.createDataFrame(pdf), idx_dir,
+        text_col="content", doc_id_col="doc_id", num_buckets=2,
+        analyzer={"word_delimiter": True},
+    )
+    idx = Index(spark, idx_dir)
+    s = Searcher(idx)
+    assert [r["doc_id"] for r in s.top_k(TermQ("user"), 5).collect()] == [0]
+    assert [r["doc_id"] for r in s.top_k(TermQ("server"), 5).collect()] == [2]
+    # consecutive subword positions support phrases across the split
+    assert [r["doc_id"] for r in s.top_k(PhraseQ(("http", "server", "config")), 5).collect()] == [2]
+    # dl counts split parts: doc 0 = def get user name self return self user name = 9
+    d0 = idx.docs.filter("doc_id = 0").collect()[0]
+    assert d0["dl"] == 9

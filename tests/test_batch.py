@@ -1,0 +1,49 @@
+"""Batched query execution: top_k_batch runs a whole query suite under
+one Spark action and must reproduce each query's top_k exactly."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.corpus import make_corpus
+from lucene_spark.index import Index, build_index
+from lucene_spark.search import BoolQ, PhraseQ, PrefixQ, Searcher, TermQ
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = make_corpus(300, seed=3)
+    idx_dir = str(tmp_path_factory.mktemp("idx_batch"))
+    build_index(
+        spark,
+        spark.createDataFrame(pdf),
+        idx_dir,
+        text_col="content",
+        order_cols=["repo", "path", "commit"],
+        num_buckets=4,
+    )
+    return Index(spark, idx_dir)
+
+
+def test_batch_matches_individual(built):
+    s = Searcher(built)
+    suite = {
+        "t1": TermQ("import"),
+        "t2": TermQ("class"),
+        "b_or": BoolQ(should=(TermQ("async"), TermQ("await"))),
+        "b_and": BoolQ(must=(TermQ("def"), TermQ("class"))),
+        "ph": PhraseQ(("async", "def")),
+        "cs": BoolQ(must=(TermQ("chan"),), filter=(PrefixQ("def"),)),
+    }
+    k = 10
+    batch = s.top_k_batch(suite, k).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], int(r["doc_id"]), np.float32(r["score"]))
+        )
+    for qid, q in suite.items():
+        want = [
+            (i + 1, int(r["doc_id"]), np.float32(r["score"]))
+            for i, r in enumerate(s.top_k(q, k).collect())
+        ]
+        assert sorted(got.get(qid, [])) == want, qid
