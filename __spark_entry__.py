@@ -178,6 +178,87 @@ def _q_wd_term(term: str, k: int):
     return fn
 
 
+def _get_sh_index(spark: SparkSession, sf_dir: str) -> Index:
+    """ShingleFilter index: unigrams + adjacent bigrams ('data_line'),
+    bigrams as posIncr=0 overlaps (dl counts unigrams only)."""
+    key = os.path.normpath(sf_dir) + "|sh"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        keep_cols=["lang"], num_buckets=8, salt_rows=2048, resume=True,
+        analyzer={"shingles": True},
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_sh_term(term: str, k: int):
+    def fn(spark, sf_dir):
+        s = Searcher(_get_sh_index(spark, sf_dir), scoring="double")
+        return _topk_rounded(s.scored(TermQ(term)), k)
+
+    return fn
+
+
+def _q_drill_sideways(term: str, drill: dict):
+    """DrillSideways (facet/DrillSideways.java:63): for each drilled
+    dimension, facet counts are computed with every OTHER drill-down
+    applied but NOT its own — the user sees sibling values of each
+    filter. One doc-set scan, one small dimension join, |dims| grouped
+    counts unioned under a single plan."""
+
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        dims = sorted(drill)
+        j = s.doc_set(TermQ(term)).join(
+            s.index.docs.select("doc_id", *dims), "doc_id"
+        )
+        outs = []
+        for dim in dims:
+            dfm = j
+            for d in dims:
+                if d != dim:
+                    dfm = dfm.filter(F.col(d) == drill[d])
+            outs.append(
+                dfm.groupBy(F.col(dim)).agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.lit(dim).alias("dim"),
+                    F.col(dim).alias("value"),
+                    "n",
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out.orderBy("dim", "value")
+
+    return fn
+
+
+def _drill_sideways_sql(term: str, drill: dict) -> str:
+    dims = sorted(drill)
+    parts = []
+    for dim in dims:
+        conds = " AND ".join(
+            f"d.{d} = '{drill[d]}'" for d in dims if d != dim
+        ) or "TRUE"
+        parts.append(
+            f"SELECT '{dim}' AS dim, d.{dim} AS value, count(*) AS n "
+            f"FROM matched m JOIN documents d USING (doc_id) "
+            f"WHERE {conds} GROUP BY d.{dim}"
+        )
+    body = " UNION ALL ".join(parts)
+    return (
+        f"{_PRELUDE}, matched AS ("
+        f"SELECT DISTINCT tf.doc_id FROM tf WHERE term = '{term}') "
+        f"SELECT * FROM ({body}) ORDER BY dim, value"
+    )
+
+
 def _q_spell(term: str, n: int):
     def fn(spark, sf_dir):
         from lucene_spark.search.spell import suggest_similar
@@ -884,6 +965,48 @@ dfs AS (SELECT term, count(*) AS df, sum(freq) AS ttf FROM tf GROUP BY term)
 """
 
 
+def _sh_prelude() -> str:
+    # dl counts UNIGRAMS only (shingles are posIncr=0 overlaps,
+    # discountOverlaps); tf covers unigrams + adjacent bigrams
+    return """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
+  FROM documents
+),
+dls AS (SELECT doc_id, len(toks) AS dl FROM tok),
+qdls AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 32 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+                     << (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+    END AS qdl
+  FROM dls),
+g AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         count(*) AS maxdoc,
+         CAST(sum(dl) AS DOUBLE) AS sum_ttf
+  FROM dls),
+terms AS (
+  SELECT doc_id, unnest(toks) AS term FROM tok
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || '_' || toks[i+1])) AS term
+  FROM tok
+),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM terms GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df, sum(freq) AS ttf FROM tf GROUP BY term)
+"""
+
+
+def _sh_topk_sql(term: str, k: int) -> str:
+    return (
+        f"{_sh_prelude()}, scored AS ({_term_scored_sql(term)}) "
+        f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+        f"ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"
+    )
+
+
 def _wd_topk_sql(term: str, k: int) -> str:
     return (
         f"{_wd_prelude()}, scored AS ({_term_scored_sql(term)}) "
@@ -1028,7 +1151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_term_topk": _q_analyzed_term("merges", 20),
         "synonym_index_topk": _q_analyzed_term("quick", 20),
         "wd_subword_topk": _q_wd_term("frame", 20),
+        "shingle_bigram_topk": _q_sh_term("data_line", 20),
         "spell_suggest": _q_spell("mrge", 5),
+        "drill_sideways": _q_drill_sideways(
+            "merge", {"lang": "en", "source": "src5"}
+        ),
         "uax29_term_topk": _q_uax_term("pkg.main", 20),
         # --- training-data pipeline ops (lucene_spark.pipeline) ---
         "text_token_counts": _q_pipeline(
@@ -1301,7 +1428,11 @@ ORDER BY score_r DESC, t.doc_id"""
         "stemmed_term_topk": _an_topk_sql("merge", 20),
         "synonym_index_topk": _an_topk_sql("quick", 20),
         "wd_subword_topk": _wd_topk_sql("frame", 20),
+        "shingle_bigram_topk": _sh_topk_sql("data_line", 20),
         "spell_suggest": _spell_sql("mrge", 5),
+        "drill_sideways": _drill_sideways_sql(
+            "merge", {"lang": "en", "source": "src5"}
+        ),
         "uax29_term_topk": _uax_topk_sql("pkg.main", 20),
         "phrase_sloppy_topk": (
             f"{_PRELUDE.replace('WITH tok', 'WITH RECURSIVE tok', 1)}{_POSR}, "

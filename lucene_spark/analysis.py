@@ -375,7 +375,25 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
         bool(a.get("keep_orig", True)),
         list(a.get("filters") or []),
         bool(a.get("word_delimiter")),
+        bool(a.get("shingles")),
     )
+
+
+def _add_shingles(terms: list, positions: list, sep: str = "_"):
+    """ShingleFilter analog (analysis/common/.../shingle/ShingleFilter
+    .java, minShingleSize=maxShingleSize=2, outputUnigrams=true):
+    adjacent-token bigrams appended after the unigram stream, each at
+    its FIRST token's position (posIncr=0 overlap -> discounted from dl
+    like synonym injections). Adjacency means positions differ by
+    exactly 1, so a stopword hole breaks the shingle (the reference
+    inserts a filler token; we emit no shingle across the hole —
+    documented deviation, fillers never match real terms anyway)."""
+    sh_t, sh_p = [], []
+    for i in range(len(terms) - 1):
+        if positions[i + 1] == positions[i] + 1:
+            sh_t.append(terms[i] + sep + terms[i + 1])
+            sh_p.append(positions[i])
+    return terms + sh_t, positions + sh_p
 
 
 def tokenize(text: str, stopwords: frozenset | None = None,
@@ -384,9 +402,10 @@ def tokenize(text: str, stopwords: frozenset | None = None,
 
     Positions count stopword holes (StopFilter position increments);
     synonym-injected terms repeat the source position (posIncr=0)."""
-    tokenizer, fold, stopset, synonyms, keep_orig, filters, wd = _norm_analyzer(
-        analyzer, stopwords
-    )
+    (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
+     shingles) = _norm_analyzer(analyzer, stopwords)
+    if shingles and synonyms:
+        raise ValueError("shingles + synonyms not supported in one chain")
     if not text:
         return [], []
     if wd:
@@ -418,6 +437,8 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     if filters:
         fmap = _filter_map(set(raw), filters)
         raw = [fmap[t] for t in raw]
+    if shingles:
+        raw, positions = _add_shingles(raw, positions)
     return raw, positions
 
 
@@ -446,9 +467,13 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     So dl = len(terms).
     norm = SmallFloat.intToByte4(dl) (BM25Similarity.java:137-148).
     """
-    tokenizer, fold, stopset, synonyms, keep_orig, filters, wd = _norm_analyzer(
-        analyzer, stopwords
-    )
+    (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
+     shingles) = _norm_analyzer(analyzer, stopwords)
+    if shingles and (synonyms or want_offsets):
+        raise ValueError(
+            "shingles compose with stop/stem/fold/wd chains, not with "
+            "synonyms or offsets"
+        )
     filled = texts.fillna("")
     if wd:
         # vectorized: the split rules are plain regex substitutions on
@@ -522,6 +547,8 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
                     if starts is not None:
                         # injected/stemmed tokens keep the surface span
                         offs.extend((starts[p], len(t)))
+            if shingles:
+                terms, positions = _add_shingles(terms, positions)
             out_terms.append(terms)
             out_pos.append(positions)
             # discountOverlaps=true (the reference default): injected
@@ -530,8 +557,11 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
             if starts is not None:
                 out_off.append(offs)
         else:
-            out_terms.append(list(toks))
-            out_pos.append(list(range(len(toks))))
+            terms, positions = list(toks), list(range(len(toks)))
+            if shingles:
+                terms, positions = _add_shingles(terms, positions)
+            out_terms.append(terms)
+            out_pos.append(positions)
             out_dl.append(len(toks))
             if starts is not None:
                 out_off.append(

@@ -268,3 +268,47 @@ def test_word_delimiter_e2e_search(spark, tmp_path_factory):
     # dl counts split parts: doc 0 = def get user name self return self user name = 9
     d0 = idx.docs.filter("doc_id = 0").collect()[0]
     assert d0["dl"] == 9
+
+
+# ---------------------------------------------------------------------------
+# ShingleFilter analog (shingles analyzer option)
+# ---------------------------------------------------------------------------
+
+def test_shingles_emit_and_holes():
+    an = {"shingles": True}
+    t, p = tokenize("data line of code", analyzer=an)
+    assert t == ["data", "line", "of", "code", "data_line", "line_of", "of_code"]
+    assert p == [0, 1, 2, 3, 0, 1, 2]
+    # stop hole breaks the shingle; dl counts unigrams only
+    an2 = {"shingles": True, "stopwords": ["of"]}
+    t2, p2 = tokenize("data line of code", analyzer=an2)
+    assert t2 == ["data", "line", "code", "data_line"]
+    df = analyze_batch(pd.Series(["data line of code"]), analyzer=an2)
+    assert int(df["dl"].iat[0]) == 3  # overlaps discounted
+    with pytest.raises(ValueError):
+        analyze_batch(pd.Series(["x"]), analyzer={"shingles": True,
+                                                  "synonyms": {"a": ["b"]}})
+
+
+def test_shingles_e2e_search(spark, tmp_path_factory):
+    import pandas as _pd
+
+    from lucene_spark.index import Index, build_index
+    from lucene_spark.search import Searcher, TermQ
+
+    pdf = _pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "content": ["merge sort is stable", "sort then merge again"],
+        }
+    )
+    idx_dir = str(tmp_path_factory.mktemp("idx_sh"))
+    build_index(
+        spark, spark.createDataFrame(pdf), idx_dir,
+        text_col="content", doc_id_col="doc_id", num_buckets=2,
+        analyzer={"shingles": True},
+    )
+    s = Searcher(Index(spark, idx_dir))
+    # bigram matches only the doc with the adjacency
+    assert [r["doc_id"] for r in s.top_k(TermQ("merge_sort"), 5).collect()] == [0]
+    assert [r["doc_id"] for r in s.top_k(TermQ("then_merge"), 5).collect()] == [1]
