@@ -87,6 +87,12 @@ def main() -> None:
     searcher.doc_set(WildcardQ("b?g")).count()
     timings["wildcard_docs"] = round(time.time() - t0, 3)
 
+    # the same 8 scored queries as ONE Spark action (Searcher.top_k_batch):
+    # measures the engine with the per-query scheduling floor amortized
+    t0 = time.time()
+    searcher.top_k_batch({n: q for n, (q, _) in queries.items()}, 100).collect()
+    timings["batch_suite"] = round(time.time() - t0, 3)
+
     # training-data pipeline ops over the same tables
     from lucene_spark.pipeline import dedup, similarity
 

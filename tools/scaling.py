@@ -201,6 +201,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("rest", nargs="*")
     args = ap.parse_args()
@@ -213,30 +214,50 @@ def main() -> None:
     corpus_path = _ensure_corpus(args.docs)
     calib = hw_calibration(levels, corpus_path)
     print(f"[scaling] hw calibration: {calib}", file=sys.stderr)
-    results = {}
-    for cpus in levels:
-        idx_dir = os.path.join(REPO, ".cache", f"scaling_idx_{args.docs}_{cpus}")
-        print(f"[scaling] running build+query at local[{cpus}] ...", file=sys.stderr)
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--worker",
-                str(cpus),
-                corpus_path,
-                idx_dir,
-            ],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-        )
-        if proc.returncode != 0:
-            print(proc.stderr[-4000:], file=sys.stderr)
-            raise SystemExit(f"worker at local[{cpus}] failed")
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(f"[scaling] local[{cpus}]: {line}", file=sys.stderr)
-        shutil.rmtree(idx_dir, ignore_errors=True)
+    # The sandbox host's absolute speed varies over time (shared vCPUs:
+    # the same single-proc invert kernel measured 3.9s and 11s hours
+    # apart). A level that lands in a noisy window corrupts the RATIO,
+    # so run the levels interleaved `--repeats` times and keep, per
+    # level, the fastest (least-contended) run — standard practice for
+    # wall-clock benchmarks on shared hardware.
+    results: dict = {}
+    for rep in range(args.repeats):
+        for cpus in levels:
+            idx_dir = os.path.join(
+                REPO, ".cache", f"scaling_idx_{args.docs}_{cpus}"
+            )
+            print(
+                f"[scaling] rep {rep + 1}/{args.repeats} build+query at "
+                f"local[{cpus}] ...",
+                file=sys.stderr,
+            )
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--worker",
+                    str(cpus),
+                    corpus_path,
+                    idx_dir,
+                ],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-4000:], file=sys.stderr)
+                raise SystemExit(f"worker at local[{cpus}] failed")
+            line = [
+                ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+            ][-1]
+            r = json.loads(line)
+            print(f"[scaling] local[{cpus}]: {line}", file=sys.stderr)
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            if (
+                cpus not in results
+                or r["build_docs_per_sec"] > results[cpus]["build_docs_per_sec"]
+            ):
+                results[cpus] = r
 
     lo, hi = levels[0], levels[-1]
     ratio = hi / lo
