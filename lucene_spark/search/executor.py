@@ -1600,5 +1600,17 @@ class Searcher:
         return scored.filter(below).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def count(self, q) -> int:
-        """TotalHitCountCollector analog."""
-        return self.doc_set(q).count()
+        """TotalHitCountCollector analog, with the Weight#count fast
+        paths (search/Weight.java:180-210, TermQuery.java count(),
+        MatchAllDocsQuery count()): when the index has no deletes, a
+        term's hit count IS its df from the (memoized, collected-once)
+        stats table and MatchAll's is maxDoc — O(1), no postings scan.
+        Everything else falls back to the distributed doc-set count."""
+        qr = P.rewrite(q)
+        if self._deletes is None:
+            if isinstance(qr, P.MatchAllQ):
+                return int(self.index.N)
+            if isinstance(qr, P.TermQ):
+                stats = self.index.stats_for_terms([qr.term], qr.field)
+                return int(stats[qr.term][0]) if qr.term in stats else 0
+        return self.doc_set(qr).count()

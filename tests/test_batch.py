@@ -47,3 +47,17 @@ def test_batch_matches_individual(built):
             for i, r in enumerate(s.top_k(q, k).collect())
         ]
         assert sorted(got.get(qid, [])) == want, qid
+
+
+def test_count_fast_path_matches_scan(built):
+    """Weight#count: df-based term count == distributed doc-set count,
+    and MatchAll count == maxDoc (no deletes)."""
+    from lucene_spark.search import MatchAllQ
+
+    s = Searcher(built)
+    for t in ["import", "class", "zzz_missing"]:
+        assert s.count(TermQ(t)) == s.doc_set(TermQ(t)).count()
+    assert s.count(MatchAllQ()) == built.N
+    # compound queries still go through the distributed path
+    q = BoolQ(should=(TermQ("import"), TermQ("class")))
+    assert s.count(q) == s.doc_set(q).count()
