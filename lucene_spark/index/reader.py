@@ -38,6 +38,7 @@ class Index:
         self.doc_count = self.manifest["doc_count_field"]
         self.sum_ttf = self.manifest["sum_total_term_freq"]
         self.num_buckets = self.manifest["num_buckets"]
+        self.salt_rows = int(self.manifest.get("salt_rows", 1 << 14))
         # per-field data model (index/FieldInfos.java): field registry +
         # per-field global stats; single-field manifests degrade to one
         # default field

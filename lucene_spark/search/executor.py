@@ -1599,6 +1599,143 @@ class Searcher:
         )
         return scored.filter(below).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def _term_doc_freq_norm(self, term: str, field, doc_id: int):
+        """(freq, norm) of one (term, doc) from the postings, or None.
+        Salt + bucket predicates prune the scan to one row."""
+        rows = (
+            self.index.postings_for_terms([term], field)
+            .filter(F.col("salt") == doc_id // self.index.salt_rows)
+            .select("blocks")
+            .collect()
+        )
+        for row in rows:
+            for blk in row["blocks"]:
+                if blk["first_docid"] <= doc_id <= blk["last_docid"]:
+                    d, f, nm = decode_block(blk)
+                    i = int(np.searchsorted(d, doc_id))
+                    if i < len(d) and d[i] == doc_id:
+                        return int(f[i]), int(nm[i])
+        return None
+
+    def explain(self, q, doc_id: int) -> dict:
+        """Explanation analog (search/Explanation.java, IndexSearcher
+        .explain): nested {value, description, details} whose root value
+        equals the engine's score for this doc bit-for-bit (the
+        components are computed with the same bm25 arithmetic as the
+        decode UDF, in the searcher's scoring mode)."""
+        q = P.rewrite(q)
+        NO = {"value": 0.0, "description": "no matching term", "details": []}
+        if isinstance(q, P.TermQ):
+            stats = self.index.stats_for_terms([q.term], q.field)
+            if q.term not in stats:
+                return NO
+            fn = self._term_doc_freq_norm(q.term, q.field, doc_id)
+            if fn is None:
+                return NO
+            freq, norm = fn
+            df = stats[q.term][0]
+            dc = self.index.doc_count_for(q.field)
+            w = self._weight(df, q.boost, q.field, ttf=stats[q.term][1])
+            val = float(
+                self._score_arrays(
+                    np.array([freq]), np.array([norm]), w
+                )[0]
+            )
+            dl = float(LENGTH_TABLE[norm & 0xFF])
+            return {
+                "value": val,
+                "description": (
+                    f"weight({q.term} in {doc_id}) [BM25], product of:"
+                ),
+                "details": [
+                    {"value": float(q.boost), "description": "boost",
+                     "details": []},
+                    {"value": float(w) / float(q.boost),
+                     "description": f"idf, n={df}, N={dc}", "details": []},
+                    {"value": val / float(w),
+                     "description": (
+                         f"tf, freq={freq}, k1={bm25.K1}, b={bm25.B}, "
+                         f"dl={dl}, avgdl={self.index.avgdl_dbl_for(q.field)}"
+                     ),
+                     "details": []},
+                ],
+            }
+        if isinstance(q, P.BoostQ):
+            inner = self.explain(q.inner, doc_id)
+            val = inner["value"] * q.boost
+            if self.scoring == "lucene":
+                val = float(np.float32(inner["value"]) * np.float32(q.boost))
+            return {
+                "value": val,
+                "description": f"boost {q.boost}, product of:",
+                "details": [inner],
+            }
+        if isinstance(q, P.ConstScoreQ):
+            hit = self.doc_set(q.inner).filter(
+                F.col("doc_id") == doc_id
+            ).count()
+            return (
+                {"value": float(q.boost),
+                 "description": "ConstantScore", "details": []}
+                if hit else NO
+            )
+        if isinstance(q, P.BoolQ):
+            must = [self.explain(c, doc_id) for c in q.must]
+            should = [self.explain(c, doc_id) for c in q.should]
+            if any(m["value"] == 0.0 and m["description"] == NO["description"]
+                   for m in must):
+                return {"value": 0.0,
+                        "description": "failure to meet MUST clause",
+                        "details": must}
+            for c in q.must_not:
+                if self.doc_set(c).filter(F.col("doc_id") == doc_id).count():
+                    return {"value": 0.0,
+                            "description": "match on prohibited clause",
+                            "details": []}
+            for c in q.filter:
+                if not self.doc_set(c).filter(
+                    F.col("doc_id") == doc_id
+                ).count():
+                    return {"value": 0.0,
+                            "description": "failure to meet FILTER clause",
+                            "details": []}
+            matching = [m for m in must] + [
+                s for s in should if s["description"] != NO["description"]
+            ]
+            n_should = sum(
+                1 for s in should if s["description"] != NO["description"]
+            )
+            if q.min_should_match and n_should < q.min_should_match:
+                return {"value": 0.0,
+                        "description": "failure to meet minShouldMatch",
+                        "details": []}
+            val = float(np.sum([m["value"] for m in matching], dtype=np.float64))
+            return {"value": val, "description": "sum of:",
+                    "details": matching}
+        if isinstance(q, P.DisMaxQ):
+            ds = [self.explain(c, doc_id) for c in q.clauses]
+            hits = [d for d in ds if d["description"] != NO["description"]]
+            if not hits:
+                return NO
+            vals = [d["value"] for d in hits]
+            mx = max(vals)
+            val = mx + q.tiebreak * (sum(vals) - mx)
+            return {
+                "value": float(val),
+                "description": f"max plus {q.tiebreak} times others of:",
+                "details": hits,
+            }
+        # generic fallback: score the query, pick this doc
+        row = (
+            self.scored(q)
+            .filter(F.col("doc_id") == doc_id)
+            .collect()
+        )
+        if not row:
+            return NO
+        return {"value": float(row[0]["score"]),
+                "description": "score", "details": []}
+
     def count(self, q) -> int:
         """TotalHitCountCollector analog, with the Weight#count fast
         paths (search/Weight.java:180-210, TermQuery.java count(),

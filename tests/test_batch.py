@@ -61,3 +61,35 @@ def test_count_fast_path_matches_scan(built):
     # compound queries still go through the distributed path
     q = BoolQ(should=(TermQ("import"), TermQ("class")))
     assert s.count(q) == s.doc_set(q).count()
+
+
+def test_explain_matches_score(built):
+    """IndexSearcher.explain analog: the explanation's root value equals
+    the engine score bit-for-bit (float32 mode) for every hit tried."""
+    from lucene_spark.search import BoostQ, ConstScoreQ, DisMaxQ
+
+    s = Searcher(built)
+    cases = [
+        TermQ("import"),
+        BoostQ(TermQ("class"), 2.5),
+        BoolQ(must=(TermQ("def"),), should=(TermQ("class"),)),
+        BoolQ(should=(TermQ("async"), TermQ("await"))),
+        DisMaxQ((TermQ("import"), TermQ("class")), tiebreak=0.1),
+        BoolQ(must=(TermQ("chan"),), filter=(PrefixQ("def"),)),
+        ConstScoreQ(PrefixQ("imp"), 3.0),
+    ]
+    for q in cases:
+        hits = s.top_k(q, 5).collect()
+        assert hits, q
+        for r in hits[:3]:
+            ex = s.explain(q, int(r["doc_id"]))
+            assert np.float32(ex["value"]) == np.float32(r["score"]), (q, r, ex)
+        # a doc that does not match explains to 0 with a reason
+        miss_doc = 10**9
+        ex0 = s.explain(q, miss_doc)
+        assert ex0["value"] == 0.0
+    # structural sanity: term explanation decomposes into boost*idf*tf
+    ex = s.explain(TermQ("import"), int(s.top_k(TermQ("import"), 1).collect()[0]["doc_id"]))
+    parts = [d["value"] for d in ex["details"]]
+    assert len(parts) == 3
+    assert abs(parts[0] * parts[1] * parts[2] - ex["value"]) < 1e-6 * max(1.0, ex["value"])
