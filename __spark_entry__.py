@@ -512,6 +512,23 @@ def _q_sort_field(term: str, k: int):
     return fn
 
 
+def _q_sort_after(term: str, k: int):
+    """TopFieldCollector after=FieldDoc paging: page 2 of the n_chars
+    sort — resume strictly after page 1's last (value, docID) mark."""
+
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        q = TermQ(term)
+        page1 = s.top_field(q, [("n_chars", True)], k).collect()
+        last = page1[-1]
+        return s.top_field_after(
+            q, [("n_chars", True)], k,
+            [last["n_chars"]], int(last["doc_id"]),
+        )
+
+    return fn
+
+
 def _q_search_after(term: str, k: int):
     def fn(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -1134,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_top_per_lang": _q_group_top_per_lang("merge"),
         "total_hits": _q_total_hits(("merge", "sort", "hash")),
         "sort_by_field": _q_sort_field("vector", 10),
+        "sort_after_page2": _q_sort_after("vector", 10),
         "search_after_page2": _q_search_after("the", 10),
         # --- pluggable similarities (lucene_spark/similarities.py) ---
         "classic_term_topk": _q_sim("classic", lambda: TermQ("vector"), 10),
@@ -1658,6 +1676,12 @@ ORDER BY score_r DESC, t.doc_id"""
             f"(SELECT DISTINCT doc_id FROM tf WHERE term = 'vector') m "
             f"JOIN documents d USING (doc_id) "
             f"ORDER BY d.n_chars DESC, m.doc_id LIMIT 10"
+        ),
+        "sort_after_page2": (
+            f"{_PRELUDE} SELECT m.doc_id, d.n_chars FROM "
+            f"(SELECT DISTINCT doc_id FROM tf WHERE term = 'vector') m "
+            f"JOIN documents d USING (doc_id) "
+            f"ORDER BY d.n_chars DESC, m.doc_id LIMIT 10 OFFSET 10"
         ),
         "search_after_page2": (
             f"{_PRELUDE}, scored AS ({_term_scored_sql('the')}) "

@@ -1347,6 +1347,34 @@ class Searcher:
         order.append(F.asc("doc_id"))
         return base.orderBy(*order).limit(k).select("doc_id", *cols)
 
+    def top_field_after(self, q, sort: list[tuple[str, bool]], k: int,
+                        after_values: list, after_doc: int) -> DataFrame:
+        """Field-sort pagination — TopFieldCollector.create(sort, n,
+        after=FieldDoc, ...) (search/TopFieldCollector.java PagingField
+        Collector): resume strictly after the (sort values, docID) mark
+        in lexicographic sort order. The after predicate is a pure
+        column expression, so Catalyst can push it into the docs scan
+        (parquet row-group pruning on the sort column)."""
+        cols = [c for c, _ in sort]
+        base = self.doc_set(q).join(
+            self.index.docs.select("doc_id", *cols), "doc_id"
+        )
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for (c, reverse), v in zip(sort, after_values):
+            col = F.col(c)
+            pred = pred | (eq & ((col < F.lit(v)) if reverse else (col > F.lit(v))))
+            eq = eq & (col == F.lit(v))
+        pred = pred | (eq & (F.col("doc_id") > int(after_doc)))
+        order = []
+        for c, reverse in sort:
+            order.append(F.col(c).desc() if reverse else F.col(c).asc())
+        order.append(F.asc("doc_id"))
+        return (
+            base.filter(pred).orderBy(*order).limit(k)
+            .select("doc_id", *cols)
+        )
+
     # ------------------------------------------------------------------
     # block-max WAND for boolean top-k
     # ------------------------------------------------------------------

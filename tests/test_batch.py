@@ -93,3 +93,25 @@ def test_explain_matches_score(built):
     parts = [d["value"] for d in ex["details"]]
     assert len(parts) == 3
     assert abs(parts[0] * parts[1] * parts[2] - ex["value"]) < 1e-6 * max(1.0, ex["value"])
+
+
+def test_top_field_after_pages_partition(built):
+    """TopFieldCollector after=FieldDoc: consecutive pages partition the
+    full sorted result exactly (2-col lexicographic sort + docID tiebreak)."""
+    s = Searcher(built)
+    q = TermQ("import")
+    sort = [("dl", True), ("norm", False)]
+    from pyspark.sql import functions as F
+
+    full = s.doc_set(q).join(
+        built.docs.select("doc_id", "dl", "norm"), "doc_id"
+    ).orderBy(F.col("dl").desc(), F.col("norm").asc(), "doc_id").collect()
+    k = 7
+    page1 = s.top_field(q, sort, k).collect()
+    last = page1[-1]
+    page2 = s.top_field_after(
+        q, sort, k, [last["dl"], last["norm"]], int(last["doc_id"])
+    ).collect()
+    got = [(r["doc_id"], r["dl"], r["norm"]) for r in page1 + page2]
+    want = [(r["doc_id"], r["dl"], r["norm"]) for r in full[: 2 * k]]
+    assert got == want
