@@ -833,8 +833,8 @@ def _sim_scored_sql(term: str, score_expr: str) -> str:
 
 _CLASSIC_EXPR = "sqrt(freq) * (ln((nd+1.0)/(df+1.0)) + 1.0) / sqrt(qdl)"
 _LMD_EXPR = (
-    "ln(1.0 + freq/(2000.0*((ttf+1.0)/(sttf+1.0))))"
-    " + ln(2000.0/(qdl+2000.0))"
+    "greatest(ln(1.0 + freq/(2000.0*((ttf+1.0)/(sttf+1.0))))"
+    " + ln(2000.0/(qdl+2000.0)), 0.0)"
 )
 _LMJM_EXPR = "ln(1.0 + (0.3*freq/qdl)/(0.7*((ttf+1.0)/(sttf+1.0))))"
 _DFI_E = "((ttf+1.0)*qdl/(sttf+1.0))"
@@ -847,7 +847,7 @@ _TFN_H2 = "(freq*log2(1.0 + (sttf/nd)/qdl))"  # NormalizationH2, c=1
 _DFR_EXPR = (
     f"(log2((1.0+{_DFR_LAM})/{_DFR_LAM})"
     f" - (log2((1.0+{_DFR_LAM})/{_DFR_LAM}) - log2({_DFR_LAM}+1.0))/(1.0+{_TFN_H2}))"
-    f" * ((ttf+1.0)/df)"
+    f" * ((ttf+2.0)/(df+1.0))"
 )
 _IB_LAM = "((df+1.0)/(nd+1.0))"
 _IB_Q = f"(1.0 - 1.0/({_TFN_H2}+1.0))"
@@ -1144,7 +1144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_topk": _q_bool(lambda: DisMaxQ((TermQ("merge"), TermQ("sort")), 0.1), 20),
         "prefix_docs": _q_docset(lambda: PrefixQ("s")),
         "wildcard_docs": _q_docset(lambda: WildcardQ("b?g")),
-        "fuzzy_docs": _q_docset(lambda: FuzzyQ("mergee", 1)),
+        # "mereg" -> "merge" is reachable only via a transposition
+        # (Damerau 1, plain Levenshtein 2): exercises the doc_set path's
+        # Damerau-aware expansion (FuzzyTermsEnum transpositions=true).
+        "fuzzy_docs": _q_docset(lambda: FuzzyQ("mereg", 1)),
         "term_range_docs": _q_docset(lambda: TermRangeQ("q", "t", True, False)),
         "in_set_docs": _q_docset(lambda: TermInSetQ(("spark", "vector"))),
         "facet_lang_counts": _q_facet_lang("vector"),
@@ -1651,7 +1654,16 @@ ORDER BY score_r DESC, t.doc_id"""
         "dismax_topk": _topk_sql(dismax_sql, 20),
         "prefix_docs": _docset_sql("tf.term LIKE 's%'"),
         "wildcard_docs": _docset_sql("tf.term LIKE 'b_g'"),
-        "fuzzy_docs": _docset_sql("levenshtein(tf.term, 'mergee') <= 1"),
+        # mirrors _fuzzy_expansions: Damerau distance <= 1, top
+        # max_expansions=50 terms by FuzzyTermsEnum boost (desc, term asc)
+        "fuzzy_docs": _docset_sql(
+            "tf.term IN (SELECT term FROM ("
+            "SELECT term, CASE WHEN damerau_levenshtein(term, 'mereg') = 0"
+            " THEN 1.0 ELSE 1.0 - damerau_levenshtein(term, 'mereg')"
+            " / CAST(LEAST(length(term), 5) AS DOUBLE) END AS boost"
+            " FROM dfs WHERE damerau_levenshtein(term, 'mereg') <= 1"
+            " ORDER BY boost DESC, term ASC LIMIT 50))"
+        ),
         "term_range_docs": _docset_sql("tf.term >= 'q' AND tf.term < 't'"),
         "in_set_docs": _docset_sql("tf.term IN ('spark', 'vector')"),
         "facet_lang_counts": (

@@ -1190,6 +1190,15 @@ class Searcher:
     def _doc_set_uncached(self, q) -> DataFrame:
         if isinstance(q, P.TermQ):
             return self._doc_rows([q.term], q.field).distinct()
+        if isinstance(q, P.BlendedTermQ) and q.fields:
+            # cross-field blend in filter context: a doc matches if ANY
+            # (field, term) pair matches (BlendedTermQuery rewrites to a
+            # disjunction over Term(field, text) pairs) — union per field.
+            u = None
+            for fld in q.fields:
+                s = self._doc_rows(list(q.terms), fld)
+                u = s if u is None else u.unionByName(s)
+            return u.distinct()
         if isinstance(q, (P.SynonymQ, P.TermInSetQ, P.BlendedTermQ)):
             return self._doc_rows(list(q.terms), getattr(q, "field", None)).distinct()
         if isinstance(q, (P.PrefixQ, P.WildcardQ, P.RegexpQ)):
@@ -1197,10 +1206,14 @@ class Searcher:
                 self._multiterm_pred(q), q.field
             ).distinct()
         if isinstance(q, P.FuzzyQ):
-            pred = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
-            if q.prefix_len:
-                pred = pred & F.col("term").startswith(q.term[: q.prefix_len])
-            return self._doc_rows_for_predicate(pred, q.field).distinct()
+            # Same expansion set as the scored path (FuzzyTermsEnum with
+            # transpositions honored + pushed pre-filters) — a plain
+            # levenshtein predicate here would silently miss terms
+            # reachable only via a transposition (Damerau 1 / Lev 2).
+            terms = [t for t, _df, _b in self._fuzzy_expansions(q)]
+            if not terms:
+                return self.index.spark.createDataFrame([], _DOCS_SCHEMA)
+            return self._doc_rows(terms, q.field).distinct()
         if isinstance(q, P.TermRangeQ):
             return self._doc_rows_for_predicate(
                 self._multiterm_pred(q), q.field

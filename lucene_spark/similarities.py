@@ -140,9 +140,11 @@ class LMDirichletSimilarity(Similarity):
     def score(self, freqs, qdl, params):
         boost, p = params
         f = np.asarray(freqs, dtype=np.float64)
-        return boost * (
+        s = boost * (
             np.log1p(f / (self.mu * p)) + np.log(self.mu / (qdl + self.mu))
         )
+        # LMDirichletSimilarity.java:75 "return score > 0.0d ? score : 0.0d"
+        return np.maximum(s, 0.0)
 
 
 class LMJelinekMercerSimilarity(Similarity):
@@ -233,8 +235,10 @@ class DFRSimilarity(Similarity):
         boost, df, ttf, n_docs, sum_ttf = params
         avgdl = sum_ttf / n_docs
         tfn = _tfn(self.normalization, self.c, freqs, qdl, avgdl, ttf, sum_ttf, n_docs)
-        if self.after_effect == "b":   # AfterEffectB.java:32-35, (F + 1) / n
-            ae1p = (ttf + 1.0) / df
+        if self.after_effect == "b":
+            # AfterEffectB.java scoreTimes1pTfn: F = ttf+1, n = df+1,
+            # returns (F + 1) / n = (ttf + 2) / (df + 1)
+            ae1p = (ttf + 2.0) / (df + 1.0)
         else:                          # AfterEffectL.java:32-33
             ae1p = 1.0
         bm = self.basic_model
@@ -285,7 +289,12 @@ class IBSimilarity(Similarity):
         # DistributionSPL.java:46-58
         q = 1.0 - 1.0 / (tfn + 1.0)
         q = np.minimum(q, np.nextafter(1.0, 0.0))
-        return boost * -np.log((np.power(lam, q) - lam) / (1.0 - lam))
+        pow_ = np.power(lam, q)
+        # DistributionSPL.java pow==lambda rounding guard: when pow(lam, q)
+        # rounds to lam the log would be -inf; nudge one ulp toward 1
+        # (lam < 1 always here after the min() clamp above -> nextUp).
+        pow_ = np.where(pow_ == lam, np.nextafter(pow_, 1.0), pow_)
+        return boost * -np.log((pow_ - lam) / (1.0 - lam))
 
 
 _REGISTRY = {

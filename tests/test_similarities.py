@@ -74,7 +74,12 @@ def test_lmdirichlet_formula():
     # (LMDirichletSimilarity.java:70-74)
     p = 91 / 40_001.0
     want = np.log(1 + FREQS / (2000.0 * p)) + np.log(2000.0 / (QDL + 2000.0))
+    want = np.maximum(want, 0.0)  # LMDirichletSimilarity.java:75 clamp
     np.testing.assert_allclose(_score(S.LMDirichletSimilarity()), want, rtol=1e-12)
+    # long doc + rare freq drives the raw formula negative -> clamped to 0
+    got = _score(S.LMDirichletSimilarity(), freqs=np.array([1.0]),
+                 qdl=np.array([1e7]), ttf=39_000)
+    assert got[0] == 0.0
 
 
 def test_lmjm_formula():
@@ -102,15 +107,16 @@ def test_dfi_zero_at_or_below_expected():
 def test_dfr_g_b_matches_paper_form():
     """The reference rewrites G+B as (B-(B-A)/(1+tfn))*aeTimes1pTfn
     (BasicModelG.java:31-46). Paper form: (A + B*tfn) * ae with
-    ae = ((F+1)/n)/(1+tfn) (AfterEffectB.java:32-41). Must agree."""
+    ae = ((F+1)/n)/(1+tfn), F = ttf+1, n = df+1
+    (AfterEffectB.java scoreTimes1pTfn). Must agree."""
     sim = S.DFRSimilarity("g", "b", "h2")
     got = _score(sim)
-    n, f_ttf, nd, sttf = STATS["df"], STATS["ttf"], STATS["doc_count"], STATS["sum_ttf"]
+    df, f_ttf, nd, sttf = STATS["df"], STATS["ttf"], STATS["doc_count"], STATS["sum_ttf"]
     avgdl = sttf / nd
     tfn = FREQS * np.log2(1 + avgdl / QDL)
     lam = (f_ttf + 1) / (nd + f_ttf + 1)
     a, b = math.log2(lam + 1), math.log2((1 + lam) / lam)
-    ae = ((f_ttf + 1) / n) / (1 + tfn)
+    ae = ((f_ttf + 2) / (df + 1)) / (1 + tfn)
     want = (a + b * tfn) * ae
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
@@ -125,6 +131,15 @@ def test_ib_spl_df_h2():
     q = tfn / (tfn + 1)
     want = -np.log((lam**q - lam) / (1 - lam))
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_ib_spl_pow_rounding_guard_no_inf():
+    # DistributionSPL.java nudges pow when pow(lambda, q) rounds to lambda
+    # (else -log(0) = +inf). df == doc_count drives lam -> nextDown(1.0),
+    # where lam^q rounds to lam for q near 1.
+    got = _score(S.IBSimilarity("spl", "df", "h2"),
+                 freqs=np.array([1e18]), qdl=np.array([1.0]), df=1000)
+    assert np.isfinite(got[0])
 
 
 def test_registry_and_combined():
