@@ -444,6 +444,23 @@ def _q_bool(builder, k: int):
     return fn
 
 
+def _q_bool_wand(builder, k: int):
+    """Boolean top-k with the block-max WAND route forced on
+    (wand_min_postings=0): verifies the pruned distributed plan returns
+    the same top-k as the oracle, not just the plain one-scan plan."""
+
+    def fn(spark, sf_dir):
+        s = Searcher(_get_index(spark, sf_dir), wand_min_postings=0)
+        hits = s.top_k(builder(), k)
+        return (
+            hits.withColumn("score_r", F.round(F.col("score"), 4))
+            .orderBy(F.desc("score_r"), F.asc("doc_id"))
+            .select("doc_id", "score_r")
+        )
+
+    return fn
+
+
 def _q_sim_zoo(term: str):
     """All seven pluggable similarities in ONE gate (one score column per
     similarity over the term's full doc set, plus BooleanSimilarity over
@@ -1080,7 +1097,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate per operator family (SURVEY §2 / COVERAGE.md rows) into that window;
 # near-duplicate variants of already-covered families follow after.
 _GATE_WINDOW = [
-    "term_topk", "bool_or_topk", "bool_filter_lang",
+    "term_topk", "bool_or_wand_topk", "bool_filter_lang",
     "phrase_topk", "phrase_sloppy_topk", "multiphrase_topk",
     "ngram_phrase_topk", "common_terms_topk", "mlt_topk",
     "fuzzy_topk", "fuzzy_docs", "regexp_docs",
@@ -1114,6 +1131,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_topk": _q_term("vector", 10),
         "term_topk_hot": _q_term("the", 100),
         "bool_or_topk": _q_bool(lambda: BoolQ(should=(TermQ("merge"), TermQ("sort"))), 20),
+        # same query forced through the distributed block-max WAND route
+        # (wand_min_postings=0 overrides the cost gate): identical top-k
+        # contract, exercised end-to-end against the same oracle
+        "bool_or_wand_topk": _q_bool_wand(
+            lambda: BoolQ(should=(TermQ("merge"), TermQ("sort"))), 20
+        ),
         "bool_and_topk": _q_bool(lambda: BoolQ(must=(TermQ("filter"), TermQ("window"))), 20),
         "bool_must_not": _q_bool(
             lambda: BoolQ(must=(TermQ("merge"),), must_not=(TermQ("join"),)), 20
@@ -1733,6 +1756,7 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
         ),
         "term_topk_hot": _topk_sql(_term_scored_sql("the"), 100),
         "bool_or_topk": _topk_sql(or_sql, 20),
+        "bool_or_wand_topk": _topk_sql(or_sql, 20),
         "bool_and_topk": _topk_sql(and_sql, 20),
         "bool_must_not": _topk_sql(not_sql, 20),
         "bool_filter_lang": _topk_sql(filter_lang_sql, 20),

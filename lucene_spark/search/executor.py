@@ -1502,45 +1502,88 @@ class Searcher:
                 np.max(bm25.score_double(f, LENGTH_TABLE[nm & 0xFF], w, avgdl_dbl))
             )
 
-        cache_key = frozenset(weights.items())
-        salt_max = self._wand_meta_cache.get(cache_key)
-        if salt_max is None:
-            meta = (
-                self.index.postings_for_terms(terms)
-                .select("term", "salt", "row_impacts")
-                .collect()
-            )
-            salt_max = {}
-            for r in meta:
-                key = (r["term"], r["salt"])
-                m = imp_max(r["row_impacts"] or [], weights[r["term"]])
-                salt_max[key] = max(salt_max.get(key, 0.0), m)
-            self._wand_meta_cache[cache_key] = salt_max
-        must_l = sorted(must_set)
-
-        # ---- pass 3: pruned decode scan ----
-        rows = self.index.postings_for_terms(terms)
-        theta_f = float(theta)
         weights_b = dict(weights)
+
+        @F.pandas_udf(T.DoubleType())
+        def row_max_udf(term: pd.Series, imps: pd.Series) -> pd.Series:
+            out = []
+            for t, arr in zip(term, imps):
+                if arr is None or len(arr) == 0:
+                    # pre-upgrade segment rows (reader unions with
+                    # allowMissingColumns): bound unknown -> +inf, never
+                    # 0.0, or pruning would silently drop their blocks
+                    out.append(np.inf)
+                else:
+                    out.append(imp_max(arr, weights_b[t]))
+            return pd.Series(out)
+
+        # ---- pass 2: salt-level upper bounds, computed DISTRIBUTIVELY ----
+        # Per-row max score executor-side (column-pruned read, no block
+        # bytes), reduced to one scalar per (term, salt), then per-salt
+        # cross-clause aggregates. Nothing is collected to the driver:
+        # at 10^10 docs the (term, salt) metadata is millions of rows,
+        # which pass 3 consumes via a join (AQE broadcasts it when small).
+        cache_key = frozenset(weights.items())
+        bounds = self._wand_meta_cache.get(cache_key)
+        if bounds is None:
+            light = self.index.postings_for_terms(terms).select(
+                "term", "salt", "row_impacts"
+            )
+            ts_max = (
+                light.withColumn("m_ts", row_max_udf("term", "row_impacts"))
+                .groupBy("term", "salt")
+                .agg(F.max("m_ts").alias("m_ts"))
+            )
+            must_lc = sorted(must_set)
+            salt_agg = ts_max.groupBy("salt").agg(
+                F.sum("m_ts").alias("salt_total"),
+                F.count(
+                    F.when(F.col("term").isin(must_lc), F.lit(1))
+                ).alias("must_cnt"),
+            )
+            bounds = (
+                ts_max.join(salt_agg, "salt")
+                .select(
+                    "term",
+                    "salt",
+                    "m_ts",
+                    (F.col("salt_total") - F.col("m_ts")).alias("others"),
+                    "must_cnt",
+                )
+                .persist()
+            )
+            self._wand_meta_cache[cache_key] = bounds
+        n_must = len(must_set)
+
+        # ---- pass 3: pruned decode scan (bounds joined in, not collected) ----
+        rows = self.index.postings_for_terms(terms).join(
+            bounds, ["term", "salt"], "left"
+        )
+        theta_f = float(theta)
 
         def fn(iterator):
             for pdf in iterator:
                 parts = []
                 for row in pdf.itertuples(index=False):
-                    t, s = row.term, row.salt
-                    if must_l and any(
-                        (mt, s) not in salt_max for mt in must_l if mt != t
+                    t = row.term
+                    if (
+                        n_must
+                        and pd.notna(row.must_cnt)
+                        and int(row.must_cnt) < n_must
                     ):
                         continue  # conjunction impossible in this shard
-                    others = sum(
-                        salt_max.get((ot, s), 0.0) for ot in terms if ot != t
-                    )
+                    # inf - inf = NaN in the others column; NaN / missing
+                    # bound rows mean "unknown" -> no pruning (sound)
+                    others = row.others
+                    if pd.isna(others):
+                        others = np.inf
+                    own = row.m_ts if pd.notna(row.m_ts) else np.inf
                     w = weights_b[t]
                     for blk in row.blocks:
                         bmax = (
                             imp_max(blk["impacts"], w)
                             if len(blk["impacts"])
-                            else salt_max.get((t, s), np.inf)
+                            else own
                         )
                         if bmax + others < theta_f:
                             continue
