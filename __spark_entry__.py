@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
+from lucene_spark.analysis import uax29_tokens_sql as _uax29_tokens_sql
 from lucene_spark.index import Index, build_index
 from lucene_spark.pipeline import dedup, multimodal, similarity, textstats
 from lucene_spark.search.plans import (
@@ -97,6 +98,10 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
 # engine input and the oracle SQL; the chain is ascii_fold + index-time
 # synonym injection (fast -> quick, keepOrig) + EnglishMinimalStemmer.
 _AN_ANALYZER = {
+    # tokenizer pinned: this chain's DuckDB oracle prelude tokenizes with
+    # the plain [0-9a-z_]+ subset (ascii_fold rewrites string length, so
+    # the uax29 marker twin does not compose with it)
+    "tokenizer": "standard",
     "ascii_fold": True,
     "synonyms": {"fast": ["quick"]},
     "keep_orig": True,
@@ -164,7 +169,7 @@ def _get_wd_index(spark: SparkSession, sf_dir: str) -> Index:
     build_index(
         spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
         keep_cols=["lang"], num_buckets=8, salt_rows=2048, resume=True,
-        analyzer={"word_delimiter": True},
+        analyzer={"tokenizer": "standard", "word_delimiter": True},
     )
     _INDEXES[key] = Index(spark, idx_dir)
     return _INDEXES[key]
@@ -190,7 +195,7 @@ def _get_sh_index(spark: SparkSession, sf_dir: str) -> Index:
     build_index(
         spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
         keep_cols=["lang"], num_buckets=8, salt_rows=2048, resume=True,
-        analyzer={"shingles": True},
+        analyzer={"tokenizer": "standard", "shingles": True},
     )
     _INDEXES[key] = Index(spark, idx_dir)
     return _INDEXES[key]
@@ -351,9 +356,9 @@ def _docset_sorted(ds: DataFrame) -> DataFrame:
 # mirroring the engine exactly (see module docstring).
 # ---------------------------------------------------------------------------
 
-_PRELUDE = """
+_PRELUDE = f"""
 WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
+  SELECT doc_id, {_uax29_tokens_sql('text')} AS toks
   FROM documents
 ),
 dls AS (SELECT doc_id, len(toks) AS dl FROM tok),
@@ -746,9 +751,9 @@ def _q_join_parent(term: str, mode: str = "max"):
 
 
 
-_HEAD = """
+_HEAD = f"""
 , tokh AS (
-  SELECT doc_id, regexp_extract_all(lower(substr(text, 1, 200)), '[0-9a-z_]+') AS toks
+  SELECT doc_id, {_uax29_tokens_sql('substr(text, 1, 200)')} AS toks
   FROM documents),
 dlsh AS (SELECT doc_id, len(toks) AS dl FROM tokh),
 qdlsh AS (

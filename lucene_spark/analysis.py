@@ -367,8 +367,16 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
     stopset = stopwords if stopwords is not None else (
         frozenset(a["stopwords"]) if a.get("stopwords") else None
     )
+    # DEFAULT = "uax29": the MidNumLet/MidLetter join rules keep
+    # "don't" / "3.14" / "foo.bar" single tokens like the reference
+    # StandardTokenizer (JFlex UAX#29, StandardTokenizer.java:38).
+    # "standard" opts back into the plain [0-9a-z_]+ subset. The
+    # word_delimiter pre-splitter defaults to "standard": its split
+    # boundaries ('.' between identifier parts) are exactly the chars
+    # the uax29 joins would re-glue, so composing them undoes the split.
+    default_tok = "standard" if a.get("word_delimiter") else "uax29"
     return (
-        a.get("tokenizer", "standard"),
+        a.get("tokenizer", default_tok),
         bool(a.get("ascii_fold")),
         stopset,
         {k: list(v) for k, v in (a.get("synonyms") or {}).items()},
@@ -494,15 +502,23 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
                 lowered = lowered.str.replace(pat, rep, regex=True)
     all_starts = None
     if want_offsets:
-        if fold or uax or wd:
+        # uax29 is allowed: its marker substitution ("a.b" -> "aDb") is
+        # length-preserving, so match starts/lens in the marked text are
+        # valid spans of the original text after restore.
+        if fold or wd:
             raise ValueError(
                 "offsets require a length-preserving chain "
-                "(no ascii_fold / uax29 / word_delimiter)"
+                "(no ascii_fold / word_delimiter)"
             )
+        rx = UAX_TOKEN_REGEX if uax else TOKEN_REGEX
         tok_lists, start_lists = [], []
         for s in lowered:
-            matches = list(TOKEN_REGEX.finditer(s))
-            tok_lists.append([m.group() for m in matches])
+            matches = list(rx.finditer(s))
+            tok_lists.append(
+                [_uax29_restore(m.group()) for m in matches]
+                if uax
+                else [m.group() for m in matches]
+            )
             start_lists.append([m.start() for m in matches])
         all_terms = pd.Series(tok_lists, index=lowered.index, dtype=object)
         all_starts = start_lists
