@@ -49,6 +49,9 @@ from lucene_spark.search import (
     PrefixQ,
     RegexpQ,
     Searcher,
+    SpanNearQ,
+    SpanNotQ,
+    SpanTermQ,
     SynonymQ,
     TermInSetQ,
     TermQ,
@@ -1108,6 +1111,7 @@ _GATE_WINDOW = [
     "fuzzy_topk", "fuzzy_docs", "regexp_docs",
     "prefix_scored_topk", "wildcard_blended_topk",
     "synonym_topk", "dismax_topk", "interval_ordered_topk",
+    "span_near_topk",
     "feature_boost_topk", "function_score_topk",
     "blended_cross_field_topk", "parsed_field_query_topk",
     "sort_by_field", "sort_multi_field", "sort_after_page2",
@@ -1120,7 +1124,7 @@ _GATE_WINDOW = [
     "text_token_counts", "text_scrub",
     "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_clusters", "dedup_embedding_pairs",
-    "ann_cosine_topk", "ann_lsh_topk", "knn_join",
+    "ann_cosine_topk", "ann_lsh_topk",
     "multimodal_asset_stats",
 ]
 
@@ -1233,6 +1237,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     IntervalOrdered((IntervalTerm("data"), IntervalTerm("line"))),
                     IntervalTerm("big"),
                 )
+            ),
+            20,
+        ),
+        # span family (queries/spans): SpanNot(include=SpanNear(data, line,
+        # slop=3, inOrder), exclude=big, pre=1, post=1) — lowered through
+        # the interval algebra with overlap exclusion
+        "span_near_topk": _q_bool(
+            lambda: SpanNotQ(
+                SpanNearQ((SpanTermQ("data"), SpanTermQ("line")), 3, True),
+                SpanTermQ("big"),
+                pre=1,
+                post=1,
             ),
             20,
         ),
@@ -1725,6 +1741,32 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
             "FROM pf p JOIN qdls q USING (doc_id), g, "
             f"(SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data') "
             f"+ (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum) "
+            "SELECT doc_id, round(score, 4) AS score_r FROM scored "
+            "ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
+        ),
+        # SpanNot(SpanNear(data..line, slop=3, ordered), big, pre=1, post=1):
+        # minimal ordered intervals within slop whose [a-1, b+1] expansion
+        # zone contains no 'big'; freq = sum 1/(1+gaps), weight sums idf
+        # of every leaf term incl. the (optional) exclude when present
+        "span_near_topk": (
+            f"{_PRELUDE}{_POSR}, "
+            "pa AS (SELECT doc_id, pos - 1 AS a FROM posr WHERE toks[pos] = 'data'), "
+            "pb AS (SELECT doc_id, pos - 1 AS b FROM posr WHERE toks[pos] = 'line'), "
+            "pc AS (SELECT doc_id, pos - 1 AS c FROM posr WHERE toks[pos] = 'big'), "
+            "chain AS (SELECT pa.doc_id, pa.a, min(pb.b) AS b FROM pa "
+            "JOIN pb ON pb.doc_id = pa.doc_id AND pb.b > pa.a GROUP BY pa.doc_id, pa.a), "
+            "minimal AS (SELECT doc_id, max(a) AS a, b FROM chain GROUP BY doc_id, b), "
+            "kept AS (SELECT m.doc_id, m.a, m.b FROM minimal m "
+            "WHERE m.b - m.a - 1 <= 3 AND NOT EXISTS ("
+            "SELECT 1 FROM pc WHERE pc.doc_id = m.doc_id "
+            "AND pc.c BETWEEN m.a - 1 AND m.b + 1)), "
+            "pf AS (SELECT doc_id, sum(1.0 / (b - a)) AS freq FROM kept GROUP BY doc_id), "
+            "scored AS (SELECT p.doc_id, "
+            f"(wsum.w0) - (wsum.w0) / (1 + p.freq * {_INV}) AS score "
+            "FROM pf p JOIN qdls q USING (doc_id), g, "
+            f"(SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data') "
+            f"+ (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') "
+            f"+ coalesce((SELECT {_w('df')} FROM dfs, g WHERE term = 'big'), 0) AS w0) wsum) "
             "SELECT doc_id, round(score, 4) AS score_r FROM scored "
             "ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
         ),

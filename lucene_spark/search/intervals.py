@@ -42,6 +42,10 @@ def _children(src) -> list:
         return [src.small, src.big]
     if isinstance(src, P.IntervalNotWithin):
         return [src.minuend, src.subtrahend]
+    if isinstance(src, P.IntervalFirst):
+        return [src.source]
+    if isinstance(src, P.IntervalNotOverlapping):
+        return [src.minuend, src.subtrahend]
     raise TypeError(f"not an interval source: {src!r}")
 
 
@@ -84,6 +88,10 @@ def required_terms(src) -> list[list[str]]:
     if isinstance(src, P.IntervalNotContainedBy):
         return required_terms(src.small)
     if isinstance(src, P.IntervalNotWithin):
+        return required_terms(src.minuend)
+    if isinstance(src, P.IntervalFirst):
+        return required_terms(src.source)
+    if isinstance(src, P.IntervalNotOverlapping):
         return required_terms(src.minuend)
     raise TypeError(f"not an interval source: {src!r}")
 
@@ -147,6 +155,24 @@ def evaluate(src, pos_by_term: dict) -> list[tuple[int, int]]:
             m for m in minuend
             if not any(m[0] <= s1 + n and s0 - n <= m[1] for s0, s1 in sub)
         ]
+    if isinstance(src, P.IntervalFirst):
+        # SpanFirstQuery: span.end() <= end with exclusive span ends,
+        # i.e. inclusive interval end < end
+        return [
+            iv for iv in evaluate(src.source, pos_by_term) if iv[1] < src.end
+        ]
+    if isinstance(src, P.IntervalNotOverlapping):
+        minuend = evaluate(src.minuend, pos_by_term)
+        sub = evaluate(src.subtrahend, pos_by_term)
+        pre, post = src.pre, src.post
+        # exclusion zone per subtrahend interval: [s0 - pre, s1 + post];
+        # overlap <=> m0 <= zone_end and zone_start <= m1
+        return [
+            m for m in minuend
+            if not any(
+                m[0] <= s1 + post and s0 - pre <= m[1] for s0, s1 in sub
+            )
+        ]
     if isinstance(src, P.IntervalOrdered):
         subs = [evaluate(s, pos_by_term) for s in src.sources]
         if any(not s for s in subs):
@@ -206,8 +232,11 @@ def _gap_k(src) -> int:
         return _gap_k(src.big)
     if isinstance(src, (P.IntervalContainedBy, P.IntervalNotContainedBy)):
         return _gap_k(src.small)
-    if isinstance(src, (P.IntervalNotContaining, P.IntervalNotWithin)):
+    if isinstance(src, (P.IntervalNotContaining, P.IntervalNotWithin,
+                        P.IntervalNotOverlapping)):
         return _gap_k(src.minuend)
+    if isinstance(src, P.IntervalFirst):
+        return _gap_k(src.source)
     if isinstance(src, P.IntervalOr):
         # result intervals each come from one alternative; use the
         # smallest alternative's k (width-0 leaves dominate in practice)

@@ -340,6 +340,139 @@ class IntervalQ:
     boost: float = 1.0
 
 
+# ---------------------------------------------------------------------------
+# Span query family (queries/spans: SpanTermQuery.java, SpanNearQuery.java,
+# SpanOrQuery.java, SpanNotQuery.java:49, SpanFirstQuery.java,
+# SpanContainingQuery.java, SpanWithinQuery.java) — the legacy positional
+# API most Lucene applications still call. Every node LOWERS to the
+# minimal-interval algebra via span_source() inside rewrite(): the
+# interval evaluator subsumes span matching, and the span scoring shape
+# (sloppyFreq += 1/(1+matchWidth), SpanScorer.java:141-159) is exactly
+# IntervalQ's per-interval 1/(1+gaps) saturation. Two interval
+# combinators below exist only for span semantics.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class IntervalFirst:
+    """SpanFirstQuery.java analog: intervals of ``source`` whose span end
+    falls within the first ``end`` positions (Lucene span ends are
+    exclusive: span.end() <= end <=> inclusive iv_end < end)."""
+
+    source: object
+    end: int
+
+
+@dataclass(frozen=True)
+class IntervalNotOverlapping:
+    """SpanNotQuery.java:49 analog: intervals of ``minuend`` that do not
+    overlap any ``subtrahend`` interval expanded by ``pre`` positions
+    before its start and ``post`` after its end (subtrahend optional)."""
+
+    minuend: object
+    subtrahend: object
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass(frozen=True)
+class SpanTermQ:
+    """spans/SpanTermQuery.java — leaf span, one (p, p) span per hit."""
+
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNearQ:
+    """spans/SpanNearQuery.java — clause spans within ``slop`` total
+    intervening positions, in order or any order. slop maps to the
+    interval algebra's max_gaps (NearSpansOrdered width accounting)."""
+
+    clauses: tuple
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanOrQ:
+    """spans/SpanOrQuery.java — union of clause spans."""
+
+    clauses: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNotQ:
+    """spans/SpanNotQuery.java — include spans not overlapping exclude
+    spans (exclude expanded by pre/post positions)."""
+
+    include: object
+    exclude: object
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirstQ:
+    """spans/SpanFirstQuery.java — match spans ending within the first
+    ``end`` positions of the field."""
+
+    match: object
+    end: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanContainingQ:
+    """spans/SpanContainingQuery.java — spans of big containing little."""
+
+    big: object
+    little: object
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanWithinQ:
+    """spans/SpanWithinQuery.java — spans of little within big."""
+
+    little: object
+    big: object
+    boost: float = 1.0
+
+
+_SPAN_NODES = (
+    SpanTermQ, SpanNearQ, SpanOrQ, SpanNotQ, SpanFirstQ,
+    SpanContainingQ, SpanWithinQ,
+)
+
+
+def span_source(q):
+    """Lower a span node to its interval source (documented subsumption:
+    the intervals module evaluates span semantics)."""
+    if isinstance(q, SpanTermQ):
+        return IntervalTerm(q.term)
+    if isinstance(q, SpanNearQ):
+        srcs = tuple(span_source(c) for c in q.clauses)
+        cls = IntervalOrdered if q.in_order else IntervalUnordered
+        return cls(srcs, max_gaps=q.slop)
+    if isinstance(q, SpanOrQ):
+        return IntervalOr(tuple(span_source(c) for c in q.clauses))
+    if isinstance(q, SpanNotQ):
+        return IntervalNotOverlapping(
+            span_source(q.include), span_source(q.exclude), q.pre, q.post
+        )
+    if isinstance(q, SpanFirstQ):
+        return IntervalFirst(span_source(q.match), q.end)
+    if isinstance(q, SpanContainingQ):
+        return IntervalContaining(span_source(q.big), span_source(q.little))
+    if isinstance(q, SpanWithinQ):
+        return IntervalContainedBy(span_source(q.little), span_source(q.big))
+    raise TypeError(f"not a span query: {q!r}")
+
+
 @dataclass(frozen=True)
 class CommonTermsQ:
     """queries/CommonTermsQuery.java — df-threshold plan rewrite: terms
@@ -416,4 +549,8 @@ def rewrite(q):
                 positions=tuple(i for _, i in keep),
             )
         return PhraseQ(terms, 0, q.boost, q.field)
+    if isinstance(q, _SPAN_NODES):
+        # span family -> minimal-interval algebra (SpanWeight's
+        # sloppyFreq scoring == IntervalQ's 1/(1+gaps) saturation)
+        return IntervalQ(span_source(q), q.boost)
     return q
