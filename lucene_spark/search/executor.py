@@ -130,6 +130,13 @@ class Searcher:
     # decisions; at 100 TB any hot clause clears this instantly.
     WAND_MIN_POSTINGS = 5_000_000
 
+    # Phrase phase-1: once the rarest slot's df is at most this, the
+    # position shuffle is already bounded tightly enough that decoding
+    # the REMAINING slots' doc blocks (one scan + semi-join apiece) costs
+    # more than the rows it would prune — phase 2's position matching is
+    # exact regardless. Mirrors ConjunctionDISI's lead-cost asymmetry.
+    PHRASE_CONJ_MIN_DF = 65_536
+
     def __init__(self, index: Index, scoring: str = "lucene", prune: bool = True,
                  wand_min_postings: int | None = None,
                  similarity: str | object | None = None,
@@ -882,9 +889,15 @@ class Searcher:
             key = tuple(sorted(t for t in alt if t in stats))
             seen.setdefault(key, None)
         ordered = sorted(seen, key=lambda key: sum(stats[t][0] for t in key))
+        if len(ordered) > 1:
+            rarest_df = sum(stats[t][0] for t in ordered[0])
+            if rarest_df <= self.PHRASE_CONJ_MIN_DF:
+                ordered = ordered[:1]
         surv = None
         for key in ordered:
-            sd = self._doc_rows(list(key), field).distinct()
+            # duplicate docIDs are harmless on the probe/build side of a
+            # left-semi join — no distinct() (it would add an exchange)
+            sd = self._doc_rows(list(key), field)
             surv = sd if surv is None else surv.join(sd, "doc_id", "left_semi")
         return surv
 
@@ -1302,17 +1315,62 @@ class Searcher:
         (IndexSearcher.java:660-712).
 
         Block-max WAND pruning stays on per query (same routing as
-        top_k); the per-query limit is a row_number window partitioned
-        by query_id — one shuffle of at most ~(candidates) rows, and
-        WAND-pruned queries contribute only their surviving blocks."""
+        top_k); its θ-sampling and candidate-verification driver jobs
+        are BATCHED across queries too (one tagged union action each)
+        so they never serialize the suite. The per-query limit is a
+        row_number window partitioned by query_id — one shuffle of at
+        most ~(candidates) rows, and WAND-pruned queries contribute
+        only their surviving blocks."""
         from pyspark.sql.window import Window
 
+        rewritten = {qid: P.rewrite(q) for qid, q in queries.items()}
+        wand_st = {}
+        if self.prune_enabled:
+            for qid, qr in rewritten.items():
+                if isinstance(qr, P.BoolQ):
+                    st = self._wand_state(qr, k)
+                    if st is not None:
+                        wand_st[qid] = st
+        live = {qid: st for qid, st in wand_st.items() if st != "empty"}
+
+        # ---- batched WAND pass 1: every query's θ samples, ONE action ----
+        samples_by_qid: dict[str, list] = {qid: [] for qid in live}
+        if live:
+            u = None
+            for qid, st in live.items():
+                p = self._wand_sample_plan(st, k).select(
+                    F.lit(qid).alias("query_id"), "doc_id", "score"
+                )
+                u = p if u is None else u.unionByName(p)
+            for r in u.collect():
+                samples_by_qid[r["query_id"]].append(r)
+
+        # ---- batched θ verification: ONE action across queries ----
+        verified_by_qid: dict[str, list] = {}
+        vplans = None
+        for qid, st in live.items():
+            if self._wand_needs_verify(st):
+                verified_by_qid[qid] = []
+                ids = list({r["doc_id"] for r in samples_by_qid[qid]})
+                vp = self.scored(rewritten[qid], candidates=ids).select(
+                    F.lit(qid).alias("query_id"), "score"
+                )
+                vplans = vp if vplans is None else vplans.unionByName(vp)
+        if vplans is not None:
+            for r in vplans.collect():
+                verified_by_qid[r["query_id"]].append(float(r["score"]))
+
         parts = []
-        for qid, q in queries.items():
-            qr = P.rewrite(q)
+        for qid, qr in rewritten.items():
             scored = None
-            if isinstance(qr, P.BoolQ) and self.prune_enabled:
-                scored = self._bool_topk_wand(qr, k)
+            st = wand_st.get(qid)
+            if st == "empty":
+                scored = self._empty_scored().limit(k)
+            elif st is not None:
+                theta = self._wand_theta(
+                    st, k, samples_by_qid[qid], verified_by_qid.get(qid)
+                )
+                scored = self._wand_pruned_plan(st, theta, k)
             if scored is None:
                 scored = self.scored(qr, k=k)
             parts.append(
@@ -1415,7 +1473,33 @@ class Searcher:
            block's bound), so results are identical to the unpruned plan.
 
         Returns None when the shape doesn't apply (non-term clauses,
-        overlapping term sets, index without row_impacts)."""
+        overlapping term sets, index without row_impacts).
+
+        Staged as _wand_state -> _wand_sample_plan (pass-1 collect) ->
+        optional candidate verification -> _wand_theta ->
+        _wand_pruned_plan so top_k_batch can run EVERY query's θ
+        sampling (and verification) as one tagged union action instead
+        of serial per-query driver jobs."""
+        st = self._wand_state(q, k)
+        if st is None:
+            return None
+        if st == "empty":
+            return self._empty_scored().limit(k)
+        samples = self._wand_sample_plan(st, k).collect()
+        verified = None
+        if self._wand_needs_verify(st):
+            ids = list({r["doc_id"] for r in samples})
+            verified = [
+                float(r["score"])
+                for r in self.scored(q, candidates=ids).collect()
+            ]
+        theta = self._wand_theta(st, k, samples, verified)
+        return self._wand_pruned_plan(st, theta, k)
+
+    def _wand_state(self, q: P.BoolQ, k: int):
+        """Shape check + stats lookup for the WAND path. Returns None
+        (shape doesn't apply -> plain path), "empty" (provably no
+        hits), or the state dict the later stages consume."""
         if not (q.must or q.should):
             return None
         if not all(
@@ -1431,11 +1515,11 @@ class Searcher:
             return None
         stats = self.index.stats_for_terms(all_terms)
         if any(t not in stats for t, _ in must_t):
-            return self._empty_scored().limit(k)
+            return "empty"
         should_t = [(t, b) for t, b in should_t if t in stats]
         msm = q.min_should_match
         if not must_t and len(should_t) < max(1, msm):
-            return self._empty_scored().limit(k)
+            return "empty"
         weights = {
             t: self._weight(stats[t][0], b, ttf=stats[t][1])
             for t, b in must_t + should_t
@@ -1444,32 +1528,43 @@ class Searcher:
             return None  # single-term: the plain path already prunes
         if sum(stats[t][0] for t in weights) < self.wand_min_postings:
             return None  # decode too small to amortize θ round-trips
-        terms = list(weights)
-        must_set = frozenset(t for t, _ in must_t)
-        should_set = frozenset(t for t, _ in should_t)
+        return {
+            "q": q,
+            "weights": weights,
+            "terms": list(weights),
+            "must_set": frozenset(t for t, _ in must_t),
+            "should_set": frozenset(t for t, _ in should_t),
+            "msm": msm,
+        }
 
-        # ---- pass 1: θ_lb ----
+    def _wand_sample_plan(self, st, k: int) -> DataFrame:
+        """Pass 1 plan: union of per-term top-k (single-term block-max
+        pruned) — the θ_lb candidate sample."""
+        weights = st["weights"]
         union = None
-        for t in terms:
+        for t in st["terms"]:
             tk = (
                 self._scored_term_rows({t: weights[t]}, k)
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
             )
             union = tk if union is None else union.unionByName(tk)
-        samples = union.collect()
+        return union
+
+    def _wand_needs_verify(self, st) -> bool:
+        q = st["q"]
+        return bool(q.must or st["msm"] > 1 or q.filter or q.must_not)
+
+    def _wand_theta(self, st, k: int, samples, verified) -> float:
+        """θ_lb from the pass-1 samples; ``verified`` is the exact
+        candidate-bounded score list when the query shape requires it
+        (must/msm/filter/must_not), else None and driver-side partial
+        sums already lower-bound the totals."""
         theta = -np.inf
-        if q.must or msm > 1 or q.filter or q.must_not:
-            ids = list({r["doc_id"] for r in samples})
-            verified = sorted(
-                (
-                    r["score"]
-                    for r in self.scored(q, candidates=ids).collect()
-                ),
-                reverse=True,
-            )
-            if len(verified) >= k:
-                theta = float(verified[k - 1])
+        if verified is not None:
+            vs = sorted(verified, reverse=True)
+            if len(vs) >= k:
+                theta = float(vs[k - 1])
         else:
             partial: dict[int, float] = {}
             for r in samples:
@@ -1482,6 +1577,17 @@ class Searcher:
             # can overshoot the engine's stored totals by ulps — keep the
             # bound strictly sound (costs ~nothing in pruning power)
             theta -= 1e-9 * abs(theta) + 1e-12
+        return float(theta)
+
+    def _wand_pruned_plan(self, st, theta: float, k: int) -> DataFrame:
+        """Passes 2+3 (see _bool_topk_wand): distributive salt-level
+        cross-clause bounds, then the pruned decode scan + assembly."""
+        q = st["q"]
+        weights = st["weights"]
+        terms = st["terms"]
+        must_set = st["must_set"]
+        should_set = st["should_set"]
+        msm = st["msm"]
 
         # ---- pass 2: salt-level upper bounds (metadata-only read) ----
         scoring = self.scoring
@@ -1708,7 +1814,11 @@ class Searcher:
         components are computed with the same bm25 arithmetic as the
         decode UDF, in the searcher's scoring mode)."""
         q = P.rewrite(q)
-        NO = {"value": 0.0, "description": "no matching term", "details": []}
+        # non-matches carry a structured matched=False marker (Lucene
+        # Explanation.noMatch analog) — parents must NOT sniff description
+        # strings, a nested failed MUST reports a different description
+        NO = {"value": 0.0, "description": "no matching term",
+              "details": [], "matched": False}
         if isinstance(q, P.TermQ):
             stats = self.index.stats_for_terms([q.term], q.field)
             if q.term not in stats:
@@ -1746,6 +1856,10 @@ class Searcher:
             }
         if isinstance(q, P.BoostQ):
             inner = self.explain(q.inner, doc_id)
+            if not inner.get("matched", True):
+                return {"value": 0.0,
+                        "description": f"boost {q.boost}, no match",
+                        "details": [inner], "matched": False}
             val = inner["value"] * q.boost
             if self.scoring == "lucene":
                 val = float(np.float32(inner["value"]) * np.float32(q.boost))
@@ -1766,39 +1880,39 @@ class Searcher:
         if isinstance(q, P.BoolQ):
             must = [self.explain(c, doc_id) for c in q.must]
             should = [self.explain(c, doc_id) for c in q.should]
-            if any(m["value"] == 0.0 and m["description"] == NO["description"]
-                   for m in must):
+            if any(not m.get("matched", True) for m in must):
                 return {"value": 0.0,
                         "description": "failure to meet MUST clause",
-                        "details": must}
+                        "details": must, "matched": False}
             for c in q.must_not:
                 if self.doc_set(c).filter(F.col("doc_id") == doc_id).count():
                     return {"value": 0.0,
                             "description": "match on prohibited clause",
-                            "details": []}
+                            "details": [], "matched": False}
             for c in q.filter:
                 if not self.doc_set(c).filter(
                     F.col("doc_id") == doc_id
                 ).count():
                     return {"value": 0.0,
                             "description": "failure to meet FILTER clause",
-                            "details": []}
+                            "details": [], "matched": False}
             matching = [m for m in must] + [
-                s for s in should if s["description"] != NO["description"]
+                s for s in should if s.get("matched", True)
             ]
-            n_should = sum(
-                1 for s in should if s["description"] != NO["description"]
-            )
+            n_should = sum(1 for s in should if s.get("matched", True))
             if q.min_should_match and n_should < q.min_should_match:
                 return {"value": 0.0,
                         "description": "failure to meet minShouldMatch",
-                        "details": []}
+                        "details": [], "matched": False}
+            if not matching:
+                return {"value": 0.0, "description": "no matching clause",
+                        "details": must + should, "matched": False}
             val = float(np.sum([m["value"] for m in matching], dtype=np.float64))
             return {"value": val, "description": "sum of:",
                     "details": matching}
         if isinstance(q, P.DisMaxQ):
             ds = [self.explain(c, doc_id) for c in q.clauses]
-            hits = [d for d in ds if d["description"] != NO["description"]]
+            hits = [d for d in ds if d.get("matched", True)]
             if not hits:
                 return NO
             vals = [d["value"] for d in hits]

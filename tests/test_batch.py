@@ -88,6 +88,16 @@ def test_explain_matches_score(built):
         miss_doc = 10**9
         ex0 = s.explain(q, miss_doc)
         assert ex0["value"] == 0.0
+        assert ex0.get("matched", True) is False
+    # a NESTED failed MUST clause must propagate matched=False (the parent
+    # may not sniff description strings — the inner failure's description
+    # is 'failure to meet MUST clause', not 'no matching term')
+    inner = BoolQ(must=(TermQ("zzz_missing"),), should=(TermQ("import"),))
+    outer = BoolQ(must=(inner,), should=(TermQ("class"),))
+    some_doc = int(s.top_k(TermQ("class"), 1).collect()[0]["doc_id"])
+    ex_nested = s.explain(outer, some_doc)
+    assert ex_nested["value"] == 0.0
+    assert ex_nested.get("matched", True) is False
     # structural sanity: term explanation decomposes into boost*idf*tf
     ex = s.explain(TermQ("import"), int(s.top_k(TermQ("import"), 1).collect()[0]["doc_id"]))
     parts = [d["value"] for d in ex["details"]]
