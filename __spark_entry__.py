@@ -666,6 +666,25 @@ def _q_ann_lsh(query_id: int, k: int):
     return q
 
 
+def _q_ann_ivf(query_id: int, k: int, n_cells: int = 8, nprobe: int = 2):
+    """IVF coarse-quantizer ANN: cell-partitioned index, nprobe nearest
+    cells probed, exact cosine rerank. Seeded deterministic centroids so
+    the DuckDB oracle inlines them (similarity.ivf_self_sql)."""
+
+    def q(spark, sf_dir):
+        emb = _emb_df(spark, sf_dir)
+        qv = emb.filter(F.col("vec_id") == query_id).select("embedding").collect()[0][0]
+        C = similarity.ivf_centroids_random(len(qv), n_cells)
+        tag = os.path.normpath(sf_dir).strip("/").replace("/", "_")
+        ivf_dir = os.path.join(_CACHE_ROOT, f"ivfidx_{tag}")
+        if not os.path.exists(os.path.join(ivf_dir, "_SUCCESS")):
+            similarity.build_ivf_index(emb, ivf_dir, C)
+        index = spark.read.parquet(ivf_dir)
+        return similarity.ivf_topk(None, list(qv), k, C, nprobe, index=index)
+
+    return q
+
+
 def _q_mlt(seed_doc: int, max_terms: int, k: int):
     def fn(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -712,6 +731,30 @@ def _q_suggest(prefix: str, n: int):
     return fn
 
 
+def _q_suggest_infix(query: str, n: int):
+    """AnalyzingInfixSuggester analog (suggest/analyzing/
+    AnalyzingInfixSuggester.java:102): every query token exact except
+    the last (prefix), ranked by weight desc. Suggestion source: the
+    documents table, weight = n_chars."""
+
+    def fn(spark, sf_dir):
+        from lucene_spark.search.suggest import InfixSuggester
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        sug = InfixSuggester(
+            docs.select(
+                F.col("doc_id").alias("key"),
+                "text",
+                F.col("n_chars").alias("weight"),
+            )
+        )
+        return sug.lookup(query, n).select(
+            F.col("key").alias("doc_id"), "weight"
+        )
+
+    return fn
+
+
 def _q_facet_range(term: str):
     def fn(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -730,6 +773,72 @@ def _q_facet_range(term: str):
         )
 
     return fn
+
+
+def _taxo_docs(s):
+    """Docs projection with the 3-level source/lang/size taxonomy path
+    (FacetField("dim", levels...) analog) derived from stored columns."""
+    from lucene_spark import facets
+
+    return s.index.docs.withColumn(
+        "path",
+        facets.path_column(
+            F.col("source"),
+            F.col("lang"),
+            F.when(F.col("n_chars") < 1000, F.lit("short")).otherwise(
+                F.lit("long")
+            ),
+        ),
+    )
+
+
+def _q_facet_taxonomy(term: str):
+    """Hierarchical taxonomy facet counts
+    (facet/taxonomy/FastTaxonomyFacetCounts.java:39): every prefix of
+    each matching doc's source/lang/size path counted once per doc."""
+
+    def fn(spark, sf_dir):
+        from lucene_spark import facets
+
+        s = _searcher(spark, sf_dir)
+        out = facets.taxonomy_counts(s.doc_set(TermQ(term)), _taxo_docs(s))
+        return out.withColumn("depth", F.col("depth").cast("long")).orderBy(
+            "node"
+        )
+
+    return fn
+
+
+def _q_facet_taxonomy_children(term: str, top_n: int):
+    """getTopChildren analog (facet/taxonomy/TaxonomyFacets): top-N
+    children of every node by (count desc, label asc)."""
+
+    def fn(spark, sf_dir):
+        from lucene_spark import facets
+
+        s = _searcher(spark, sf_dir)
+        out = facets.taxonomy_top_children(
+            s.doc_set(TermQ(term)), _taxo_docs(s), top_n=top_n
+        )
+        return out.withColumn("rnk", F.col("rnk").cast("long")).orderBy(
+            "parent", "rnk"
+        )
+
+    return fn
+
+
+def _taxo_oracle_prelude(term: str) -> str:
+    return (
+        f", m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{term}'), "
+        "pd AS (SELECT d.doc_id, d.source AS l1, d.lang AS l2, "
+        "CASE WHEN d.n_chars < 1000 THEN 'short' ELSE 'long' END AS l3 "
+        "FROM m JOIN documents d USING (doc_id)), "
+        "ex AS (SELECT l1 AS node, '' AS parent, CAST(1 AS BIGINT) AS depth FROM pd "
+        "UNION ALL SELECT l1 || '/' || l2, l1, 2 FROM pd "
+        "UNION ALL SELECT l1 || '/' || l2 || '/' || l3, l1 || '/' || l2, 3 FROM pd), "
+        "tx AS (SELECT node, parent, depth, count(*) AS cnt "
+        "FROM ex GROUP BY node, parent, depth)"
+    )
 
 
 def _q_join_parent(term: str, mode: str = "max"):
@@ -1114,9 +1223,10 @@ _GATE_WINDOW = [
     "span_near_topk",
     "feature_boost_topk", "function_score_topk",
     "blended_cross_field_topk", "parsed_field_query_topk",
-    "sort_by_field", "sort_multi_field", "sort_after_page2",
+    "sort_by_field", "sort_after_page2",
     "total_hits", "rescore_topk",
-    "facet_range_nchars", "drill_sideways", "group_top_per_lang",
+    "facet_range_nchars", "facet_taxonomy_path", "drill_sideways",
+    "group_top_per_lang",
     "join_parent_max", "suggest_prefix", "spell_suggest",
     "sim_zoo_topk",
     "uax29_term_topk", "stemmed_term_topk", "synonym_index_topk",
@@ -1178,10 +1288,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "rescore_topk": _q_rescore("data", ("data", "line"), 20, 2.0),
         "suggest_prefix": _q_suggest("s", 10),
+        "suggest_infix": _q_suggest_infix("data vect", 10),
         "facet_range_nchars": _q_facet_range("vector"),
+        "facet_taxonomy_path": _q_facet_taxonomy("vector"),
+        "facet_taxonomy_children": _q_facet_taxonomy_children("vector", 2),
         "join_parent_max": _q_join_parent("merge"),
         "join_parent_avg": _q_join_parent("merge", "avg"),
-        "regexp_docs": _q_docset(lambda: RegexpQ("^b[aeiou]g$")),
+        # Lucene RegExp dialect: implicit whole-term anchoring, no ^$
+        # metachars (util/automaton/RegExp.java) — compiled via
+        # search/regexp.py to the oracle's anchored RE
+        "regexp_docs": _q_docset(lambda: RegexpQ("b[aeiou]g")),
         "parsed_query_topk": _q_bool(
             lambda: parse_query("merge AND sort -join"), 20
         ),
@@ -1340,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_cosine_topk": _q_ann_cosine(0, 10),
         "ann_lsh_topk": _q_ann_lsh(0, 10),  # approximate: rows-only check
+        "ann_ivf_topk": _q_ann_ivf(0, 10),
         "knn_join": _q_pipeline(
             lambda s, d: similarity.knn_join(
                 _emb_df(s, d),
@@ -1618,6 +1735,14 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
             f"FROM tf WHERE term LIKE 's%' GROUP BY term "
             f"ORDER BY weight DESC, term LIMIT 10"
         ),
+        "suggest_infix": (
+            f"{_PRELUDE} SELECT d.doc_id, d.n_chars AS weight FROM documents d "
+            "WHERE EXISTS (SELECT 1 FROM terms t WHERE t.doc_id = d.doc_id "
+            "AND t.term = 'data') "
+            "AND EXISTS (SELECT 1 FROM terms t WHERE t.doc_id = d.doc_id "
+            "AND t.term LIKE 'vect%') "
+            "ORDER BY weight DESC, d.doc_id LIMIT 10"
+        ),
         "facet_range_nchars": (
             f"{_PRELUDE} SELECT CASE WHEN d.n_chars < 500 THEN '0-499' "
             f"WHEN d.n_chars < 1000 THEN '500-999' "
@@ -1625,6 +1750,17 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
             f"count(*) AS cnt "
             f"FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector') m "
             f"JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY bucket"
+        ),
+        "facet_taxonomy_path": (
+            f"{_PRELUDE}{_taxo_oracle_prelude('vector')} "
+            "SELECT node, parent, depth, cnt FROM tx ORDER BY node"
+        ),
+        "facet_taxonomy_children": (
+            f"{_PRELUDE}{_taxo_oracle_prelude('vector')} "
+            "SELECT parent, node, cnt, rnk FROM ("
+            "SELECT parent, node, cnt, CAST(row_number() OVER ("
+            "PARTITION BY parent ORDER BY cnt DESC, node ASC) AS BIGINT) AS rnk "
+            "FROM tx) WHERE rnk <= 2 ORDER BY parent, rnk"
         ),
         "join_parent_max": (
             f"{_PRELUDE}, scored AS ({_term_scored_sql('merge')}) "
@@ -1876,6 +2012,7 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
         # deterministic LSH oracle: seeded hyperplanes inlined as SQL
         # literals, identical candidate set to the Spark probe
         "ann_lsh_topk": similarity.ann_lsh_self_sql(0, 10, nbits=8, probe_hamming=1),
+        "ann_ivf_topk": similarity.ivf_self_sql(0, 10, n_cells=8, nprobe=2),
         "knn_join": similarity.knn_join_self_sql(3, 5),
         "multimodal_asset_stats": multimodal.asset_stats_sql(),
     }

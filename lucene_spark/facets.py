@@ -1,0 +1,152 @@
+"""Faceting — flat term counts, range counts, and hierarchical taxonomy
+counts (facet/FacetsCollector.java, facet/range/RangeFacetCounts.java,
+facet/taxonomy/FastTaxonomyFacetCounts.java:39, TaxonomyReader.java).
+
+Spark-first shapes. A facet dimension is a docs-table column; the
+taxonomy analog is an ``ARRAY<STRING>`` path column (the reference's
+FacetLabel / ordinal dictionary collapses to the path prefixes
+themselves — Spark shuffles by the prefix value, so no global ordinal
+assignment pass is needed). Counting a dimension is a semi-joined
+groupBy with map-side partial aggregation: at 100 TB each facet costs
+one shuffle of (#distinct-nodes x #partitions) partial rows, never a
+doc-row shuffle. Everything below is built-in column expressions
+(whole-stage codegen); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SEP = "/"
+
+
+def path_column(*levels) -> "F.Column":
+    """Build the ARRAY<STRING> taxonomy path from level expressions
+    (FacetField("dim", "level1", "level2", ...) analog). Level values
+    must not contain the separator; cast + null-safe."""
+    return F.array(*[F.col(c) if isinstance(c, str) else c for c in levels])
+
+
+def taxonomy_counts(
+    matches: DataFrame,
+    docs: DataFrame,
+    path_col: str = "path",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """FastTaxonomyFacetCounts.java:39 analog: for every matching doc,
+    count EVERY prefix of its taxonomy path (the reference increments
+    the ordinal of each path ancestor per doc; here the "ordinal" is
+    the joined prefix string).
+
+    Returns (node, parent, depth, cnt): node = "a/b/c" prefix joined
+    with '/', parent = the node one level up ('' at depth 1).
+
+    Plan: semi-join matches into the path projection, explode the
+    prefix arrays (output rows = depth x matches, bounded by max path
+    depth), then ONE groupBy(node) with partial aggregation. No window,
+    no driver collect."""
+    path = F.col(path_col)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(path)),
+        lambda i: F.slice(path, F.lit(1), i),
+    )
+    joined = matches.select(doc_id_col).join(
+        docs.select(doc_id_col, path_col), doc_id_col
+    )
+    exploded = joined.select(F.explode(prefixes).alias("node_arr"))
+    counts = exploded.groupBy("node_arr").agg(F.count(F.lit(1)).alias("cnt"))
+    depth = F.size("node_arr")
+    return counts.select(
+        F.array_join("node_arr", SEP).alias("node"),
+        F.array_join(F.slice("node_arr", F.lit(1), depth - 1), SEP).alias(
+            "parent"
+        ),
+        depth.alias("depth"),
+        "cnt",
+    )
+
+
+def taxonomy_top_children(
+    matches: DataFrame,
+    docs: DataFrame,
+    path_col: str = "path",
+    top_n: int = 2,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """getTopChildren analog (TaxonomyFacets.getTopChildren): the top-N
+    children of EVERY node (and of the root) by (count desc, label asc).
+    One extra window shuffle over the tiny node-count table only."""
+    counts = taxonomy_counts(matches, docs, path_col, doc_id_col)
+    w = Window.partitionBy("parent").orderBy(F.desc("cnt"), F.asc("node"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select("parent", "node", "cnt", "rnk")
+    )
+
+
+def term_counts(
+    matches: DataFrame, docs: DataFrame, dim: str, doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Flat SSDV facet counts (SortedSetDocValuesFacetCounts.java):
+    (value, cnt) for one docs-table dimension column."""
+    return (
+        matches.select(doc_id_col)
+        .join(docs.select(doc_id_col, dim), doc_id_col)
+        .groupBy(F.col(dim).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def range_counts(
+    matches: DataFrame,
+    docs: DataFrame,
+    col: str,
+    ranges: list[tuple[str, float, float]],
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """LongRangeFacetCounts analog: ``ranges`` = (label, lo, hi] ...
+    actually [lo, hi) like the reference's LongRange(minInclusive=True,
+    maxInclusive=False). Overlapping ranges are allowed (a doc counts in
+    each covering range), matching the reference — hence one aggregate
+    per range folded into a single groupBy over an exploded label array."""
+    c = F.col(col)
+    labels = F.array(
+        *[
+            F.when((c >= F.lit(lo)) & (c < F.lit(hi)), F.lit(label))
+            for label, lo, hi in ranges
+        ]
+    )
+    return (
+        matches.select(doc_id_col)
+        .join(docs.select(doc_id_col, col), doc_id_col)
+        .select(F.explode(F.filter(labels, lambda x: x.isNotNull())).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def drill_sideways_taxonomy(
+    matches: DataFrame,
+    docs: DataFrame,
+    path_col: str,
+    drill_prefix: list[str],
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """DrillSideways over the taxonomy dimension: counts of the SIBLING
+    subtree nodes at the drilled depth — the drill-down on the dimension
+    itself is dropped (DrillSideways.java:63 contract), so the user sees
+    every alternative value at that level with the base query applied."""
+    depth = len(drill_prefix)
+    path = F.col(path_col)
+    joined = matches.select(doc_id_col).join(
+        docs.select(doc_id_col, path_col), doc_id_col
+    )
+    node = F.array_join(F.slice(path, F.lit(1), F.lit(depth)), SEP)
+    return (
+        joined.filter(F.size(path) >= depth)
+        .groupBy(node.alias("node"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

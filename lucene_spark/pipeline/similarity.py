@@ -10,9 +10,14 @@ Two paths:
   exact rerank touches only candidate buckets. Recall vs brute force is
   asserted in tests (no oracle — the plan is approximate by design).
 
-The IVF alternative (k-means coarse quantizer) shares the same shape:
-signature -> centroid id; omitted because training state adds nothing
-to the Spark-plumbing story at this scale.
+- `ivf_*` — IVF coarse quantizer (FAISS IVF-flat shape; the analog of
+  the reference's graph/cluster-based dense-vector formats): vectors
+  are assigned to their nearest centroid cell, the cell table persists
+  `partitionBy(cell)`, queries probe only the `nprobe` nearest cells and
+  rerank exactly. Centroids are either deterministic seeded Gaussians
+  (oracle-checkable: literals inline into SQL like the LSH hyperplanes)
+  or Lloyd-trained via `ivf_train` (distributed partial-sum iterations;
+  recall asserted in tests).
 """
 
 from __future__ import annotations
@@ -336,6 +341,221 @@ WITH e AS (
 bt AS (SELECT {id_col}, {', '.join(bucket_exprs)} FROM e),
 qb AS (SELECT * FROM bt WHERE {id_col} = {query_id}),
 cand AS (SELECT bt.{id_col} FROM bt, qb WHERE {ham_any}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE {id_col} = {query_id}),
+s AS (
+  SELECT e.{id_col},
+         list_sum(list_transform(list_zip(e.embedding, qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(qv,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM e JOIN cand USING ({id_col}), q)
+SELECT {id_col}, round(cos, 4) AS cos FROM s
+ORDER BY round(cos, 4) DESC, {id_col} LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer (scale path #2 — cell-partitioned, nprobe reads)
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids_random(dim: int, n_cells: int, seed: int = 17) -> np.ndarray:
+    """Deterministic seeded Gaussian centroids (n_cells, dim) — the
+    oracle-checkable quantizer (no training state; same role as the
+    seeded LSH hyperplanes)."""
+    return np.random.default_rng(seed).standard_normal((n_cells, dim))
+
+
+def _assign_cells(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Row-wise argmin of squared L2 distance; ties -> lowest cell id
+    (np.argmin), matching the oracle's (distance, cell) ordering."""
+    d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d, axis=1)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    with_embedding: bool = True,
+) -> DataFrame:
+    """(cell, id[, embedding]) assignments — one vectorized distance
+    matmul per Arrow batch against the broadcast centroid array."""
+    fields = [
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("id", T.LongType()),
+    ]
+    if with_embedding:
+        fields.append(T.StructField("embedding", emb.schema["embedding"].dataType))
+    schema = T.StructType(fields)
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def fn(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            cells = _assign_cells(M, C)
+            out = {"cell": cells.astype(np.int32), "id": pdf[id_col].to_numpy()}
+            if with_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
+
+    return emb.select(F.col(id_col), "embedding").mapInPandas(fn, schema=schema)
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int,
+    n_iters: int = 5,
+    seed: int = 17,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means. Init = seeded Gaussian; each
+    iteration is ONE job: per-partition (cell, sum_vec, count) partial
+    aggregates (numpy, Arrow-batched), combined driver-side — the
+    collected state is n_cells x dim floats, never vector rows. Empty
+    cells keep their previous centroid (FAISS behavior)."""
+    first = emb.select("embedding").first()
+    dim = len(first["embedding"])
+    C = ivf_centroids_random(dim, n_cells, seed)
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("sum_vec", T.ArrayType(T.DoubleType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    for _ in range(n_iters):
+        Cb = C.copy()
+
+        def fn(iterator, Cb=Cb):
+            sums = np.zeros((len(Cb), Cb.shape[1]))
+            cnts = np.zeros(len(Cb), dtype=np.int64)
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                M = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                cells = _assign_cells(M, Cb)
+                np.add.at(sums, cells, M)
+                np.add.at(cnts, cells, 1)
+            nz = np.nonzero(cnts)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cell": nz.astype(np.int32),
+                        "sum_vec": [sums[i].tolist() for i in nz],
+                        "cnt": cnts[nz],
+                    }
+                )
+
+        parts = (
+            emb.select("embedding")
+            .mapInPandas(fn, schema=schema)
+            .groupBy("cell")
+            .agg(
+                F.aggregate(
+                    F.collect_list("sum_vec"),
+                    F.array_repeat(F.lit(0.0), dim),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("sum_vec"),
+                F.sum("cnt").alias("cnt"),
+            )
+            .collect()
+        )
+        C = C.copy()
+        for r in parts:
+            C[r["cell"]] = np.asarray(r["sum_vec"]) / r["cnt"]
+    return C
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    out_dir: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+) -> str:
+    """Materialize the cell table `partitionBy(cell)` — a probe reads
+    only its nprobe candidate partitions (same pruning contract as
+    build_ann_index's (table, bucket) layout)."""
+    ivf_assign(emb, centroids, id_col, with_embedding=True).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(out_dir)
+    return out_dir
+
+
+def ivf_topk(
+    emb: DataFrame | None,
+    query_vec: list[float],
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF probe: the query's `nprobe` nearest cells (driver-side argsort
+    over n_cells distances — tiny), candidate rows filtered by literal
+    cell ids (partition-pruned on a build_ivf_index layout), exact
+    cosine rerank over candidates only."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((C - q[None, :]) ** 2).sum(axis=1)
+    cells = [int(c) for c in np.argsort(d, kind="stable")[:nprobe]]
+    src = index if index is not None else ivf_assign(emb, C, id_col)
+    cands = (
+        src.filter(F.col("cell").isin(cells))
+        .select(F.col("id").alias(id_col), "embedding")
+    )
+    return cosine_topk(cands, query_vec, k, id_col)
+
+
+def ivf_self_sql(
+    query_id: int,
+    k: int,
+    *,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 17,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle for ivf_topk with seeded centroids (inlined as
+    literals) and query vector = embedding of `query_id`. Cell
+    assignment = argmin squared-L2 with ties to the lowest cell id
+    (QUALIFY over (d, cell)); the query's nprobe cells computed the
+    same way; exact cosine rerank over the probed cells."""
+    C = ivf_centroids_random(dim, n_cells, seed)
+
+    def dist(c: np.ndarray) -> str:
+        lits = ", ".join(repr(float(x)) for x in c)
+        return (
+            "list_sum(list_transform(list_zip(v, ["
+            + lits
+            + "]), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+
+    cell_list = ", ".join(str(i) for i in range(n_cells))
+    dist_list = ", ".join(dist(C[i]) for i in range(n_cells))
+    return f"""
+WITH e AS (
+  SELECT {id_col}, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+rowcells AS (
+  SELECT {id_col}, c AS cell FROM (
+    SELECT {id_col}, unnest([{cell_list}]) AS c, unnest([{dist_list}]) AS d
+    FROM e)
+  QUALIFY row_number() OVER (PARTITION BY {id_col} ORDER BY d, c) = 1),
+qcells AS (
+  SELECT c FROM (
+    SELECT unnest([{cell_list}]) AS c, unnest([{dist_list}]) AS d
+    FROM e WHERE {id_col} = {query_id})
+  ORDER BY d, c LIMIT {nprobe}),
+cand AS (
+  SELECT {id_col} FROM rowcells WHERE cell IN (SELECT c FROM qcells)),
 q AS (SELECT embedding AS qv FROM embeddings WHERE {id_col} = {query_id}),
 s AS (
   SELECT e.{id_col},

@@ -542,7 +542,15 @@ class Searcher:
             like = like.replace("*", "%").replace("?", "_")
             return F.col("term").like(like)
         if isinstance(q, P.RegexpQ):
-            return F.col("term").rlike(q.pattern)
+            if q.syntax == "java":
+                # opt-out escape hatch: raw Java regex, substring match
+                return F.col("term").rlike(q.pattern)
+            # Lucene RegExp dialect (util/automaton/RegExp.java) compiled
+            # to an anchored Java pattern — whole-term semantics like
+            # RegexpQuery; unsupported operators raise loudly
+            from lucene_spark.search.regexp import term_predicate_pattern
+
+            return F.col("term").rlike(term_predicate_pattern(q.pattern))
         if isinstance(q, P.TermRangeQ):
             lo = F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
             hi = F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper

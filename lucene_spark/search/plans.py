@@ -190,12 +190,17 @@ class WildcardQ:
 
 @dataclass(frozen=True)
 class RegexpQ:
-    """search/RegexpQuery.java:44 — note: Java/RE2 dialect, not Lucene
-    automaton syntax (documented difference, util/automaton/RegExp.java)."""
+    """search/RegexpQuery.java:44 — whole-term match. Default syntax is
+    the Lucene RegExp dialect (util/automaton/RegExp.java), compiled to
+    an anchored Java pattern by search/regexp.py; operators with no
+    sound translation (``~``, ``<n-m>``, nested ``&``) raise
+    UnsupportedRegexpOperator. ``syntax="java"`` opts out to a raw
+    Java-regex substring rlike."""
 
     pattern: str
     boost: float = 1.0
     field: str | None = None
+    syntax: str = "lucene"
 
 
 @dataclass(frozen=True)

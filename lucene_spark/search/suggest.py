@@ -1,0 +1,128 @@
+"""Infix suggester — AnalyzingInfixSuggester analog
+(suggest/analyzing/AnalyzingInfixSuggester.java:102).
+
+The reference builds an internal Lucene index over each suggestion's
+analyzed tokens (plus edge n-grams up to minPrefixChars) and serves
+"search-as-you-type on any word": every query token must match exactly
+except the last, which matches as a prefix; optional context labels
+filter; results rank by suggestion weight.
+
+Spark-native shape. Suggestions are a DataFrame (key, text, weight
+[, contexts ARRAY<STRING>]). ``build()`` analyzes the texts ONCE
+(Arrow-batched, same analyzer chain as the main index) and explodes to
+a distinct (token, key) table — the reference's edge-ngram trick is
+unnecessary because a ``startswith`` prefix predicate on a string
+column is sargable (min/max pruning on a token-sorted layout); at
+100 TB the token table is persisted sorted by token so both the exact
+and the prefix probes prune to a narrow range. ``lookup()`` is a chain
+of semi-joins (one per query token) over that table, then top-n by
+(weight desc, key asc) — TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.analysis import tokenize
+
+
+class InfixSuggester:
+    """allTermsRequired=True (the reference default) intersects the
+    per-token key sets; False unions them and ranks ties by how many
+    tokens matched, then weight (LookupResult ordering)."""
+
+    def __init__(
+        self,
+        entries: DataFrame,
+        key_col: str = "key",
+        text_col: str = "text",
+        weight_col: str = "weight",
+        contexts_col: str | None = None,
+        analyzer: dict | None = None,
+    ):
+        self.entries = entries
+        self.key_col = key_col
+        self.weight_col = weight_col
+        self.contexts_col = contexts_col
+        self.analyzer = analyzer
+        an = analyzer
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def toks(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda t: sorted(set(tokenize(t or "", analyzer=an)[0]))
+            )
+
+        self.tokens = entries.select(
+            F.col(key_col).alias("key"),
+            F.explode(toks(F.col(text_col))).alias("token"),
+        )
+        self._built = None
+
+    def build(self) -> "InfixSuggester":
+        """Materialize the token table (the reference's build(): one
+        analysis pass; lookups afterwards never re-analyze)."""
+        if self._built is None:
+            self._built = self.tokens.persist()
+            self._built.count()
+        return self
+
+    def _token_table(self) -> DataFrame:
+        return self._built if self._built is not None else self.tokens
+
+    def lookup(
+        self,
+        query: str,
+        n: int = 10,
+        contexts: list[str] | None = None,
+        all_terms_required: bool = True,
+    ) -> DataFrame:
+        """DataFrame(key, text-ish entry cols..., weight) of the top-n
+        suggestions. Last query token matches as a prefix, the rest
+        exactly (AnalyzingInfixSuggester.lookup token handling)."""
+        qtoks, _ = tokenize(query, analyzer=self.analyzer)
+        ent = self.entries
+        if contexts is not None:
+            assert self.contexts_col, "suggester built without contexts"
+            ent = ent.filter(
+                F.arrays_overlap(
+                    F.col(self.contexts_col),
+                    F.array(*[F.lit(c) for c in contexts]),
+                )
+            )
+        if not qtoks:
+            return ent.orderBy(
+                F.desc(self.weight_col), F.asc(self.key_col)
+            ).limit(n)
+        tt = self._token_table()
+        per_token = []
+        for i, t in enumerate(qtoks):
+            pred = (
+                F.col("token").startswith(t)
+                if i == len(qtoks) - 1
+                else (F.col("token") == t)
+            )
+            per_token.append(tt.filter(pred).select("key").distinct())
+        if all_terms_required:
+            keys = per_token[0]
+            for kd in per_token[1:]:
+                keys = keys.join(kd, "key", "left_semi")
+            out = ent.join(
+                keys.withColumnRenamed("key", self.key_col), self.key_col, "left_semi"
+            )
+            return out.orderBy(
+                F.desc(self.weight_col), F.asc(self.key_col)
+            ).limit(n)
+        u = per_token[0]
+        for kd in per_token[1:]:
+            u = u.unionByName(kd)
+        hits = u.groupBy("key").agg(F.count(F.lit(1)).alias("n_matched"))
+        out = ent.join(
+            hits.withColumnRenamed("key", self.key_col), self.key_col
+        )
+        return out.orderBy(
+            F.desc("n_matched"), F.desc(self.weight_col), F.asc(self.key_col)
+        ).limit(n)
