@@ -105,6 +105,25 @@ def fold_ascii(text: str) -> str:
 # chars other than the apostrophe (e.g. ':') are not joined.
 # ---------------------------------------------------------------------------
 
+# Token-PIECE count regexes (Java dialect — Spark-side only; DuckDB
+# oracles use the marker-substitution twin since RE2 lacks lookbehind).
+# One match per emitted token piece: a maximal token run chunked {1,255}
+# greedily = ceil(run_len/255) matches (StandardTokenizer.java:77), so
+# regexp_count(lower(text), rx) IS the field length dl — no
+# regexp_extract_all array materialization, no substitution passes.
+# The uax29 variant extends runs through join-eligible separators
+# (letter[.']letter / digit[.']digit, the two-pass marking semantics:
+# every eligible separator joins — lookarounds see original flanks, so
+# overlap-counting is exact); separator chars count toward piece length
+# exactly like the markers do in the Python chain.
+PIECE_REGEX_SQL = "[0-9a-z_]{1,255}"
+UAX_PIECE_REGEX_SQL = (
+    "(?:[0-9a-z_]"
+    "|(?<=[a-z])['.](?=[a-z])"
+    "|(?<=[0-9])['.](?=[0-9])"
+    "){1,255}"
+)
+
 _UAX_JOIN_RULES = [  # (pattern, marker replacement)
     (re.compile(r"([a-z])\.([a-z])"), r"\1D\2"),
     (re.compile(r"([a-z])'([a-z])"), r"\1Q\2"),

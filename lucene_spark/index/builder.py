@@ -243,23 +243,30 @@ def _check_doc_ids(spark: SparkSession, corpus_path: str) -> int:
 def _make_dl_expr(analyzer: dict | None):
     """Per-field doc-length column factory for the docs table.
 
-    Default chain: a pure JVM column expression over the same token
-    regex as the analyzer (each >255-char run contributes ceil(len/255)
-    pieces, StandardTokenizer.java:77) — stays inside whole-stage
-    codegen. When the analyzer folds chars or removes stopwords the
-    token COUNT itself depends on the Python chain, so an Arrow-batched
-    UDF running the real analyzer (synonyms/stemmers stripped: neither
-    changes dl) replaces it. Stemming/synonym-only chains keep the fast
-    JVM path."""
-    from lucene_spark.analysis import TOKEN_REGEX_SQL
+    Default chains (standard OR uax29 tokenizer, no fold/stop/wd): ONE
+    JVM regexp_count of the token-PIECE regex — each match is one
+    emitted token piece including the 255-split and (for uax29) the
+    separator-join semantics (analysis.UAX_PIECE_REGEX_SQL), so the
+    count IS dl. Stays inside whole-stage codegen, no token-array
+    materialization, no substitution passes (the previous
+    regexp_extract_all + aggregate form was ~60% of the docs-stage wall
+    at small scale — and the pre-uax29-default form silently counted
+    plain tokens under a uax29 inverter, a dl/norm divergence on any
+    corpus with "foo.bar"/"3.14"-style tokens). When the analyzer folds
+    chars or removes stopwords the token COUNT itself depends on the
+    Python chain, so an Arrow-batched UDF running the real analyzer
+    (synonyms/stemmers stripped: neither changes dl) replaces it."""
+    from lucene_spark.analysis import (
+        PIECE_REGEX_SQL,
+        UAX_PIECE_REGEX_SQL,
+        _norm_analyzer,
+    )
 
-    if analyzer and (
-        analyzer.get("ascii_fold")
-        or analyzer.get("stopwords")
-        or analyzer.get("word_delimiter")
-        or analyzer.get("tokenizer", "standard") != "standard"
-    ):
-        dl_conf = {**analyzer, "synonyms": {}, "filters": []}
+    tokenizer, fold, stopset, _syn, _ko, _filters, wd, _sh = _norm_analyzer(
+        analyzer
+    )
+    if fold or stopset or wd or tokenizer not in ("standard", "uax29"):
+        dl_conf = {**(analyzer or {}), "synonyms": {}, "filters": []}
 
         def dl_expr_for(col: str):
             @F.pandas_udf(T.LongType())
@@ -272,17 +279,38 @@ def _make_dl_expr(analyzer: dict | None):
 
         return dl_expr_for
 
-    def dl_expr_for(col: str):
-        toks = F.regexp_extract_all(
-            F.lower(F.col(col)), F.lit(TOKEN_REGEX_SQL), F.lit(0)
-        )
-        return F.coalesce(
-            F.aggregate(
-                F.transform(toks, lambda t: F.ceil(F.length(t) / 255).cast("long")),
+    if tokenizer == "standard":
+
+        def dl_expr_for(col: str):
+            return F.coalesce(
+                F.regexp_count(
+                    F.lower(F.col(col)), F.lit(PIECE_REGEX_SQL)
+                ).cast("long"),
                 F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-            F.lit(0),
+            )
+
+        return dl_expr_for
+
+    # uax29: run-count minus join-count (two cheap class-first regex
+    # scans; the per-char lookaround alternation of UAX_PIECE_REGEX_SQL
+    # is ~4x slower). Each eligible separator merges two runs, so
+    # tokens = runs - joins; chains count correctly because the join
+    # pattern consumes only the LEFT flank (lookahead on the right).
+    # The subtraction can't do 255-piece accounting across joins, so any
+    # row holding 256+ consecutive token/separator chars (a joined run
+    # that might need splitting — vanishingly rare) falls back to the
+    # exact piece regex via a lazily-evaluated when().
+    def dl_expr_for(col: str):
+        low = F.lower(F.col(col))
+        fast = F.regexp_count(low, F.lit("[0-9a-z_]+")) - F.regexp_count(
+            low, F.lit("[a-z]['.](?=[a-z])|[0-9]['.](?=[0-9])")
+        )
+        exact = F.regexp_count(low, F.lit(UAX_PIECE_REGEX_SQL))
+        return F.coalesce(
+            F.when(low.rlike("[0-9a-z_'.]{256}"), exact)
+            .otherwise(fast)
+            .cast("long"),
+            F.lit(0).cast("long"),
         )
 
     return dl_expr_for
@@ -458,6 +486,17 @@ def _encode_group(with_positions: bool, with_offsets: bool = False):
     return fn
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count of a just-written parquet directory from file footers —
+    metadata only, NO Spark job. Each small count job costs a fixed
+    scheduler/worker round-trip that dominates small-scale builds; the
+    footer sum is exact and instant at any scale (pyarrow datasets read
+    only the metadata pages, local or object store)."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(path, format="parquet").count_rows()
+
+
 def _stage_done(index_dir: str, stage: str) -> bool:
     mf = os.path.join(index_dir, "manifest.json")
     if not os.path.exists(mf):
@@ -544,7 +583,7 @@ def build_index(
         snap = snap.repartitionByRange(snap_parts, F.col("doc_id"))
         snap.write.mode("overwrite").parquet(corpus_path)
         if doc_id_col:
-            n_docs = spark.read.parquet(corpus_path).count()
+            n_docs = _parquet_rows(corpus_path)
         else:
             n_docs = _check_doc_ids(spark, corpus_path)
         _update_manifest(
@@ -554,7 +593,7 @@ def build_index(
         )
 
     corpus_ids = spark.read.parquet(corpus_path)
-    n_docs = corpus_ids.count()
+    n_docs = _parquet_rows(corpus_path)
 
     # ---- stage1: invert + encode postings ----
     postings_path = os.path.join(index_dir, "postings")
@@ -620,8 +659,8 @@ def build_index(
             index_dir,
             "stage1_postings",
             {
-                "postings_rows": spark.read.parquet(postings_path).count(),
-                "docs_rows": spark.read.parquet(docs_path).count(),
+                "postings_rows": _parquet_rows(postings_path),
+                "docs_rows": _parquet_rows(docs_path),
                 "path": postings_path,
                 "elapsed_sec": time.time() - t1,
             },
@@ -676,7 +715,7 @@ def build_index(
         _update_manifest(
             index_dir,
             "stage3_stats",
-            {"terms": spark.read.parquet(stats_path).count(), "elapsed_sec": time.time() - t3,
+            {"terms": _parquet_rows(stats_path), "elapsed_sec": time.time() - t3,
              "skew": skew},
             extra={
                 "N": int(gl["N"]),
@@ -956,7 +995,7 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict
     doc_ids.select(F.col("doc_id").cast("long")).distinct().write.mode(
         "overwrite"
     ).parquet(path)
-    n = spark.read.parquet(path).count()
+    n = _parquet_rows(path)
     manifest["paths"]["deletes"] = existing + [path]
     manifest["version"] = int(manifest.get("version", 0)) + 1
     manifest.setdefault("stages", {})[f"deletes_seg{seg}"] = {"rows": n}

@@ -795,11 +795,18 @@ class Searcher:
         # semi-joins the position rows BEFORE their groupBy, so only
         # survivors' position arrays ever cross a shuffle ("the quick"
         # never ships every "the" doc's positions).
-        surv = self._slot_conjunction_docs(slots, stats, fld)
         pos = self._position_rows(uniq, fld)
         if candidates is not None:
             pos = self._cand(pos, candidates)
-        pos = pos.join(surv, "doc_id", "left_semi")
+        total_df = sum(stats[t][0] for t in uniq)
+        if total_df > self.PHRASE_CONJ_MIN_DF:
+            surv = self._slot_conjunction_docs(slots, stats, fld)
+            pos = pos.join(surv, "doc_id", "left_semi")
+        # else: every slot is small — the position shuffle is already
+        # bounded, and the phase-2 matcher discards non-conjunction docs
+        # exactly; the doc-block decode + semi-join would cost more than
+        # the rows they prune (TwoPhaseIterator approximation skipped
+        # when the lead cost is trivial)
         idx_of = {t: i for i, t in enumerate(uniq)}
         # slot -> list of (term_idx, offset) pairs
         slot_spec = [

@@ -312,3 +312,47 @@ def test_shingles_e2e_search(spark, tmp_path_factory):
     # bigram matches only the doc with the adjacency
     assert [r["doc_id"] for r in s.top_k(TermQ("merge_sort"), 5).collect()] == [0]
     assert [r["doc_id"] for r in s.top_k(TermQ("then_merge"), 5).collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# dl piece-count JVM expression == the Python analyzer's dl
+# ---------------------------------------------------------------------------
+
+_DL_CASES = [
+    "",
+    "plain words only here",
+    "foo.bar baz",            # letter join
+    "a.b.c.d.e",              # join chain (two-pass marking)
+    "pi is 3.14 and 2.718",   # digit joins
+    "don't can't o'reilly",   # apostrophe joins
+    "a.'b mixed 1.a a.1",     # ineligible separators stay breaks
+    "ver1.2beta x9'9y",       # digit-digit joins inside identifiers
+    "trail. .lead 'quote'",   # separators at run edges never join
+    "x" * 600,                # 255-split: 3 pieces
+    ("ab." * 200) + "ab",     # long JOINED run > 255 chars
+    "Mixed CASE Text.With.Dots",
+]
+
+
+def test_dl_expr_matches_python_chain(spark):
+    """The docs-table dl column (one JVM regexp_count) must equal the
+    analyzer's emitted token count for BOTH tokenizers — this is the
+    norm every BM25 score reads."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.builder import _make_dl_expr
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_DL_CASES)], ["i", "text"]
+    )
+    for analyzer in (None, {"tokenizer": "standard"}, {"tokenizer": "uax29"}):
+        expr = _make_dl_expr(analyzer)("text")
+        got = {
+            r["i"]: r["dl"]
+            for r in df.select("i", expr.alias("dl")).collect()
+        }
+        want = {
+            i: len(tokenize(s, analyzer=analyzer)[0])
+            for i, s in enumerate(_DL_CASES)
+        }
+        assert got == want, (analyzer, got, want)
