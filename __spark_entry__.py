@@ -212,6 +212,46 @@ def _q_sh_term(term: str, k: int):
     return fn
 
 
+def _get_pay_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Payload index: per-position f32 payloads (token_length source) in
+    the pay stream (PayloadAttribute / .pay file analog)."""
+    key = os.path.normpath(sf_dir) + "|pay"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        keep_cols=["lang"], num_buckets=8, salt_rows=2048, resume=True,
+        analyzer={"payloads": "token_length"},
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_payload_span(terms: tuple, func: str, k: int):
+    """PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java) over a
+    SpanOr of terms with token_length payloads: score = func over the
+    payloads at matched positions."""
+
+    def fn(spark, sf_dir):
+        from lucene_spark.search import PayloadScoreQ, SpanOrQ, SpanTermQ
+
+        s = Searcher(_get_pay_index(spark, sf_dir), scoring="double")
+        q = PayloadScoreQ(
+            SpanOrQ(tuple(SpanTermQ(t) for t in terms)), func
+        )
+        return (
+            s.scored(q)
+            .select("doc_id", F.round("score", 4).alias("score_r"))
+            .orderBy(F.desc("score_r"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    return fn
+
+
 def _q_drill_sideways(term: str, drill: dict):
     """DrillSideways (facet/DrillSideways.java:63): for each drilled
     dimension, facet counts are computed with every OTHER drill-down
@@ -1232,7 +1272,8 @@ _GATE_WINDOW = [
     "uax29_term_topk", "stemmed_term_topk", "synonym_index_topk",
     "wd_subword_topk", "shingle_bigram_topk",
     "text_token_counts", "text_scrub",
-    "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_pairs",
+    "payload_span_topk",
+    "dedup_exact", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_clusters", "dedup_embedding_pairs",
     "ann_cosine_topk", "ann_lsh_topk",
     "multimodal_asset_stats",
@@ -1403,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wd_subword_topk": _q_wd_term("frame", 20),
         "shingle_bigram_topk": _q_sh_term("data_line", 20),
         "spell_suggest": _q_spell("mrge", 5),
+        "payload_span_topk": _q_payload_span(("data", "stream", "big"), "avg", 20),
         "drill_sideways": _q_drill_sideways(
             "merge", {"lang": "en", "source": "src5"}
         ),
@@ -1700,6 +1742,15 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
         "wd_subword_topk": _wd_topk_sql("frame", 20),
         "shingle_bigram_topk": _sh_topk_sql("data_line", 20),
         "spell_suggest": _spell_sql("mrge", 5),
+        # PayloadScoreQ(SpanOr(data|stream|big), avg) with token_length
+        # payloads: every matched position contributes len(term)
+        "payload_span_topk": (
+            f"{_PRELUDE} SELECT doc_id, round(score, 4) AS score_r FROM ("
+            "SELECT t.doc_id, avg(CAST(length(t.term) AS DOUBLE)) AS score "
+            "FROM terms t WHERE t.term IN ('data', 'stream', 'big') "
+            "GROUP BY t.doc_id) "
+            "ORDER BY score_r DESC, doc_id LIMIT 20"
+        ),
         "drill_sideways": _drill_sideways_sql(
             "merge", {"lang": "en", "source": "src5"}
         ),

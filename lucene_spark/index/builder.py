@@ -103,6 +103,11 @@ POSTINGS_SCHEMA = T.StructType(
         # index was built without with_offsets (opt-in — offsets double
         # the per-position payload, so the default build never pays)
         T.StructField("off", T.BinaryType()),
+        # optional per-position payloads (PayloadAttribute,
+        # Lucene90PostingsFormat .pay file): one f32 (stored as its u32
+        # bit pattern in the same FOR value-stream codec) per position,
+        # aligned with the pos stream; b"" when built without payloads
+        T.StructField("pay", T.BinaryType()),
         T.StructField("bucket", T.IntegerType()),
         # row-level pareto impacts (CompetitiveImpactAccumulator over the
         # whole (term, salt) run): lets WAND-style planners read clause
@@ -135,6 +140,8 @@ INVERTED_SCHEMA = T.StructType(
         T.StructField("pos_bytes", T.BinaryType()),
         # (start_delta, len) u32 pairs per position, b"" unless offsets on
         T.StructField("off_bytes", T.BinaryType()),
+        # f32 payload bits per position, b"" unless payloads on
+        T.StructField("pay_bytes", T.BinaryType()),
         T.StructField("norm", T.IntegerType()),
         T.StructField("bucket", T.IntegerType()),
         T.StructField("salt", T.IntegerType()),
@@ -316,6 +323,17 @@ def _make_dl_expr(analyzer: dict | None):
     return dl_expr_for
 
 
+# Payload sources (queries/payloads/PayloadScoreQuery.java consumes
+# them): a vectorized fn over the ORDERED flat term array -> f32 per
+# position. "token_length" is the built-in deterministic source (oracle-
+# checkable); a DelimitedPayloadTokenFilter-style source plugs in here.
+_PAYLOAD_SOURCES = {
+    "token_length": lambda terms: np.fromiter(
+        (len(t) for t in terms), dtype=np.float32, count=len(terms)
+    ),
+}
+
+
 def _invert_map(fields: list, salt_rows: int, num_buckets: int,
                 with_positions: bool, analyzer: dict | None = None,
                 with_offsets: bool = False):
@@ -333,6 +351,7 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
     """
     from itertools import chain
 
+    pay_source = _PAYLOAD_SOURCES.get((analyzer or {}).get("payloads") or "")
     _empty = pd.DataFrame(
         {
             "field": pd.array([], dtype=object),
@@ -341,6 +360,7 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
             "freq": np.array([], dtype=np.int32),
             "pos_bytes": pd.array([], dtype=object),
             "off_bytes": pd.array([], dtype=object),
+            "pay_bytes": pd.array([], dtype=object),
             "norm": np.array([], dtype=np.int32),
             "bucket": np.array([], dtype=np.int32),
             "salt": np.array([], dtype=np.int32),
@@ -414,6 +434,17 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
                 ]
             else:
                 off_bytes = [b""] * len(starts)
+            if pay_source is not None:
+                # f32 bit patterns, one per position, sliced per run in
+                # the same sorted order as the pos stream
+                pay_flat = pay_source(terms_flat)[order]
+                pbuf = pay_flat.view(np.uint32).tobytes()
+                pay_bytes = [
+                    pbuf[4 * s : 4 * e]
+                    for s, e in zip(starts.tolist(), ends.tolist())
+                ]
+            else:
+                pay_bytes = [b""] * len(starts)
             yield pd.DataFrame(
                 {
                     "field": pd.array([field_name] * len(starts), dtype=object),
@@ -422,6 +453,7 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
                     "freq": freqs,
                     "pos_bytes": pos_bytes,
                     "off_bytes": off_bytes,
+                    "pay_bytes": pay_bytes,
                     "norm": norm_rep[order][starts].astype(np.int32),
                     "bucket": uniq_buckets[tc[starts]],
                     "salt": (dc[starts] // salt_rows).astype(np.int32),
@@ -431,7 +463,8 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
     return fn
 
 
-def _encode_group(with_positions: bool, with_offsets: bool = False):
+def _encode_group(with_positions: bool, with_offsets: bool = False,
+                  with_payloads: bool = False):
     """applyInPandas fn over (bucket, salt): encode every term in the group."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -458,6 +491,13 @@ def _encode_group(with_positions: bool, with_offsets: bool = False):
                 )
             else:
                 off_bin = b""
+            if with_payloads:
+                allp = b"".join(bytes(b) for b in g["pay_bytes"])
+                pay_bin = encode_value_stream(
+                    np.frombuffer(allp, dtype=np.uint32).astype(np.uint64)
+                )
+            else:
+                pay_bin = b""
             out_rows.append(
                 {
                     "field": field_name,
@@ -468,6 +508,7 @@ def _encode_group(with_positions: bool, with_offsets: bool = False):
                     "blocks": blocks,
                     "pos": pos_bin,
                     "off": off_bin,
+                    "pay": pay_bin,
                     "bucket": int(g["bucket"].iat[0]),
                     "row_impacts": [
                         {"freq": int(a), "norm": int(b)}
@@ -479,7 +520,7 @@ def _encode_group(with_positions: bool, with_offsets: bool = False):
             out_rows,
             columns=[
                 "field", "term", "salt", "df", "ttf", "blocks", "pos", "off",
-                "bucket", "row_impacts",
+                "pay", "bucket", "row_impacts",
             ],
         )
 
@@ -559,6 +600,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.time()
     keep_cols = keep_cols or []
+    with_payloads = bool((analyzer or {}).get("payloads"))
     fields: list[tuple[str, str]] = [(text_col, text_col)] + sorted(
         (extra_fields or {}).items()
     )
@@ -611,7 +653,8 @@ def build_index(
         # count = num_buckets * ceil(maxDoc/salt_rows); tune salt_rows so
         # groups >= cores at the target scale.
         postings = inverted.groupBy("bucket", "salt").applyInPandas(
-            _encode_group(with_positions, with_offsets), schema=POSTINGS_SCHEMA
+            _encode_group(with_positions, with_offsets, with_payloads),
+            schema=POSTINGS_SCHEMA,
         )
         # Flat write, no dynamic partitioning: partitionBy("bucket")
         # costs a full UnsafeRow sort of the big binary rows per task
@@ -729,6 +772,7 @@ def build_index(
                 "salt_rows": salt_rows,
                 "with_positions": with_positions,
                 "with_offsets": with_offsets,
+                "with_payloads": with_payloads,
                 "text_col": text_col,
                 "keep_cols": keep_cols,
                 "analyzer": analyzer,
@@ -774,6 +818,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     t0 = time.time()
     with_positions = manifest["with_positions"]
     with_offsets = bool(manifest.get("with_offsets", False))
+    with_payloads = bool(manifest.get("with_payloads", False))
 
     deletes = (
         spark.read.parquet(*del_paths).select("doc_id").distinct()
@@ -804,6 +849,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         pdf = pdf.sort_values("first_doc", kind="mergesort")
         for (field_name, term), g in pdf.groupby(["field", "term"], sort=False):
             docs_all, freqs_all, norms_all, pos_all, off_all = [], [], [], [], []
+            pay_all = []
             for _, row in g.iterrows():
                 f_row = []
                 for blk in row["blocks"]:
@@ -821,6 +867,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                     )
                 if with_offsets:
                     off_all.append(decode_value_stream(bytes(row["off"])))
+                if with_payloads:
+                    pay_all.append(decode_value_stream(bytes(row["pay"])))
             d = np.concatenate(docs_all) if docs_all else np.zeros(0, np.int64)
             f = np.concatenate(freqs_all) if freqs_all else np.zeros(0, np.int64)
             nm = np.concatenate(norms_all) if norms_all else np.zeros(0, np.uint8)
@@ -833,6 +881,10 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             if with_offsets:
                 off_stream = (
                     np.concatenate(off_all) if off_all else np.zeros(0, np.uint64)
+                )
+            if with_payloads:
+                pay_stream = (
+                    np.concatenate(pay_all) if pay_all else np.zeros(0, np.uint64)
                 )
             keep = (
                 ~np.isin(d, dels, assume_unique=False)
@@ -871,6 +923,21 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                 )
             else:
                 off_bin = b""
+            if with_payloads and len(d):
+                # one payload value per position, same slicing as pos
+                pb = np.concatenate([[0], np.cumsum(f)]).astype(np.int64)
+                kept_pay = [
+                    pay_stream[pb[i] : pb[i + 1]]
+                    for i in range(len(d))
+                    if keep[i]
+                ]
+                pay_bin = encode_value_stream(
+                    np.concatenate(kept_pay).astype(np.uint64)
+                    if kept_pay
+                    else np.zeros(0, np.uint64)
+                )
+            else:
+                pay_bin = b""
             d, f, nm = d[keep], f[keep], nm[keep]
             out_rows.append(
                 {
@@ -882,6 +949,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
                     "blocks": encode_posting_blocks(d, f, nm),
                     "pos": pos_bin,
                     "off": off_bin,
+                    "pay": pay_bin,
                     "bucket": int(g["bucket"].iat[0]),
                     "row_impacts": [
                         {"freq": int(a), "norm": int(b)}
@@ -893,7 +961,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
             out_rows,
             columns=[
                 "field", "term", "salt", "df", "ttf", "blocks", "pos", "off",
-                "bucket", "row_impacts",
+                "pay", "bucket", "row_impacts",
             ],
         )
 
@@ -1034,6 +1102,7 @@ def append_to_index(
     salt_rows = manifest["salt_rows"]
     with_positions = manifest["with_positions"]
     with_offsets = bool(manifest.get("with_offsets", False))
+    with_payloads = bool(manifest.get("with_payloads", False))
     analyzer = manifest.get("analyzer")
     fields: list[tuple[str, str]] = sorted(
         manifest.get("fields", {text_col: text_col}).items(),
@@ -1076,7 +1145,8 @@ def append_to_index(
         schema=INVERTED_SCHEMA,
     )
     postings = inverted.groupBy("bucket", "salt").applyInPandas(
-        _encode_group(with_positions, with_offsets), schema=POSTINGS_SCHEMA
+        _encode_group(with_positions, with_offsets, with_payloads),
+        schema=POSTINGS_SCHEMA,
     )
     postings.write.mode("overwrite").parquet(postings_path)
 

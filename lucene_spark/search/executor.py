@@ -59,6 +59,11 @@ _POS_SCHEMA = T.StructType(
     ]
 )
 
+_POS_PAY_SCHEMA = T.StructType(
+    _POS_SCHEMA.fields
+    + [T.StructField("payloads", T.ArrayType(T.FloatType()))]
+)
+
 
 def _edit_distance(a: str, b: str, transpositions: bool) -> int:
     """Levenshtein, or unrestricted Damerau-Levenshtein when
@@ -348,18 +353,29 @@ class Searcher:
 
         return self._live(rows.mapInPandas(fn, schema=_FREQ_SCHEMA))
 
-    def _position_rows(self, terms: list[str], field: str | None = None) -> DataFrame:
-        """(doc_id, idx, positions, norm) for phrase matching; idx = index of
-        the term in ``terms``. Two-phase: positions only decoded here, for
-        phrase terms (TwoPhaseIterator / ExactPhraseMatcher pattern)."""
+    def _position_rows(self, terms: list[str], field: str | None = None,
+                       with_payloads: bool = False) -> DataFrame:
+        """(doc_id, idx, positions, norm[, payloads]) for phrase/span
+        matching; idx = index of the term in ``terms``. Two-phase:
+        positions only decoded here, for phrase terms (TwoPhaseIterator /
+        ExactPhraseMatcher pattern). ``with_payloads`` adds the f32
+        payload list aligned with positions (requires a payload build)."""
         if not self.index.manifest.get("with_positions", True):
             raise ValueError("index built without positions; phrase queries unavailable")
+        if with_payloads and not self.index.manifest.get("with_payloads"):
+            raise ValueError(
+                "index built without payloads; rebuild with "
+                'analyzer={"payloads": ...} for PayloadScoreQuery'
+            )
         rows = self.index.postings_for_terms(terms, field)
         idx_of = {t: i for i, t in enumerate(terms)}
+        schema = _POS_PAY_SCHEMA if with_payloads else _POS_SCHEMA
 
         def fn(iterator):
             for pdf in iterator:
                 out = {"doc_id": [], "idx": [], "positions": [], "norm": []}
+                if with_payloads:
+                    out["payloads"] = []
                 for row in pdf.itertuples(index=False):
                     freqs_all, docs_all, norms_all = [], [], []
                     for blk in row.blocks:
@@ -376,10 +392,21 @@ class Searcher:
                     out["idx"].extend([i] * len(d))
                     out["positions"].extend([p.astype(np.int32).tolist() for p in plists])
                     out["norm"].extend(nm.astype(np.int64).tolist())
+                    if with_payloads:
+                        pay = (
+                            decode_value_stream(bytes(row.pay))
+                            .astype(np.uint32)
+                            .view(np.float32)
+                        )
+                        out["payloads"].extend(
+                            [c.tolist() for c in np.split(
+                                pay, np.cumsum(f)[:-1]
+                            )]
+                        )
                 if out["doc_id"]:
                     yield pd.DataFrame(out)
 
-        return self._live(rows.mapInPandas(fn, schema=_POS_SCHEMA))
+        return self._live(rows.mapInPandas(fn, schema=schema))
 
     # ------------------------------------------------------------------
     # scored plans
@@ -413,6 +440,8 @@ class Searcher:
             return self.scored(self._rewrite_common_terms(q), k, candidates)
         if isinstance(q, P.IntervalQ):
             return self._interval_scored(q, candidates=candidates)
+        if isinstance(q, P.PayloadScoreQ):
+            return self._payload_scored(q, candidates=candidates)
         if isinstance(q, P.FeatureQ):
             feat = F.col(q.col).cast("double")
             if q.fn == "saturation":
@@ -1086,6 +1115,78 @@ class Searcher:
         return self._score_freq_df(
             matched.select("doc_id", "freq", "norm"), w
         ).filter(F.col("score") > 0.0)
+
+    def _payload_scored(self, q: P.PayloadScoreQ,
+                        candidates: list[int] | None = None) -> DataFrame:
+        """PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java,
+        PayloadFunction min/max/avg/sum): evaluate the span's minimal
+        intervals per doc, collect the payloads of every leaf-term
+        position inside a matched interval, aggregate with the
+        PayloadFunction; score = func(payloads) * boost
+        (includeSpanScore=False semantics). Same two-phase shape as
+        intervals; payloads ride the position rows."""
+        from lucene_spark.search import intervals as IV
+
+        source = P.span_source(q.span)
+        terms = IV.leaf_terms(source)
+        uniq = list(dict.fromkeys(terms))
+        stats = self.index.stats_for_terms(uniq)
+        req_slots = []
+        for slot in IV.required_terms(source):
+            present = tuple(t for t in dict.fromkeys(slot) if t in stats)
+            if not present:
+                return self._empty_scored()
+            req_slots.append(present)
+        uniq = [t for t in uniq if t in stats]
+        pos = self._position_rows(uniq, with_payloads=True)
+        if candidates is not None:
+            pos = self._cand(pos, candidates)
+        total_df = sum(stats[t][0] for t in uniq)
+        if total_df > self.PHRASE_CONJ_MIN_DF:
+            surv = self._slot_conjunction_docs(req_slots, stats)
+            pos = pos.join(surv, "doc_id", "left_semi")
+        grouped = pos.groupBy("doc_id").agg(
+            F.collect_list(
+                F.struct("idx", "positions", "payloads")
+            ).alias("plists")
+        )
+        uniq_l = list(uniq)
+        func = q.func
+        boost = float(q.boost)
+
+        @F.pandas_udf(T.DoubleType())
+        def payload_score(plists: pd.Series) -> pd.Series:
+            out = np.full(len(plists), np.nan, dtype=np.float64)
+            for r, entries in enumerate(plists):
+                pos_by_term, pay_by_term = {}, {}
+                for e in entries:
+                    t = uniq_l[e["idx"]]
+                    pos_by_term[t] = np.asarray(e["positions"], dtype=np.int64)
+                    pay_by_term[t] = np.asarray(e["payloads"], dtype=np.float64)
+                ivs = IV.evaluate(source, pos_by_term)
+                if not ivs:
+                    continue
+                vals = []
+                for s0, s1 in ivs:
+                    for t, ps in pos_by_term.items():
+                        m = (ps >= s0) & (ps <= s1)
+                        if m.any():
+                            vals.append(pay_by_term[t][m])
+                allv = np.concatenate(vals)
+                out[r] = {
+                    "min": np.min, "max": np.max,
+                    "avg": np.mean, "sum": np.sum,
+                }[func](allv)
+            return pd.Series(out)
+
+        scored = (
+            grouped.withColumn("pscore", payload_score("plists"))
+            .filter(F.col("pscore").isNotNull())
+            .select(
+                "doc_id", (F.col("pscore") * F.lit(boost)).alias("score")
+            )
+        )
+        return scored
 
     def _rewrite_common_terms(self, q: P.CommonTermsQ):
         """CommonTermsQuery plan rewrite (CommonTermsQuery.java:136-190):

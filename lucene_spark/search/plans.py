@@ -448,6 +448,24 @@ class SpanWithinQ:
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class PayloadScoreQ:
+    """queries/payloads/PayloadScoreQuery.java — scores docs by a
+    PayloadFunction (min/max/avg/sum) over the payloads of matched span
+    positions. ``span`` is any span-family node; requires an index built
+    with payloads (analyzer {"payloads": "token_length" | ...}).
+    include_span_score=False only (the common ES/Solr usage; the
+    reference's span-score product is not reproduced). Documented
+    divergence: payloads are collected from every leaf-term position
+    INSIDE each matched interval (a repeated term co-occurring inside a
+    span window contributes, where the reference walks the exact match
+    path)."""
+
+    span: object
+    func: str = "max"  # min | max | avg | sum
+    boost: float = 1.0
+
+
 _SPAN_NODES = (
     SpanTermQ, SpanNearQ, SpanOrQ, SpanNotQ, SpanFirstQ,
     SpanContainingQ, SpanWithinQ,

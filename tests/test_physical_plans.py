@@ -130,9 +130,21 @@ def test_minhash_verify_no_shingle_self_join(spark, docs_df):
 def test_phrase_two_phase_plan(searcher):
     from lucene_spark.search import PhraseQ
 
-    plan = plan_of(searcher.scored(PhraseQ(("license", "file"))))
-    # phase 1: the positions aggregate must sit ABOVE a doc_id semi join
-    # (only conjunction survivors' position arrays reach the shuffle)
+    # small-df route: every slot is tiny, so the phase-1 conjunction is
+    # cost-gated OFF — NO semi-join, the position shuffle alone
+    plan_small = plan_of(searcher.scored(PhraseQ(("license", "file"))))
+    assert plan_small.find("collect_list") >= 0, plan_small
+    assert "LeftSemi" not in plan_small, plan_small
+
+    # big-df route (threshold forced to 0): the positions aggregate must
+    # sit ABOVE a doc_id semi join (only conjunction survivors' position
+    # arrays reach the shuffle)
+    old = searcher.PHRASE_CONJ_MIN_DF
+    searcher.PHRASE_CONJ_MIN_DF = 0
+    try:
+        plan = plan_of(searcher.scored(PhraseQ(("license", "file"))))
+    finally:
+        searcher.PHRASE_CONJ_MIN_DF = old
     agg_at = plan.find("collect_list")
     assert agg_at >= 0, plan
     below = plan[agg_at:]
