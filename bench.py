@@ -93,6 +93,43 @@ def main() -> None:
     searcher.top_k_batch({n: q for n, (q, _) in queries.items()}, 100).collect()
     timings["batch_suite"] = round(time.time() - t0, 3)
 
+    # round-3 operators: spans, taxonomy facets, infix suggest
+    from pyspark.sql import functions as F
+
+    from lucene_spark import facets
+    from lucene_spark.search import SpanNearQ, SpanTermQ
+    from lucene_spark.search.suggest import InfixSuggester
+
+    t0 = time.time()
+    searcher.top_k(
+        SpanNearQ((SpanTermQ("data"), SpanTermQ("line")), 3, True), 20
+    ).collect()
+    timings["span_near_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    taxo_docs = searcher.index.docs.withColumn(
+        "path",
+        facets.path_column(
+            F.col("source"), F.col("lang"),
+            F.when(F.col("n_chars") < 1000, F.lit("short")).otherwise(
+                F.lit("long")
+            ),
+        ),
+    )
+    facets.taxonomy_counts(
+        searcher.doc_set(TermQ("vector")), taxo_docs
+    ).collect()
+    timings["facet_taxonomy"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    InfixSuggester(
+        docs.select(
+            F.col("doc_id").alias("key"), "text",
+            F.col("n_chars").alias("weight"),
+        )
+    ).lookup("data vect", 10).collect()
+    timings["suggest_infix"] = round(time.time() - t0, 3)
+
     # training-data pipeline ops over the same tables
     from lucene_spark.pipeline import dedup, similarity
 
@@ -105,6 +142,11 @@ def main() -> None:
     t0 = time.time()
     similarity.cosine_topk(emb, list(qv), 10).collect()
     timings["ann_cosine_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    C = similarity.ivf_centroids_random(len(qv), 8)
+    similarity.ivf_topk(emb, list(qv), 10, C, nprobe=2).collect()
+    timings["ann_ivf_topk"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -46,7 +46,8 @@ _POSTING_CHECK_SCHEMA = T.StructType(
 
 
 def _check_posting_rows(salt_rows: int, with_positions: bool,
-                        with_offsets: bool = False):
+                        with_offsets: bool = False,
+                        with_payloads: bool = False):
     def fn(iterator):
         for pdf in iterator:
             terms, salts, msgs = [], [], []
@@ -86,6 +87,10 @@ def _check_posting_rows(salt_rows: int, with_positions: bool,
                     off = decode_value_stream(bytes(row["off"]))
                     if len(off) != 2 * int(f.sum()):
                         bad(row["term"], row["salt"], "offsets length != 2*sum(freqs)")
+                if with_payloads:
+                    pay = decode_value_stream(bytes(row["pay"]))
+                    if len(pay) != int(f.sum()):
+                        bad(row["term"], row["salt"], "payloads length != sum(freqs)")
             yield pd.DataFrame({"term": terms, "salt": salts, "violation": msgs})
 
     return fn
@@ -106,6 +111,7 @@ def check_index(index: Index, sample_terms: int | None = None) -> dict:
             index.manifest["salt_rows"],
             index.manifest["with_positions"],
             bool(index.manifest.get("with_offsets", False)),
+            bool(index.manifest.get("with_payloads", False)),
         ),
         schema=_POSTING_CHECK_SCHEMA,
     )

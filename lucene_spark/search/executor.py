@@ -782,14 +782,13 @@ class Searcher:
         (TwoPhaseIterator / ExactPhraseMatcher pattern).
 
         slop=0: freq = #exact alignments (ExactPhraseMatcher.java:166).
-        slop>0, plain phrase (single-term slots): the REFERENCE
-        SloppyPhraseMatcher algorithm exactly — PhraseQueue propagation
-        of the least PhrasePosition with repeat-group collision
-        resolution (sloppy.py; SloppyPhraseMatcher.java:163-205, 365-470)
-        — including correct handling of repeated terms ("get get value").
-        slop>0 MultiPhrase (alternative slots): anchor-greedy
-        approximation (documented divergence; the reference's
-        multi-term-repeat machinery is not reproduced)."""
+        slop>0 (plain AND MultiPhrase): the REFERENCE SloppyPhraseMatcher
+        algorithm — PhraseQueue propagation of the least PhrasePosition
+        with repeat-group collision resolution (sloppy.py;
+        SloppyPhraseMatcher.java:163-205, 365-470), including repeated
+        terms ("get get value") and the multi-term repeat machinery
+        (alternative slots as union position streams, bipartite
+        term-group detection, collide-driven group init)."""
         if isinstance(q, P.MultiPhraseQ):
             slots = [tuple(alt) for alt in q.positions]
             weight_terms = [t for alt in slots for t in alt]
@@ -860,16 +859,33 @@ class Searcher:
                 arrs = {}
                 for e in entries:
                     arrs[e["idx"]] = np.asarray(e["positions"], dtype=np.int64)
-                if slop > 0 and single_term_slots:
-                    # reference-exact sloppy matcher (repeat-safe)
+                if slop > 0:
+                    # reference-exact sloppy matcher (repeat-safe).
+                    # Multi-term slots feed the union of their present
+                    # alternatives' positions (UnionPostingsEnum) under
+                    # the slot's FULL query term set, so repeat-group
+                    # detection sees query-level term identity
+                    # (SloppyPhraseMatcher.initFirstTime).
                     slot_in = []
                     ok = True
                     for idxs in slot_spec:
-                        ti = idxs[0]
-                        if ti not in arrs:
+                        if single_term_slots:
+                            ti = idxs[0]
+                            if ti not in arrs:
+                                ok = False
+                                break
+                            slot_in.append((ti, arrs[ti]))
+                            continue
+                        parts = [arrs[i] for i in idxs if i in arrs]
+                        if not parts:
                             ok = False
                             break
-                        slot_in.append((ti, arrs[ti]))
+                        slot_in.append(
+                            (
+                                frozenset(idxs),
+                                np.unique(np.concatenate(parts)),
+                            )
+                        )
                     if ok:
                         out[r] = sloppy_phrase_freq(slot_in, slop)
                     continue
@@ -884,34 +900,10 @@ class Searcher:
                     slot_pos.append(np.unique(np.concatenate(parts)))
                 if not ok:
                     continue
-                if slop == 0:
-                    cand = slot_pos[0]
-                    for sp in slot_pos[1:]:
-                        cand = np.intersect1d(cand, sp, assume_unique=True)
-                    out[r] = float(len(cand[cand >= 0]))
-                else:
-                    total = 0.0
-                    for a in slot_pos[0]:
-                        picks = [a]
-                        good = True
-                        for sp in slot_pos[1:]:
-                            j = np.searchsorted(sp, a)
-                            best = None
-                            for jj in (j - 1, j):
-                                if 0 <= jj < len(sp):
-                                    d = abs(int(sp[jj]) - int(a))
-                                    if best is None or d < best[0]:
-                                        best = (d, int(sp[jj]))
-                            if best is None:
-                                good = False
-                                break
-                            picks.append(best[1])
-                        if not good:
-                            continue
-                        match_len = max(picks) - min(picks)
-                        if match_len <= slop:
-                            total += 1.0 / (1.0 + match_len)
-                    out[r] = total
+                cand = slot_pos[0]
+                for sp in slot_pos[1:]:
+                    cand = np.intersect1d(cand, sp, assume_unique=True)
+                out[r] = float(len(cand[cand >= 0]))
             return pd.Series(out)
 
         # filter on the *score* (0 iff freq == 0: BM25 weight > 0 always)

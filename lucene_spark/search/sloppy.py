@@ -66,19 +66,56 @@ def sloppy_phrase_freq(slot_positions: list, slop: int) -> float:
     """freq = Σ 1/(1+matchLength) over the reference's match enumeration.
 
     `slot_positions`: one entry per phrase slot, in query order:
-    (term_key, sorted_token_positions). Slots sharing a term_key form a
-    repeat group. Returns 0.0 when the doc has no slop-valid match.
-    Caller guarantees every slot has at least one position (the
-    conjunction approximation already passed)."""
+    (term_key, sorted_token_positions). ``term_key`` is a single
+    hashable for plain phrases, or a frozenset of term ids for
+    MultiPhraseQuery alternative slots (positions = sorted union of the
+    alternatives, like the reference's UnionPostingsEnum). Repeat groups
+    follow the reference: terms appearing in >=2 slots are repeating;
+    without multi-term slots a group is the slots of one repeating term;
+    with multi-term slots, groups are connected components over the
+    slot/term bipartite graph (gatherRptGroups' unionTermGroups).
+    Returns 0.0 when the doc has no slop-valid match. Caller guarantees
+    every slot has at least one position (the conjunction approximation
+    already passed)."""
     pps = [
         _PP(positions, i, i) for i, (_tk, positions) in enumerate(slot_positions)
     ]
-    # repeat groups by term key, members sorted by offset
-    by_term: dict = {}
-    for pp, (tk, _pos) in zip(pps, slot_positions):
-        by_term.setdefault(tk, []).append(pp)
+    keys = [
+        tk if isinstance(tk, frozenset) else frozenset([tk])
+        for tk, _pos in slot_positions
+    ]
+    # repeating terms: present in >= 2 slots (repeatingTerms())
+    term_count: dict = {}
+    for ks in keys:
+        for t in ks:
+            term_count[t] = term_count.get(t, 0) + 1
+    rpt_terms = {t for t, c in term_count.items() if c >= 2}
+    has_multi_term_rpts = any(
+        len(ks) > 1 and (ks & rpt_terms) for ks in keys
+    )
+    # connected components of repeating terms (unionTermGroups): terms
+    # co-occurring in one slot's alternative set share a group
+    parent = {t: t for t in rpt_terms}
+
+    def find(t):
+        while parent[t] != t:
+            parent[t] = parent[parent[t]]
+            t = parent[t]
+        return t
+
+    for ks in keys:
+        rs = [t for t in ks if t in rpt_terms]
+        for a, b in zip(rs, rs[1:]):
+            parent[find(a)] = find(b)
+    groups_by_root: dict = {}
+    for pp, ks in zip(pps, keys):
+        roots = {find(t) for t in ks if t in rpt_terms}
+        for r in roots:
+            groups_by_root.setdefault(r, [])
+            if pp not in groups_by_root[r]:
+                groups_by_root[r].append(pp)
     rpt_groups = []
-    for members in by_term.values():
+    for members in groups_by_root.values():
         if len(members) > 1:
             members.sort(key=lambda p: p.offset)
             for j, pp in enumerate(members):
@@ -114,13 +151,33 @@ def sloppy_phrase_freq(slot_positions: list, slop: int) -> float:
     for pp in pps:
         pp.first_position()
     if has_rpts:
-        # advanceRepeatGroups, single-term repeats: j-th member advances j
-        # times (no multi-term repeat support needed for plain phrases)
+        # advanceRepeatGroups
         for rg in rpt_groups:
-            for j in range(1, len(rg)):
-                for _ in range(j):
-                    if not rg[j].next_position():
-                        return 0.0
+            if has_multi_term_rpts:
+                # multi-term branch: some members may not collide at all
+                # ("hidden collisions" resolved by collide-driven
+                # advances; SloppyPhraseMatcher.advanceRepeatGroups)
+                i = 0
+                while i < len(rg):
+                    incr = 1
+                    pp = rg[i]
+                    while True:
+                        other = collide(pp)
+                        if other is None:
+                            break
+                        pp2 = lesser(pp, other)
+                        if not pp2.next_position():
+                            return 0.0
+                        if pp2.rpt_ind < i:
+                            incr = 0
+                            break
+                    i += incr
+            else:
+                # single-term repeats: j-th member advances j times
+                for j in range(1, len(rg)):
+                    for _ in range(j):
+                        if not rg[j].next_position():
+                            return 0.0
     state["end"] = max(pp.position for pp in pps)
 
     heap = [(pp.key(), pp) for pp in pps]

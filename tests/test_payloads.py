@@ -130,3 +130,11 @@ def test_payload_requires_payload_index(spark, tmp_path_factory):
     s = Searcher(Index(spark, idx_dir), scoring="double")
     with pytest.raises(ValueError, match="payloads"):
         s.scored(PayloadScoreQ(P.SpanTermQ("async"), "max")).collect()
+
+
+def test_checkindex_validates_payload_stream(spark, pay_idx):
+    from lucene_spark.index.check import check_index
+
+    idx_dir, _ = pay_idx
+    rep = check_index(Index(spark, idx_dir))
+    assert rep["posting_violations"] == {}

@@ -104,3 +104,101 @@ def test_repeated_phrase_end_to_end(spark, tmp_path):
             expected_docs[d] = f
     assert set(got) == set(expected_docs), (got, expected_docs)
     assert 0 in got and 3 not in got
+
+
+# ---------------------------------------------------------------------------
+# multi-term (MultiPhraseQuery alternative) slots — the reference's
+# hasMultiTermRpts machinery (SloppyPhraseMatcher.initFirstTime,
+# advanceRepeatGroups multi-term branch)
+# ---------------------------------------------------------------------------
+
+
+def test_multi_term_slot_degenerates_to_single():
+    """A multi-term slot whose union stream equals a single term's
+    stream must score identically to the single-term phrase."""
+    rnd = random.Random(23)
+    for _ in range(2000):
+        A = sorted(rnd.sample(range(0, 14), rnd.randint(1, 5)))
+        B = sorted(rnd.sample(range(0, 14), rnd.randint(1, 5)))
+        slop = rnd.randint(0, 4)
+        single = sloppy_phrase_freq([("a", A), ("b", B)], slop)
+        multi = sloppy_phrase_freq(
+            [(frozenset(["a", "x"]), A), (frozenset(["b", "y"]), B)], slop
+        )
+        assert multi == single, (A, B, slop)
+
+
+def test_multi_term_hidden_collision_no_double_placement():
+    # slots ({a,b}, {b}) on doc "b": both streams hold only b@0 —
+    # the shared position cannot serve both slots -> no match ever
+    assert sloppy_phrase_freq(
+        [(frozenset(["a", "b"]), [0]), (frozenset(["b"]), [0])], 4
+    ) == 0.0
+    # doc "b b": the two slots can take b@0 and b@1 -> an exact match
+    f = sloppy_phrase_freq(
+        [(frozenset(["a", "b"]), [0, 1]), (frozenset(["b"]), [0, 1])], 0
+    )
+    assert f == 1.0
+    # javadoc hidden-collision example: P1={a,b}, P2={b,c}, doc "a c b":
+    # exact alignment a@0,c@1 exists -> freq includes a slop-0 match
+    f2 = sloppy_phrase_freq(
+        [(frozenset(["a", "b"]), [0, 2]), (frozenset(["b", "c"]), [1, 2])], 0
+    )
+    assert f2 >= 1.0
+
+
+def test_multi_term_group_spans_slots_via_shared_terms():
+    # slots ({a,b}, {b,c}, {c}): term-groups union {a,b}+{b,c}+{c} into
+    # ONE repeat group across all three slots; a doc with a single
+    # shared position per stream cannot satisfy three distinct slots
+    assert sloppy_phrase_freq(
+        [
+            (frozenset(["a", "b"]), [0]),
+            (frozenset(["b", "c"]), [0]),
+            (frozenset(["c"]), [0]),
+        ],
+        6,
+    ) == 0.0
+    # distinct positions available -> exact "0 1 2" alignment
+    assert sloppy_phrase_freq(
+        [
+            (frozenset(["a", "b"]), [0, 1, 2]),
+            (frozenset(["b", "c"]), [0, 1, 2]),
+            (frozenset(["c"]), [0, 1, 2]),
+        ],
+        0,
+    ) >= 1.0
+
+
+def test_multi_phrase_sloppy_end_to_end(spark, tmp_path):
+    """MultiPhraseQ slop>0 e2e: superset of its slop=0 doc set, and when
+    every slot has one alternative it equals the plain sloppy phrase."""
+    from lucene_spark.corpus import make_corpus
+    from lucene_spark.index import Index, build_index
+    from lucene_spark.search import MultiPhraseQ, PhraseQ, Searcher
+
+    pdf = make_corpus(150, seed=37)
+    idx_dir = str(tmp_path / "mp_idx")
+    build_index(
+        spark, spark.createDataFrame(pdf), idx_dir,
+        text_col="content", num_buckets=4, salt_rows=64,
+    )
+    s = Searcher(Index(spark, idx_dir), scoring="double")
+    mp = MultiPhraseQ((("async", "go"), ("await",)), slop=3)
+    docs_sloppy = {int(r["doc_id"]) for r in s.scored(mp).collect()}
+    mp0 = MultiPhraseQ((("async", "go"), ("await",)), slop=0)
+    docs_exact = {int(r["doc_id"]) for r in s.scored(mp0).collect()}
+    assert docs_exact <= docs_sloppy
+    assert docs_sloppy, "sloppy multiphrase must match something"
+    # single-alternative slots == plain sloppy phrase, score-identical
+    mp1 = MultiPhraseQ((("async",), ("await",)), slop=3)
+    ph = PhraseQ(("async", "await"), slop=3)
+    got_mp = {
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in s.scored(mp1).collect()
+    }
+    got_ph = {
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in s.scored(ph).collect()
+    }
+    assert got_mp == got_ph
