@@ -87,3 +87,17 @@ def test_index_probe_matches_inline_assign(emb, tmp_path):
     via_index = [r["vec_id"] for r in S.ivf_topk(None, qv, 10, C, 2, index=idx).collect()]
     inline = [r["vec_id"] for r in S.ivf_topk(emb, qv, 10, C, 2).collect()]
     assert via_index == inline
+
+
+def test_ivf_probe_partition_pruned(emb, tmp_path):
+    """Scale guard: probing a build_ivf_index layout must prune on the
+    cell partition column (PartitionFilters), like the LSH probe."""
+    C = S.ivf_centroids_random(DIM, CELLS)
+    d = str(tmp_path / "ivf_prune")
+    S.build_ivf_index(emb, d, C)
+    idx = emb.sparkSession.read.parquet(d)
+    qv = [float(x) for x in _np_vectors(emb)[3]]
+    df = S.ivf_topk(None, qv, 5, C, nprobe=2, index=idx)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "cell" in pf, plan
