@@ -795,6 +795,27 @@ def _q_suggest_infix(query: str, n: int):
     return fn
 
 
+def _q_datetools_day_counts(lo: str, hi: str):
+    """DateTools analog (document/DateTools.java): timestamps as
+    lexicographically sortable strings; a date range is a plain string
+    BETWEEN over the day-resolution column."""
+
+    def fn(spark, sf_dir):
+        from lucene_spark import datetools as DT
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        day = DT.date_to_string(F.col("ts"), "day")
+        return (
+            ev.select(day.alias("day_str"))
+            .filter(F.col("day_str").between(lo, hi))
+            .groupBy("day_str")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("day_str")
+        )
+
+    return fn
+
+
 def _q_facet_range(term: str):
     def fn(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -1330,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": _q_rescore("data", ("data", "line"), 20, 2.0),
         "suggest_prefix": _q_suggest("s", 10),
         "suggest_infix": _q_suggest_infix("data vect", 10),
+        "datetools_day_counts": _q_datetools_day_counts("20240105", "20240112"),
         "facet_range_nchars": _q_facet_range("vector"),
         "facet_taxonomy_path": _q_facet_taxonomy("vector"),
         "facet_taxonomy_children": _q_facet_taxonomy_children("vector", 2),
@@ -1801,6 +1823,12 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
             f"count(*) AS cnt "
             f"FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector') m "
             f"JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY bucket"
+        ),
+        "datetools_day_counts": (
+            "SELECT strftime(ts, '%Y%m%d') AS day_str, count(*) AS cnt "
+            "FROM events WHERE strftime(ts, '%Y%m%d') "
+            "BETWEEN '20240105' AND '20240112' "
+            "GROUP BY day_str ORDER BY day_str"
         ),
         "facet_taxonomy_path": (
             f"{_PRELUDE}{_taxo_oracle_prelude('vector')} "
