@@ -168,59 +168,59 @@ def term_bucket_py(terms: pd.Series, num_buckets: int) -> np.ndarray:
 
 
 def _assign_doc_ids(df: DataFrame, order_cols: list[str], parts: int) -> DataFrame:
-    """Deterministic global rank without a single-partition window.
+    """Deterministic global rank with ONE text shuffle, no join, no
+    single-partition window.
 
-    Only the (small) key columns travel: project `order_cols`, range-
-    repartition + sort them for a total order, compute per-partition
-    offsets (one int per partition), stamp doc_id = offset + local index,
-    then join the ids back to the full rows. The wide columns (content)
-    never cross the Python boundary and at small scale never shuffle at
-    all (the id table broadcasts; at 10^12 rows AQE picks a shuffle join
-    — one text shuffle, same as sorting the corpus itself would cost).
+    The full rows range-repartition by the key columns (the range
+    sampling pass projects ONLY the keys — column-pruned at the source —
+    so text bytes move exactly once) and sort within partitions for a
+    total order. monotonically_increasing_id() then yields the
+    per-partition row index (documented layout: partition id in the
+    upper bits, consecutive record number in the lower 33); one tiny
+    count job per partition gives global offsets, broadcast-joined back
+    by partition id. doc_id = offset[pid] + local index == the global
+    key rank, so the OUTPUT partitions already ARE contiguous docID
+    ranges — the corpus write needs no second repartition and no
+    sampling pass over the joined text (the previous join-based shape
+    paid both). Any violation of the layout assumption fails loudly in
+    _check_doc_ids (rows == distinct ids == [0, N) is asserted per
+    build).
 
     `order_cols` must be a unique key (the reference ingest order is a
     total order; repo/path/commit is unique by construction)."""
-    keys = df.select(*order_cols)
-    sdf = keys.repartitionByRange(parts, *[F.col(c) for c in order_cols]).sortWithinPartitions(
-        *order_cols
-    )
+    sdf = df.repartitionByRange(
+        parts, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    sdf = sdf.withColumn("__mid", F.monotonically_increasing_id())
+    # PIN the partitioning: range boundaries come from sampling, and two
+    # separate actions (the count below, the corpus write later) would
+    # otherwise sample independently and could disagree on boundaries —
+    # offsets from one layout applied to another. MEMORY_AND_DISK also
+    # means the sorted rows materialize once and the corpus write reads
+    # them back instead of re-shuffling. (At petabyte scale the same pin
+    # is a localCheckpoint / staged write; the invariant check below
+    # fails loudly if a layout mismatch ever slips through.)
     sdf = sdf.persist()
-    counts = (
-        sdf.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid")
-        .count()
-        .collect()
+    pid = F.shiftright(F.col("__mid"), 33).cast("long")
+    row = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = sdf.groupBy(pid.alias("__pid")).count().collect()
+    by_pid = {int(r["__pid"]): int(r["count"]) for r in counts}
+    offsets, acc = [], 0
+    for p in sorted(by_pid):
+        offsets.append((p, acc))
+        acc += by_pid[p]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "__pid long, __off long"
     )
-    by_pid = {r["__pid"]: r["count"] for r in counts}
-    offsets = {}
-    acc = 0
-    for pid in sorted(by_pid):
-        offsets[pid] = acc
-        acc += by_pid[pid]
-    out_schema = T.StructType(sdf.schema.fields + [T.StructField("doc_id", T.LongType())])
-    boffsets = {int(k): int(v) for k, v in offsets.items()}
-
-    def add_ids(iterator):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        seen = 0
-        for pdf in iterator:
-            pdf = pdf.copy()
-            pdf["doc_id"] = np.arange(seen, seen + len(pdf), dtype=np.int64) + boffsets.get(pid, 0)
-            seen += len(pdf)
-            yield pdf
-
-    ids = sdf.mapInPandas(add_ids, schema=out_schema)
-    # Null-safe equi-join: a plain `==` join silently drops rows with NULL
-    # order keys (null != null).  eqNullSafe keeps them; duplicate keys
-    # would fan out, so the caller verifies counts (see build_index).
-    cond = None
-    for c in order_cols:
-        clause = df[c].eqNullSafe(ids[c])
-        cond = clause if cond is None else cond & clause
-    joined = df.join(ids, cond).drop(*[ids[c] for c in order_cols])
-    return joined
+    return (
+        sdf.withColumn("__pid", pid)
+        .join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(
+            "doc_id", (F.coalesce(F.col("__off"), F.lit(0)) + row).cast("long")
+        )
+        .drop("__pid", "__off", "__mid")
+    )
 
 
 def _check_doc_ids(spark: SparkSession, corpus_path: str) -> int:
@@ -609,20 +609,24 @@ def build_index(
 
     # ---- stage0: snapshot + docIDs ----
     if not (resume and _stage_done(index_dir, "stage0_corpus")):
-        if doc_id_col:
-            snap = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
-            if doc_id_col != "doc_id":
-                snap = snap.drop(doc_id_col)
-        else:
-            parts = corpus_parts or spark.sparkContext.defaultParallelism
-            snap = _assign_doc_ids(corpus, order_cols or corpus.columns, parts)
-        snap = snap.withColumn("sha256", F.sha2(F.col(text_col), 256))
         # range-cluster by doc_id: files align with docID ranges (the
         # salt sharding in stage1 and stored-field fetches both benefit),
         # and the file count matches the parallelism so the tokenize
         # stage is never starved by a handful of wide input files.
         snap_parts = corpus_parts or spark.sparkContext.defaultParallelism * 2
-        snap = snap.repartitionByRange(snap_parts, F.col("doc_id"))
+        if doc_id_col:
+            snap = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+            if doc_id_col != "doc_id":
+                snap = snap.drop(doc_id_col)
+            snap = snap.repartitionByRange(snap_parts, F.col("doc_id"))
+        else:
+            # _assign_doc_ids output is ALREADY range-clustered by
+            # doc_id (= the key rank) — no second repartition, no
+            # sampling pass over the full rows
+            snap = _assign_doc_ids(
+                corpus, order_cols or corpus.columns, snap_parts
+            )
+        snap = snap.withColumn("sha256", F.sha2(F.col(text_col), 256))
         snap.write.mode("overwrite").parquet(corpus_path)
         if doc_id_col:
             n_docs = _parquet_rows(corpus_path)
