@@ -671,6 +671,7 @@ def build_index(
         # table layout would restore directory-level pruning without the
         # dynamic-write sort.
         postings.write.mode("overwrite").parquet(postings_path)
+        t1_post = time.time()
         # docs table straight from the snapshot: dl is a pure column
         # expression over the same token regex as the analyzer (each
         # >255-char run contributes ceil(len/255) pieces,
@@ -709,6 +710,8 @@ def build_index(
                 "postings_rows": _parquet_rows(postings_path),
                 "docs_rows": _parquet_rows(docs_path),
                 "path": postings_path,
+                "postings_sec": round(t1_post - t1, 2),
+                "docs_sec": round(time.time() - t1_post, 2),
                 "elapsed_sec": time.time() - t1,
             },
         )

@@ -65,6 +65,24 @@ _POS_PAY_SCHEMA = T.StructType(
 )
 
 
+def _key_field(k) -> str | None:
+    """Leaf-key field: keys are bare terms (default field) or
+    (field, term) tuples (FieldMaskingSpanQ-scoped leaves)."""
+    return k[0] if isinstance(k, tuple) else None
+
+
+def _key_term(k) -> str:
+    return k[1] if isinstance(k, tuple) else k
+
+
+def _by_field(keys) -> dict:
+    """Group leaf keys by field, preserving order: {field|None: [terms]}."""
+    out: dict = {}
+    for k in keys:
+        out.setdefault(_key_field(k), []).append(_key_term(k))
+    return out
+
+
 def _edit_distance(a: str, b: str, transpositions: bool) -> int:
     """Levenshtein, or unrestricted Damerau-Levenshtein when
     `transpositions` (matches DuckDB damerau_levenshtein; see FuzzyQ
@@ -304,6 +322,36 @@ class Searcher:
                     yield pd.DataFrame({"doc_id": np.concatenate(outs)})
 
         return self._live(rows.mapInPandas(fn, schema=_DOCS_SCHEMA))
+
+    def _stats_for_keys(self, keys: list) -> dict:
+        """stats_for_terms over mixed-field leaf keys: one lookup per
+        distinct field, results keyed back by leaf key."""
+        out: dict = {}
+        for fld, ts in _by_field(keys).items():
+            s = self.index.stats_for_terms(ts, fld)
+            for t, v in s.items():
+                out[(fld, t) if fld else t] = v
+        return out
+
+    def _position_rows_keyed(self, keys: list, with_payloads: bool = False) -> DataFrame:
+        """_position_rows over mixed-field leaf keys: one fetch per
+        distinct field, the per-fetch term idx remapped to the key's
+        position in ``keys``. Single-field queries (every query without
+        FieldMaskingSpanQ) collapse to one fetch with an identity remap —
+        zero overhead on the common path."""
+        out = None
+        for fld, ts in _by_field(keys).items():
+            p = self._position_rows(ts, fld, with_payloads)
+            gidx = [keys.index((fld, t) if fld else t) for t in ts]
+            if gidx != list(range(len(keys))):
+                p = p.withColumn(
+                    "idx",
+                    F.element_at(
+                        F.array(*[F.lit(g) for g in gidx]), F.col("idx") + 1
+                    ),
+                )
+            out = p if out is None else out.unionByName(p)
+        return out
 
     def _doc_rows_for_predicate(self, predicate, field: str | None = None) -> DataFrame:
         """MultiTermQuery constant-score path: semi-join the postings scan
@@ -922,7 +970,8 @@ class Searcher:
         duplicate slots (repeated phrase terms) scan once."""
         seen: dict[tuple, None] = {}
         for alt in slots:
-            key = tuple(sorted(t for t in alt if t in stats))
+            # slot entries may be bare terms or (field, term) leaf keys
+            key = tuple(sorted((t for t in alt if t in stats), key=repr))
             seen.setdefault(key, None)
         ordered = sorted(seen, key=lambda key: sum(stats[t][0] for t in key))
         if len(ordered) > 1:
@@ -932,8 +981,13 @@ class Searcher:
         surv = None
         for key in ordered:
             # duplicate docIDs are harmless on the probe/build side of a
-            # left-semi join — no distinct() (it would add an exchange)
-            sd = self._doc_rows(list(key), field)
+            # left-semi join — no distinct() (it would add an exchange).
+            # A slot's alternatives may span fields (masked spans inside
+            # an or): per-field doc rows union into one slot doc set.
+            sd = None
+            for fld, ts in _by_field(key).items():
+                d = self._doc_rows(ts, field if fld is None else fld)
+                sd = d if sd is None else sd.unionByName(d)
             surv = sd if surv is None else surv.join(sd, "doc_id", "left_semi")
         return surv
 
@@ -1058,9 +1112,9 @@ class Searcher:
         (intervals.py). freq = sum 1/(1+gaps), weight = summed leaf idf."""
         from lucene_spark.search import intervals as IV
 
-        terms = IV.leaf_terms(q.source)
+        terms = IV.leaf_keys(q.source)
         uniq = list(dict.fromkeys(terms))
-        stats = self.index.stats_for_terms(uniq)
+        stats = self._stats_for_keys(uniq)
         # phase-1 conjunction uses REQUIRED slots only: negative
         # combinators' subtrahends and or-alternatives are optional
         # (intervals.required_terms); a slot with no present term kills
@@ -1074,10 +1128,10 @@ class Searcher:
         present_terms = [t for t in terms if t in stats]
         uniq = [t for t in uniq if t in stats]
         w = self._combined_weight([stats[t][0] for t in present_terms], q.boost)
-        # intervals run over the default field (field-scoped intervals:
-        # wrap leaf terms per field when the node grows a field attr)
+        # leaves run over the default field unless scoped by a
+        # FieldMaskingSpanQ ((field, term) keys; per-field fetch + union)
         surv = self._slot_conjunction_docs(req_slots, stats)
-        pos = self._position_rows(uniq)
+        pos = self._position_rows_keyed(uniq)
         if candidates is not None:
             pos = self._cand(pos, candidates)
         pos = pos.join(surv, "doc_id", "left_semi")
@@ -1120,9 +1174,9 @@ class Searcher:
         from lucene_spark.search import intervals as IV
 
         source = P.span_source(q.span)
-        terms = IV.leaf_terms(source)
+        terms = IV.leaf_keys(source)
         uniq = list(dict.fromkeys(terms))
-        stats = self.index.stats_for_terms(uniq)
+        stats = self._stats_for_keys(uniq)
         req_slots = []
         for slot in IV.required_terms(source):
             present = tuple(t for t in dict.fromkeys(slot) if t in stats)
@@ -1130,7 +1184,7 @@ class Searcher:
                 return self._empty_scored()
             req_slots.append(present)
         uniq = [t for t in uniq if t in stats]
-        pos = self._position_rows(uniq, with_payloads=True)
+        pos = self._position_rows_keyed(uniq, with_payloads=True)
         if candidates is not None:
             pos = self._cand(pos, candidates)
         total_df = sum(stats[t][0] for t in uniq)

@@ -59,25 +59,50 @@ def leaf_terms(src) -> list[str]:
     return out
 
 
-def required_terms(src) -> list[list[str]]:
+def leaf_key(src) -> object:
+    """Position-dict key for one leaf: the bare term for default-field
+    leaves (the common case, and the key shape every existing caller
+    uses), else (field, term) — FieldMaskingSpanQ trees mix fields."""
+    return (src.field, src.term) if src.field else src.term
+
+
+def leaf_keys(src) -> list:
+    """ALL leaf keys under the source (see leaf_key)."""
+    if isinstance(src, P.IntervalTerm):
+        return [leaf_key(src)]
+    out: list = []
+    for s in _children(src):
+        out.extend(leaf_keys(s))
+    return out
+
+
+def has_field_leaves(src) -> bool:
+    """True if any leaf is scoped to a non-default field."""
+    if isinstance(src, P.IntervalTerm):
+        return src.field is not None
+    return any(has_field_leaves(s) for s in _children(src))
+
+
+def required_terms(src) -> list[list]:
     """Conjunction slots for the phase-1 docID approximation: a doc can
     match only if, for every slot, at least ONE of the slot's terms is
     present. `or` contributes one slot with all alternatives; negative
     combinators (notContaining / notContainedBy / notWithin) contribute
     only their positive side — the subtrahend is optional
-    (FilteringIntervalsSource semantics)."""
+    (FilteringIntervalsSource semantics). Slot entries are leaf KEYS
+    (bare term, or (field, term) for field-scoped leaves)."""
     if isinstance(src, P.IntervalTerm):
-        return [[src.term]]
+        return [[leaf_key(src)]]
     if isinstance(src, (P.IntervalOrdered, P.IntervalUnordered)):
-        out: list[list[str]] = []
+        out: list[list] = []
         for s in src.sources:
             out.extend(required_terms(s))
         return out
     if isinstance(src, P.IntervalOr):
         # one slot: union of every alternative's terms
-        alts: list[str] = []
+        alts: list = []
         for s in src.sources:
-            alts.extend(leaf_terms(s))
+            alts.extend(leaf_keys(s))
         return [alts]
     if isinstance(src, P.IntervalContaining):
         return required_terms(src.big) + required_terms(src.small)
@@ -110,7 +135,7 @@ def _minimalize(intervals: list[tuple[int, int]]) -> list[tuple[int, int]]:
 def evaluate(src, pos_by_term: dict) -> list[tuple[int, int]]:
     """Interval source -> minimal (start, end) list for one document."""
     if isinstance(src, P.IntervalTerm):
-        pos = pos_by_term.get(src.term)
+        pos = pos_by_term.get(leaf_key(src))
         if pos is None or len(pos) == 0:
             return []
         return [(int(p), int(p)) for p in pos]

@@ -251,9 +251,12 @@ class TermInSetQ:
 @dataclass(frozen=True)
 class IntervalTerm:
     """queries/.../intervals/Intervals.term — leaf: one interval per
-    occurrence of the term, width 0."""
+    occurrence of the term, width 0. ``field`` scopes the leaf to a
+    non-default field (FieldMaskingSpanQ lowering); None = the query's
+    default field."""
 
     term: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -382,10 +385,13 @@ class IntervalNotOverlapping:
 
 @dataclass(frozen=True)
 class SpanTermQ:
-    """spans/SpanTermQuery.java — leaf span, one (p, p) span per hit."""
+    """spans/SpanTermQuery.java — leaf span, one (p, p) span per hit.
+    ``field`` scopes the leaf to a non-default field (None = default);
+    a span tree may mix fields only through FieldMaskingSpanQ."""
 
     term: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -449,6 +455,25 @@ class SpanWithinQ:
 
 
 @dataclass(frozen=True)
+class FieldMaskingSpanQ:
+    """spans/FieldMaskingSpanQuery.java — wraps a span whose leaves live
+    in another field and ADVERTISES it as ``field``, letting SpanNearQ /
+    SpanOrQ combine positions across fields with aligned position
+    streams (the classic use: the same text analyzed two ways). Matching
+    evaluates the wrapped span against its REAL field's postings — the
+    mask only relabels (FieldMaskingSpanQuery.java:62 'the matching is
+    done by the underlying query'). Documented divergence: scoring uses
+    the real field's term statistics and norms, where the reference
+    mixes the masked field's collection stats with the real field's term
+    stats (its javadoc calls that combination out as intentionally
+    odd)."""
+
+    span: object
+    field: str | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PayloadScoreQ:
     """queries/payloads/PayloadScoreQuery.java — scores docs by a
     PayloadFunction (min/max/avg/sum) over the payloads of matched span
@@ -468,7 +493,7 @@ class PayloadScoreQ:
 
 _SPAN_NODES = (
     SpanTermQ, SpanNearQ, SpanOrQ, SpanNotQ, SpanFirstQ,
-    SpanContainingQ, SpanWithinQ,
+    SpanContainingQ, SpanWithinQ, FieldMaskingSpanQ,
 )
 
 
@@ -476,7 +501,11 @@ def span_source(q):
     """Lower a span node to its interval source (documented subsumption:
     the intervals module evaluates span semantics)."""
     if isinstance(q, SpanTermQ):
-        return IntervalTerm(q.term)
+        return IntervalTerm(q.term, q.field)
+    if isinstance(q, FieldMaskingSpanQ):
+        # the mask only relabels the advertised field; leaves keep their
+        # real field, which the interval evaluator reads per leaf
+        return span_source(q.span)
     if isinstance(q, SpanNearQ):
         srcs = tuple(span_source(c) for c in q.clauses)
         cls = IntervalOrdered if q.in_order else IntervalUnordered

@@ -182,11 +182,23 @@ def _worker(cpus: int, corpus_path: str, idx_dir: str) -> None:
         searcher.top_k_batch(batch, kmax).collect()
     batch_sec = time.time() - tb0
 
+    stage_secs = {}
+    try:
+        with open(os.path.join(idx_dir, "manifest.json")) as f:
+            for name, info in json.load(f).get("stages", {}).items():
+                for k, v in info.items():
+                    if k.endswith("_sec"):
+                        key = name if k == "elapsed_sec" else f"{name}.{k[:-4]}"
+                        stage_secs[key] = round(v, 2)
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {
                 "cpus": cpus,
                 "n_docs": n_docs,
+                "stage_secs": stage_secs,
                 "build_sec": round(build_sec, 2),
                 "build_docs_per_sec": round(n_docs / build_sec, 1),
                 "query_sec": round(query_sec, 2),
