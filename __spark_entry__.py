@@ -734,6 +734,143 @@ def _q_mlt(seed_doc: int, max_terms: int, k: int):
     return fn
 
 
+# classification gates (lucene/classification analogs): class = lang
+_NB_TEXTS = ["vector data merge", "sort the data quickly", ""]
+_KNN_TEXT, _KNN_K, _KNN_MT = "vector data index merge", 10, 5
+
+
+def _q_classify_nb(texts: list[str]):
+    def fn(spark, sf_dir):
+        from lucene_spark.classification import SimpleNaiveBayesClassifier
+
+        nb = SimpleNaiveBayesClassifier(_searcher(spark, sf_dir), "lang")
+        rows = []
+        for i, t in enumerate(texts):
+            for c, p in nb.get_classes(t):
+                rows.append((i, c, round(p, 6)))
+        return spark.createDataFrame(rows, "qid int, cls string, p_r double")
+
+    return fn
+
+
+def _q_classify_knn(text: str, k: int, max_terms: int):
+    def fn(spark, sf_dir):
+        from lucene_spark.classification import KNearestNeighborClassifier
+
+        knn = KNearestNeighborClassifier(
+            _searcher(spark, sf_dir), "lang", k=k,
+            max_query_terms=max_terms, tie_rounding=4,
+        )
+        rows = [(c, round(v, 4)) for c, v in knn.get_classes(text)]
+        return spark.createDataFrame(rows, "cls string, score_r double")
+
+    return fn
+
+
+def _sql_quote(w: str) -> str:
+    return "'" + w.replace("'", "''") + "'"
+
+
+def _nb_oracle_sql(texts: list[str]) -> str:
+    """SimpleNaiveBayesClassifier oracle: the reference formulas in pure
+    SQL over the tokenized documents table; input tokens (same analyzer)
+    inlined as VALUES — analyzer-only, no index data leaks in."""
+    from lucene_spark.analysis import analyze_query_text
+
+    ctes = [
+        "cls AS (SELECT lang AS c, count(*) AS n_c FROM documents "
+        "WHERE lang IS NOT NULL GROUP BY lang)",
+        "tot AS (SELECT CAST(sum(n_c) AS DOUBLE) AS n_all FROM cls)",
+        "avgu AS (SELECT (SELECT CAST(sum(df) AS DOUBLE) FROM dfs) "
+        "/ g.doc_count AS a FROM g)",
+    ]
+    selects = []
+    for i, t in enumerate(texts):
+        occ: dict[str, int] = {}
+        for w in analyze_query_text(t):
+            occ[w] = occ.get(w, 0) + 1
+        if occ:
+            vals = ", ".join(
+                f"({_sql_quote(w)}, {n})" for w, n in sorted(occ.items())
+            )
+            ctes.append(f"qt{i}(w, occ) AS (VALUES {vals})")
+            ctes.append(
+                f"hits{i} AS (SELECT qt.w AS w, d.lang AS c, count(*) AS h "
+                f"FROM tf JOIN qt{i} qt ON tf.term = qt.w "
+                f"JOIN documents d USING (doc_id) "
+                f"WHERE d.lang IS NOT NULL GROUP BY 1, 2)"
+            )
+            ctes.append(
+                f"sc{i} AS (SELECT cls.c AS cls, "
+                f"ln(CAST(cls.n_c AS DOUBLE)) - ln(tot.n_all) + "
+                f"sum(qt.occ * ln((COALESCE(h.h, 0) + 1) "
+                f"/ (avgu.a * cls.n_c + tot.n_all))) AS s "
+                f"FROM cls CROSS JOIN qt{i} qt "
+                f"LEFT JOIN hits{i} h ON h.w = qt.w AND h.c = cls.c "
+                f"CROSS JOIN tot CROSS JOIN avgu "
+                f"GROUP BY cls.c, cls.n_c, tot.n_all, avgu.a)"
+            )
+        else:
+            ctes.append(
+                f"sc{i} AS (SELECT cls.c AS cls, "
+                f"ln(CAST(cls.n_c AS DOUBLE)) - ln(tot.n_all) AS s "
+                f"FROM cls CROSS JOIN tot)"
+            )
+        ctes.append(
+            f"nm{i} AS (SELECT cls, exp(s - ((SELECT max(s) FROM sc{i}) + "
+            f"ln((SELECT sum(exp(s - (SELECT max(s) FROM sc{i}))) "
+            f"FROM sc{i})))) AS p FROM sc{i})"
+        )
+        selects.append(f"SELECT {i} AS qid, cls, round(p, 6) AS p_r FROM nm{i}")
+    return (
+        f"{_PRELUDE}, "
+        + ",\n".join(ctes)
+        + " "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY qid, cls"
+    )
+
+
+def _knn_oracle_sql(text: str, k: int, max_terms: int) -> str:
+    """KNearestNeighborClassifier oracle: MLT term selection + BM25
+    top-k (rounded ordering, like every topk gate) + the reference vote
+    boost/min(k, hits-with-class)."""
+    from lucene_spark.analysis import analyze_query_text
+
+    occ: dict[str, int] = {}
+    for w in analyze_query_text(text):
+        occ[w] = occ.get(w, 0) + 1
+    vals = ", ".join(f"({_sql_quote(w)}, {n})" for w, n in sorted(occ.items()))
+    return f"""{_PRELUDE},
+qtf(w, tfq) AS (VALUES {vals}),
+sel AS (SELECT qtf.w FROM qtf JOIN dfs ON dfs.term = qtf.w CROSS JOIN g
+        ORDER BY -round(qtf.tfq * ln(g.doc_count / CAST(dfs.df AS DOUBLE)), 6),
+                 qtf.w LIMIT {max_terms}),
+scored AS (
+  SELECT gen.doc_id, sum(gen.w - gen.w / (1 + gen.freq * {_INV})) AS score
+  FROM (
+    SELECT tf.doc_id, tf.freq,
+           ln(1 + (g.doc_count - dfs.df + 0.5) / (dfs.df + 0.5)) AS w
+    FROM tf JOIN dfs USING (term), g
+    WHERE tf.term IN (SELECT w FROM sel)
+  ) gen
+  JOIN qdls q ON q.doc_id = gen.doc_id, g
+  GROUP BY gen.doc_id
+),
+top AS (SELECT s.doc_id, s.score, d.lang AS c
+        FROM scored s JOIN documents d USING (doc_id)
+        WHERE d.lang IS NOT NULL
+        ORDER BY round(s.score, 4) DESC, s.doc_id LIMIT {k}),
+mxx AS (SELECT max(score) AS m FROM top),
+vote AS (SELECT c, count(*) AS cnt, sum(score / mxx.m) AS boost
+         FROM top, mxx GROUP BY c),
+tots AS (SELECT CAST(sum(cnt) AS DOUBLE) AS sumdoc FROM vote)
+SELECT c AS cls,
+       round(boost / (CASE WHEN tots.sumdoc < {k} THEN tots.sumdoc
+                           ELSE {k} END), 4) AS score_r
+FROM vote, tots ORDER BY score_r DESC, cls"""
+
+
 def _q_rescore(term: str, ph: tuple, n: int, weight: float):
     def fn(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -1295,7 +1432,7 @@ _GATE_WINDOW = [
     "text_token_counts", "text_scrub",
     "payload_span_topk",
     "dedup_exact", "dedup_minhash_pairs",
-    "dedup_simhash_pairs", "dedup_clusters", "dedup_embedding_pairs",
+    "dedup_clusters", "classify_nb", "classify_knn",
     "ann_cosine_topk", "ann_lsh_topk",
     "multimodal_asset_stats",
 ]
@@ -1340,6 +1477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda: CommonTermsQ(("the", "data", "spark"), max_df_ratio=0.2), 20
         ),
         "mlt_topk": _q_mlt(0, 5, 10),
+        "classify_nb": _q_classify_nb(_NB_TEXTS),
+        "classify_knn": _q_classify_knn(_KNN_TEXT, _KNN_K, _KNN_MT),
         "field_term_topk": _q_bool(lambda: TermQ("data", field="head"), 10),
         "fuzzy_topk": _q_bool(lambda: FuzzyQ("merge", max_edits=2), 20),
         "parsed_field_query_topk": _q_bool(
@@ -1798,6 +1937,8 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
             f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
             f"ORDER BY round(score, 4) DESC, doc_id LIMIT 10"
         ),
+        "classify_nb": _nb_oracle_sql(_NB_TEXTS),
+        "classify_knn": _knn_oracle_sql(_KNN_TEXT, _KNN_K, _KNN_MT),
         "rescore_topk": rescore_sql,
         "field_term_topk": _head_term_topk_sql("data", 10),
         "fuzzy_topk": _fuzzy_topk_sql("merge", 2, 20),

@@ -36,9 +36,11 @@ stage3  term_stats (term, df, ttf, max block impact) — the terms
         and the stats table is small enough to broadcast).
 
 manifest.json — SegmentInfos analog (index/SegmentInfos.java:113):
-        global stats (N, sumTotalTermFreq), build params, per-stage
-        lineage (row counts, input), completion flags for resume.
-        Commit = atomic rename, like Lucene's segments_N protocol.
+        global stats (N, sumTotalTermFreq), build params, per-stage AND
+        per-partition lineage (every output file with row count and key
+        span, from parquet footers — see _file_lineage), completion
+        flags for resume. Commit = atomic rename, like Lucene's
+        segments_N protocol.
 
 Every build stage is idempotent and individually resumable: a stage whose
 output + manifest entry exist is skipped on re-run (checkpoint-resume with
@@ -587,6 +589,43 @@ def _parquet_rows(path: str) -> int:
     return ds.dataset(path, format="parquet").count_rows()
 
 
+def _file_lineage(path: str, stat_cols: tuple = (), cap: int = 1024) -> dict:
+    """Per-output-partition lineage from parquet footers (O(files), no
+    Spark jobs): one entry per file with row count and min/max of the
+    given numeric key columns — what the resume checkpoint records per
+    stage so a restarted build (or an auditor) can account for every
+    partition. Above ``cap`` files only the summary is kept (at extreme
+    scale the per-file table belongs in a metastore, not the manifest)."""
+    import pyarrow.parquet as pq
+
+    files = []
+    total = 0
+    names = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+    for name in names:
+        md = pq.read_metadata(os.path.join(path, name))
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ent: dict = {"file": name, "rows": md.num_rows}
+        total += md.num_rows
+        for c in stat_cols:
+            if c not in idx:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                ent[f"{c}_min"], ent[f"{c}_max"] = int(lo), int(hi)
+        files.append(ent)
+    out = {"n_files": len(files), "rows": total}
+    if len(files) <= cap:
+        out["files"] = files
+    return out
+
+
 def _stage_done(index_dir: str, stage: str) -> bool:
     mf = os.path.join(index_dir, "manifest.json")
     if not os.path.exists(mf):
@@ -684,7 +723,8 @@ def build_index(
         _update_manifest(
             index_dir,
             "stage0_corpus",
-            {"rows": n_docs, "path": corpus_path, "elapsed_sec": time.time() - t0},
+            {"rows": n_docs, "path": corpus_path, "elapsed_sec": time.time() - t0,
+             "lineage": _file_lineage(corpus_path, ("doc_id",))},
         )
 
     corpus_ids = spark.read.parquet(corpus_path)
@@ -762,6 +802,8 @@ def build_index(
                 "postings_sec": round(t1_post - t1, 2),
                 "docs_sec": round(time.time() - t1_post, 2),
                 "elapsed_sec": time.time() - t1,
+                "lineage": _file_lineage(postings_path, ("bucket", "salt")),
+                "docs_lineage": _file_lineage(docs_path, ("doc_id",)),
             },
         )
 
@@ -1094,6 +1136,8 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     manifest.setdefault("stages", {})[f"compact{gen}"] = {
         "rows": int(gl["n"]),
         "elapsed_sec": time.time() - t0,
+        "lineage": _file_lineage(postings_path, ("bucket", "salt")),
+        "docs_lineage": _file_lineage(docs_path, ("doc_id",)),
     }
     mf = os.path.join(index_dir, "manifest.json")
     tmp = mf + ".tmp"
@@ -1271,6 +1315,8 @@ def append_to_index(
     manifest.setdefault("stages", {})[f"append_seg{seg}"] = {
         "rows": int(gl["n"]),
         "elapsed_sec": time.time() - t0,
+        "lineage": _file_lineage(postings_path, ("bucket", "salt")),
+        "docs_lineage": _file_lineage(docs_path, ("doc_id",)),
     }
     mf = os.path.join(index_dir, "manifest.json")
     tmp = mf + ".tmp"

@@ -1267,11 +1267,10 @@ class Searcher:
 
     def more_like_this(self, doc_id: int, max_terms: int = 10) -> P.BoolQ:
         """MoreLikeThis (queries/mlt/MoreLikeThis.java:147): extract the
-        doc's top-`max_terms` terms by tf*idf (classic idf = ln(N/df),
-        ties: term asc) and build an OR query over them. One bucket-
-        pruned postings pass for the doc's term freqs via the corpus
-        snapshot (we re-analyze the stored text — the stored-fields
-        path MLT uses)."""
+        doc's top-`max_terms` terms by tf*idf and build an OR query over
+        them. One bucket-pruned postings pass for the doc's term freqs
+        via the corpus snapshot (we re-analyze the stored text — the
+        stored-fields path MLT uses)."""
         row = (
             self.index.corpus.filter(F.col("doc_id") == doc_id)
             .select(self.index.manifest["text_col"])
@@ -1279,9 +1278,15 @@ class Searcher:
         )
         if not row:
             return P.BoolQ()
+        return self.mlt_from_text(row[0][0] or "", max_terms)
+
+    def mlt_from_text(self, text: str, max_terms: int = 10) -> P.BoolQ:
+        """MoreLikeThis over arbitrary unseen text (MoreLikeThis.java
+        like(String) path): top-`max_terms` terms by tf*idf (classic
+        idf = ln(N/df), ties: term asc) as an OR query."""
         from lucene_spark.analysis import analyze_query_text
 
-        toks = analyze_query_text(row[0][0] or "", analyzer=self.index.analyzer)
+        toks = analyze_query_text(text or "", analyzer=self.index.analyzer)
         if not toks:
             return P.BoolQ()
         tf: dict[str, int] = {}
@@ -1401,6 +1406,10 @@ class Searcher:
                 pred = col.isin(list(q.value))
             elif q.op == "between":
                 pred = col.between(q.value[0], q.value[1])
+            elif q.op == "notnull":
+                # class:* wildcard filter shape (KNearestNeighbor
+                # Classifier.java knnSearch: docs with ANY class value)
+                pred = col.isNotNull()
             else:
                 raise ValueError(q.op)
             return self._live(self.index.docs.filter(pred).select("doc_id"))

@@ -564,7 +564,7 @@ class FieldFilter:
     non-scoring filter over a docs-table column (lang, repo, path...)."""
 
     col: str
-    op: str  # '=', 'in', 'between'
+    op: str  # '=', 'in', 'between', 'notnull'
     value: object
 
 
