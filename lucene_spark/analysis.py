@@ -131,6 +131,19 @@ _UAX_JOIN_RULES = [  # (pattern, marker replacement)
     (re.compile(r"([0-9])'([0-9])"), r"\1Q\2"),
 ]
 UAX_TOKEN_REGEX = re.compile(r"[0-9a-z_DQ]+")
+# tokenizer="unicode": Unicode letters/digits/underscore (\w, lowered) —
+# the non-ASCII-language companion to the language-zoo stemmers
+# (analysis_lang.py). SQL twin via RE2 character classes.
+UNICODE_TOKEN_REGEX = re.compile(r"\w+")
+UNICODE_TOKEN_REGEX_SQL = r"[\p{L}\p{N}_]+"
+
+
+def _token_regex(tokenizer: str):
+    if tokenizer == "uax29":
+        return UAX_TOKEN_REGEX
+    if tokenizer == "unicode":
+        return UNICODE_TOKEN_REGEX
+    return TOKEN_REGEX
 _UAX_RESTORE = str.maketrans({"D": ".", "Q": "'"})
 
 
@@ -328,6 +341,11 @@ _TOKEN_FILTERS = {
     "porter_stem": porter_stem,
 }
 
+# language zoo (analysis/common light stemmers — see analysis_lang.py)
+from lucene_spark.analysis_lang import LIGHT_STEMMERS as _LIGHT_STEMMERS  # noqa: E402
+
+_TOKEN_FILTERS.update(_LIGHT_STEMMERS)
+
 
 def _filter_map(vocab, filters: list[str]) -> dict[str, str]:
     """Apply the token-filter chain once per UNIQUE token (the hot-path
@@ -445,7 +463,7 @@ def tokenize(text: str, stopwords: frozenset | None = None,
         text = uax29_join(text)
     raw, positions = [], []
     pos = 0
-    for m in (UAX_TOKEN_REGEX if uax else TOKEN_REGEX).finditer(text):
+    for m in _token_regex(tokenizer).finditer(text):
         tok = _uax29_restore(m.group()) if uax else m.group()
         for i in range(0, len(tok), MAX_TOKEN_LENGTH):
             piece = tok[i : i + MAX_TOKEN_LENGTH]
@@ -529,7 +547,7 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
                 "offsets require a length-preserving chain "
                 "(no ascii_fold / word_delimiter)"
             )
-        rx = UAX_TOKEN_REGEX if uax else TOKEN_REGEX
+        rx = _token_regex(tokenizer)
         tok_lists, start_lists = [], []
         for s in lowered:
             matches = list(rx.finditer(s))
@@ -542,7 +560,7 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
         all_terms = pd.Series(tok_lists, index=lowered.index, dtype=object)
         all_starts = start_lists
     else:
-        all_terms = lowered.str.findall(UAX_TOKEN_REGEX if uax else TOKEN_REGEX)
+        all_terms = lowered.str.findall(_token_regex(tokenizer))
         if uax:
             all_terms = all_terms.map(lambda ts: [_uax29_restore(t) for t in ts])
     out_terms, out_pos, out_dl, out_off = [], [], [], []
