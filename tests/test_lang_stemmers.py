@@ -29,6 +29,8 @@ _CASES = [
     ("pt", "ptlighttestdata.zip", "ptlight.txt", L.portuguese_light_stem),
     ("sv", "svlighttestdata.zip", "svlight.txt", L.swedish_light_stem),
     ("ru", "rulighttestdata.zip", "rulight.txt", L.russian_light_stem),
+    ("fi", "filighttestdata.zip", "filight.txt", L.finnish_light_stem),
+    ("hu", "hulighttestdata.zip", "hulight.txt", L.hungarian_light_stem),
 ]
 
 
