@@ -34,6 +34,9 @@ from lucene_spark.search.plans import (
     IntervalTerm,
 )
 from lucene_spark.search.queryparser import parse as parse_query
+from lucene_spark.search.querybuilder import QueryBuilder
+from lucene_spark import geo
+from lucene_spark.search.wordbreak import WordBreakSpellChecker
 from lucene_spark.search import (
     BlendedTermQ,
     BoolQ,
@@ -539,6 +542,100 @@ def _q_sim_zoo(term: str):
         )
         out = out.join(b, "doc_id", "left").na.fill({"boolsim_r": 0.0})
         return out.orderBy("doc_id")
+
+    return fn
+
+
+def _q_wordbreak(term: str, combine_terms: tuple, k: int):
+    """WordBreakSpellChecker gate: break suggestions for ``term``
+    (max_changes=2, so the recursion is exercised) plus combine
+    suggestions for ``combine_terms`` — one distributed stats lookup
+    each, reference recursion driver-side (search/wordbreak.py)."""
+
+    def fn(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        wb = WordBreakSpellChecker(idx, max_changes=2)
+        rows = []
+        for r, ws in enumerate(wb.suggest_word_breaks(term, k), 1):
+            rows.append((
+                "break", r, len(ws),
+                " ".join(w.string for w in ws),
+                int(max(w.freq for w in ws)),
+            ))
+        for r, cs in enumerate(
+            wb.suggest_word_combinations(list(combine_terms), k), 1
+        ):
+            rows.append((
+                "combine", r, len(cs.original_term_indexes),
+                cs.suggestion.string, int(cs.suggestion.freq),
+            ))
+        schema = ("kind STRING, rank INT, n_words INT, words STRING, "
+                  "freq_max BIGINT")
+        return spark.createDataFrame(rows, schema).orderBy("kind", "rank")
+
+    return fn
+
+
+def _geo_docs_df(spark, sf_dir):
+    """documents + deterministic synthetic coordinates (2-decimal grid
+    derived from doc_id with exact integer arithmetic, so Spark and the
+    DuckDB oracle compute bit-identical doubles)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 7919 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+_GEO_LAT, _GEO_LON = 12.5, 80.25  # query point for the distance gates
+
+
+def _q_geo_box():
+    def fn(spark, sf_dir):
+        df = geo.box_filter(
+            _geo_docs_df(spark, sf_dir), "lat", "lon",
+            -30.005, 40.005, 10.005, 120.005,
+        )
+        return df.select("doc_id").orderBy("doc_id")
+
+    return fn
+
+
+def _q_geo_distance(radius_m: float):
+    def fn(spark, sf_dir):
+        df = geo.within_distance(
+            _geo_docs_df(spark, sf_dir), "lat", "lon",
+            _GEO_LAT, _GEO_LON, radius_m,
+        )
+        return df.select("doc_id").orderBy("doc_id")
+
+    return fn
+
+
+def _q_geo_nearest(k: int):
+    def fn(spark, sf_dir):
+        df = geo.nearest(
+            _geo_docs_df(spark, sf_dir), "lat", "lon", _GEO_LAT, _GEO_LON, k
+        )
+        return (
+            df.withColumn("dist_r", F.round(F.col("distance_m"), 3))
+            .orderBy("dist_r", "doc_id")
+            .select("doc_id", "dist_r")
+        )
+
+    return fn
+
+
+def _q_match_msm(text: str, fraction: float, k: int):
+    """Free text through QueryBuilder.createMinShouldMatchQuery with the
+    INDEX's analyzer (util/QueryBuilder.java:153-180), then scored."""
+
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        qb = QueryBuilder(analyzer=s.index.analyzer)
+        q = qb.create_min_should_match_query(None, text, fraction)
+        return _topk_rounded(s.scored(q), k)
 
     return fn
 
@@ -1061,6 +1158,34 @@ def _q_join_parent(term: str, mode: str = "max"):
 
 
 
+def _q_join_child(term: str, k: int):
+    """ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java:43): the
+    parent query's score propagates DOWN — every child of a matching
+    parent inherits the parent's score. Parents here are the virtual
+    source blocks (same modeling as _q_join_parent), matched via
+    ToParentBlockJoin(max) and redistributed to all their children.
+    The parent aggregate is tiny -> broadcast back onto docs."""
+
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        scored = s.scored(TermQ(term)).withColumn("score_r", F.round("score", 4))
+        parents = (
+            scored.join(s.index.docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.round(F.max("score_r"), 4).alias("parent_score"))
+        )
+        children = s.index.docs.select("doc_id", "source").join(
+            F.broadcast(parents), "source"
+        )
+        return (
+            children.select("doc_id", "parent_score")
+            .orderBy(F.desc("parent_score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    return fn
+
+
 _HEAD = f"""
 , tokh AS (
   SELECT doc_id, {_uax29_tokens_sql('substr(text, 1, 200)')} AS toks
@@ -1415,7 +1540,7 @@ _GATE_WINDOW = [
     "term_topk", "bool_or_wand_topk", "bool_filter_lang",
     "phrase_topk", "phrase_sloppy_topk", "multiphrase_topk",
     "ngram_phrase_topk", "common_terms_topk", "mlt_topk",
-    "fuzzy_topk", "fuzzy_docs", "regexp_docs",
+    "fuzzy_topk", "match_msm_topk", "regexp_docs",
     "prefix_scored_topk", "wildcard_blended_topk",
     "synonym_topk", "dismax_topk", "interval_ordered_topk",
     "span_near_topk",
@@ -1433,7 +1558,7 @@ _GATE_WINDOW = [
     "payload_span_topk",
     "dedup_exact", "dedup_minhash_pairs",
     "dedup_clusters", "classify_nb", "classify_knn",
-    "ann_cosine_topk", "ann_lsh_topk",
+    "ann_cosine_topk", "geo_nearest_topk",
     "multimodal_asset_stats",
 ]
 
@@ -1468,6 +1593,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             20,
         ),
+        # analyzer-driven match query (util/QueryBuilder.java:153):
+        # free text -> analyzed tokens -> SHOULD clauses with
+        # msm = int(0.5 * 4) = 2; the plan tree is built by
+        # QueryBuilder, not by hand
+        "match_msm_topk": _q_match_msm("merge sort hash data", 0.5, 20),
         "phrase_topk": _q_phrase(("data", "line"), 20),
         "phrase_sloppy_topk": _q_bool(lambda: PhraseQ(("data", "line"), slop=2), 20),
         "multiphrase_topk": _q_bool(
@@ -1496,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_taxonomy_children": _q_facet_taxonomy_children("vector", 2),
         "join_parent_max": _q_join_parent("merge"),
         "join_parent_avg": _q_join_parent("merge", "avg"),
+        "join_child_topk": _q_join_child("merge", 30),
         # Lucene RegExp dialect: implicit whole-term anchoring, no ^$
         # metachars (util/automaton/RegExp.java) — compiled via
         # search/regexp.py to the oracle's anchored RE
@@ -1580,6 +1711,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_docs": _q_docset(lambda: FuzzyQ("mereg", 1)),
         "term_range_docs": _q_docset(lambda: TermRangeQ("q", "t", True, False)),
         "in_set_docs": _q_docset(lambda: TermInSetQ(("spark", "vector"))),
+        # LatLonPoint analog (lucene_spark/geo.py): box / distance /
+        # distance-sort over deterministic synthetic coordinates
+        "geo_box_docs": _q_geo_box(),
+        "geo_distance_docs": _q_geo_distance(2_000_000.0),
+        "geo_nearest_topk": _q_geo_nearest(10),
         "facet_lang_counts": _q_facet_lang("vector"),
         "group_top_per_lang": _q_group_top_per_lang("merge"),
         "total_hits": _q_total_hits(("merge", "sort", "hash")),
@@ -1605,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wd_subword_topk": _q_wd_term("frame", 20),
         "shingle_bigram_topk": _q_sh_term("data_line", 20),
         "spell_suggest": _q_spell("mrge", 5),
+        "spell_wordbreak": _q_wordbreak("bigdataline", ("val", "ue"), 5),
         "payload_span_topk": _q_payload_span(("data", "stream", "big"), "avg", 20),
         "drill_sideways": _q_drill_sideways(
             "merge", {"lang": "en", "source": "src5"}
@@ -1675,6 +1812,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     })
 
 
+# WordBreakSpellChecker oracle: all 2- and 3-word splits of
+# 'bigdataline' (max_changes=2) where every component is a dictionary
+# term (df >= 1), ordered (n_words asc, freq_max desc, first-split asc
+# — the port's documented deterministic refinement of the reference's
+# unspecified heap tie order); plus the ('val','ue') -> 'value' combine.
+_WB_TERM = "bigdataline"
+_WB_L = len(_WB_TERM)
+_WORDBREAK_SQL = f"""{_PRELUDE},
+two AS (
+  SELECT i, substr('{_WB_TERM}', 1, i) AS w1,
+         substr('{_WB_TERM}', i + 1) AS w2
+  FROM generate_series(1, {_WB_L - 1}) AS g(i)
+),
+twov AS (
+  SELECT t.i AS fs, CAST(2 AS INTEGER) AS n_words,
+         t.w1 || ' ' || t.w2 AS words,
+         greatest(d1.df, d2.df) AS freq_max
+  FROM two t
+  JOIN dfs d1 ON d1.term = t.w1
+  JOIN dfs d2 ON d2.term = t.w2
+),
+three AS (
+  SELECT g.i, h.j, substr('{_WB_TERM}', 1, g.i) AS w1,
+         substr('{_WB_TERM}', g.i + 1, h.j - g.i) AS w2,
+         substr('{_WB_TERM}', h.j + 1) AS w3
+  FROM generate_series(1, {_WB_L - 2}) AS g(i),
+       generate_series(2, {_WB_L - 1}) AS h(j)
+  WHERE h.j > g.i
+),
+threev AS (
+  SELECT t.i AS fs, CAST(3 AS INTEGER) AS n_words,
+         t.w1 || ' ' || t.w2 || ' ' || t.w3 AS words,
+         greatest(d1.df, d2.df, d3.df) AS freq_max
+  FROM three t
+  JOIN dfs d1 ON d1.term = t.w1
+  JOIN dfs d2 ON d2.term = t.w2
+  JOIN dfs d3 ON d3.term = t.w3
+),
+brk AS (
+  SELECT 'break' AS kind,
+         CAST(row_number() OVER (
+           ORDER BY n_words, freq_max DESC, fs) AS INTEGER) AS rank,
+         n_words, words, CAST(freq_max AS BIGINT) AS freq_max
+  FROM (SELECT * FROM twov UNION ALL SELECT * FROM threev)
+  QUALIFY rank <= 5
+),
+comb AS (
+  SELECT 'combine' AS kind, CAST(1 AS INTEGER) AS rank,
+         CAST(2 AS INTEGER) AS n_words, term AS words,
+         CAST(df AS BIGINT) AS freq_max
+  FROM dfs WHERE term = 'value'
+)
+SELECT * FROM brk UNION ALL SELECT * FROM comb ORDER BY kind, rank
+"""
+
+_GEO_T = (
+    "(SELECT doc_id, (doc_id * 7919 % 18000)/100.0 - 90.0 AS lat, "
+    "(doc_id * 104729 % 36000)/100.0 - 180.0 AS lon FROM documents)"
+)
+_GEO_HAV = geo.haversine_meters_sql("lat", "lon", _GEO_LAT, _GEO_LON)
+
 _BLEND_W = _w("(SELECT max(df) FROM dfs WHERE term IN ('merge','join'))")
 _WBL3 = _w(
     "(SELECT max(df) FROM (SELECT df FROM dfs WHERE term LIKE 's%' "
@@ -1704,6 +1902,14 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, sum(score) AS score FROM ("
         f"{_term_scored_sql('merge')} UNION ALL {_term_scored_sql('sort')} "
         f"UNION ALL {_term_scored_sql('hash')}"
+        f") GROUP BY doc_id HAVING count(*) >= 2"
+    )
+    # QueryBuilder.createMinShouldMatchQuery("merge sort hash data", 0.5):
+    # four SHOULD clauses, msm = int(0.5 * 4) = 2
+    match_msm_sql = (
+        f"SELECT doc_id, sum(score) AS score FROM ("
+        f"{_term_scored_sql('merge')} UNION ALL {_term_scored_sql('sort')} "
+        f"UNION ALL {_term_scored_sql('hash')} UNION ALL {_term_scored_sql('data')}"
         f") GROUP BY doc_id HAVING count(*) >= 2"
     )
     # phrase "data line": positions via generate_series over the token list;
@@ -1996,6 +2202,15 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
             f"FROM scored s JOIN documents d USING (doc_id) "
             f"GROUP BY d.source ORDER BY parent_score DESC, d.source"
         ),
+        "join_child_topk": (
+            f"{_PRELUDE}, scored AS ({_term_scored_sql('merge')}), "
+            f"parents AS ("
+            f"SELECT d.source, round(max(round(s.score, 4)), 4) AS parent_score "
+            f"FROM scored s JOIN documents d USING (doc_id) GROUP BY d.source) "
+            f"SELECT c.doc_id, p.parent_score "
+            f"FROM documents c JOIN parents p USING (source) "
+            f"ORDER BY p.parent_score DESC, c.doc_id LIMIT 30"
+        ),
         "regexp_docs": _docset_sql("regexp_matches(tf.term, '^b[aeiou]g$')"),
         # blended: every term scored with df = max(df_merge, df_join),
         # combined max + 0.01 * (sum - max)
@@ -2164,6 +2379,21 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
         "bool_must_not": _topk_sql(not_sql, 20),
         "bool_filter_lang": _topk_sql(filter_lang_sql, 20),
         "min_should_match": _topk_sql(msm_sql, 20),
+        "match_msm_topk": _topk_sql(match_msm_sql, 20),
+        "geo_box_docs": (
+            f"SELECT doc_id FROM {_GEO_T} t "
+            f"WHERE lat BETWEEN -30.005 AND 40.005 "
+            f"AND lon BETWEEN 10.005 AND 120.005 ORDER BY doc_id"
+        ),
+        "geo_distance_docs": (
+            f"SELECT doc_id FROM {_GEO_T} t "
+            f"WHERE {_GEO_HAV} <= 2000000.0 ORDER BY doc_id"
+        ),
+        "geo_nearest_topk": (
+            f"SELECT doc_id, round({_GEO_HAV}, 3) AS dist_r FROM {_GEO_T} t "
+            f"ORDER BY round({_GEO_HAV}, 3), doc_id LIMIT 10"
+        ),
+        "spell_wordbreak": _WORDBREAK_SQL,
         "phrase_topk": _topk_sql(phrase_scored, 20),
         "synonym_topk": _topk_sql(syn_sql, 20),
         "dismax_topk": _topk_sql(dismax_sql, 20),

@@ -1413,6 +1413,18 @@ class Searcher:
             else:
                 raise ValueError(q.op)
             return self._live(self.index.docs.filter(pred).select("doc_id"))
+        if isinstance(q, P.GeoBoxQ):
+            from lucene_spark.geo import box_predicate
+
+            pred = box_predicate(q.lat_col, q.lon_col, q.min_lat,
+                                 q.max_lat, q.min_lon, q.max_lon)
+            return self._live(self.index.docs.filter(pred).select("doc_id"))
+        if isinstance(q, P.GeoDistanceQ):
+            from lucene_spark.geo import distance_predicate
+
+            pred = distance_predicate(q.lat_col, q.lon_col, q.lat, q.lon,
+                                      q.radius_m)
+            return self._live(self.index.docs.filter(pred).select("doc_id"))
         if isinstance(q, P.MatchAllQ):
             return self._live(self.index.docs.select("doc_id"))
         if isinstance(q, (P.ConstScoreQ, P.BoostQ)):

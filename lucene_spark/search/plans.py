@@ -568,6 +568,35 @@ class FieldFilter:
     value: object
 
 
+@dataclass(frozen=True)
+class GeoBoxQ:
+    """LatLonPoint.newBoxQuery (document/LatLonPoint.java:238):
+    inclusive lat/lon box over two DOUBLE doc-values columns;
+    min_lon > max_lon crosses the dateline (2-range disjunction).
+    Non-scoring filter, lowered to a pushdown-able predicate."""
+
+    lat_col: str
+    lon_col: str
+    min_lat: float
+    max_lat: float
+    min_lon: float
+    max_lon: float
+
+
+@dataclass(frozen=True)
+class GeoDistanceQ:
+    """LatLonPoint.newDistanceQuery (document/LatLonPoint.java:262):
+    haversine distance <= radius_m from (lat, lon), evaluated as the
+    distance circle's bounding box (pushdown pre-filter) AND the exact
+    SloppyMath.haversinMeters refine (see lucene_spark/geo.py)."""
+
+    lat_col: str
+    lon_col: str
+    lat: float
+    lon: float
+    radius_m: float
+
+
 def rewrite(q):
     """One-pass scoring-preserving normalization (BooleanQuery.java:236-312)."""
     if isinstance(q, BoolQ):
