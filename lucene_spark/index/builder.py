@@ -27,8 +27,10 @@ stage1  tokenize + invert + encode
         need a giant single row per term (Lucene's analog: one term's
         postings span segments).
 
-stage2  docs table (doc_id, dl, norm, keyword cols) — derived from the
-        inverted stream (dl = sum of freqs), no second tokenize pass.
+stage2  docs table (doc_id, dl, norm, keyword cols) — dl captured as an
+        int column during the stage0 snapshot write (the pass already
+        holding the text), so this is a column-pruned projection: no
+        second tokenize/regex pass over the text anywhere.
 
 stage3  term_stats (term, df, ttf, max block impact) — the terms
         dictionary analog (blocktree Lucene90BlockTreeTermsWriter.java:198;
@@ -131,20 +133,34 @@ POSTINGS_SCHEMA = T.StructType(
 
 INVERTED_SCHEMA = T.StructType(
     [
+        # map-side PARTIALLY AGGREGATED postings chunks (the DWPT
+        # in-memory segment analog, index/DocumentsWriterPerThread.java):
+        # one row per (field, term, salt) per Arrow batch, docs packed
+        # as fixed-width binary. The previous per-(term, doc) row layout
+        # shuffled ~60 rows per doc; Tungsten's per-row overhead (hash,
+        # row header, two string columns) dominated the exchange and
+        # capped N->4N build scaling. Chunking collapses the exchange to
+        # ~unique-terms-per-batch rows (measured 10-40x fewer) while the
+        # byte payload stays identical.
         T.StructField("field", T.StringType()),
         T.StructField("term", T.StringType()),
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("freq", T.IntegerType()),
-        # per-(doc,term) position DELTAS packed as raw u32le bytes: the
-        # invert->encode shuffle carries fixed-width binary, not Python
-        # object lists (measured: the array<int> payload dominated the
-        # exchange at 400k docs and capped N->4N scaling efficiency)
+        # first docID-offset in the chunk (ordering key for the merge;
+        # chunks from range-clustered input rarely interleave)
+        T.StructField("first_off", T.LongType()),
+        # per-doc docID offsets within the salt shard, u32le each
+        T.StructField("doc_bytes", T.BinaryType()),
+        # per-doc term frequency, u32le each, aligned with doc_bytes
+        T.StructField("freq_bytes", T.BinaryType()),
+        # per-doc SmallFloat norm, u32le each, aligned with doc_bytes
+        T.StructField("norm_bytes", T.BinaryType()),
+        # concatenated per-doc position DELTA streams (u32le; each doc's
+        # deltas restart at its first position, so chunk concatenation
+        # is associative)
         T.StructField("pos_bytes", T.BinaryType()),
         # (start_delta, len) u32 pairs per position, b"" unless offsets on
         T.StructField("off_bytes", T.BinaryType()),
         # f32 payload bits per position, b"" unless payloads on
         T.StructField("pay_bytes", T.BinaryType()),
-        T.StructField("norm", T.IntegerType()),
         T.StructField("bucket", T.IntegerType()),
         T.StructField("salt", T.IntegerType()),
     ]
@@ -388,8 +404,9 @@ _PAYLOAD_SOURCES = {
 def _invert_map(fields: list, salt_rows: int, num_buckets: int,
                 with_positions: bool, analyzer: dict | None = None,
                 with_offsets: bool = False):
-    """mapInPandas fn: corpus rows -> (field, term, doc_id, freq,
-    pos_bytes, norm, bucket, salt) — one inverted stream per field
+    """mapInPandas fn: corpus rows -> partially aggregated postings
+    chunks, one row per (field, term, salt) per Arrow batch (see
+    INVERTED_SCHEMA) — one inverted stream per field
     (IndexingChain.java:583-603 inverts each indexed field of a doc).
 
     `fields`: list of (field_name, source_column) pairs.
@@ -397,8 +414,10 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
     Fully vectorized per Arrow batch (the DWPT in-RAM hash analog,
     index/TermsHashPerField.java, as a lexsort + run-length group-by):
     flatten every doc's token stream, factorize terms once per batch,
-    lexsort by (doc, term, pos), and cut runs with np.diff — no per-token
-    Python in the hot path. Buckets are md5-hashed per *unique* term.
+    lexsort by (term, doc, pos), cut (term, doc) runs and (term, salt)
+    chunks with np.diff, and pack each chunk's per-doc arrays as raw
+    u32le buffers — no per-token Python in the hot path. Buckets are
+    md5-hashed per *unique* term.
     """
     from itertools import chain
 
@@ -407,12 +426,13 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
         {
             "field": pd.array([], dtype=object),
             "term": pd.array([], dtype=object),
-            "doc_id": np.array([], dtype=np.int64),
-            "freq": np.array([], dtype=np.int32),
+            "first_off": np.array([], dtype=np.int64),
+            "doc_bytes": pd.array([], dtype=object),
+            "freq_bytes": pd.array([], dtype=object),
+            "norm_bytes": pd.array([], dtype=object),
             "pos_bytes": pd.array([], dtype=object),
             "off_bytes": pd.array([], dtype=object),
             "pay_bytes": pd.array([], dtype=object),
-            "norm": np.array([], dtype=np.int32),
             "bucket": np.array([], dtype=np.int32),
             "salt": np.array([], dtype=np.int32),
         }
@@ -440,30 +460,56 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
             doc_rep = np.repeat(doc_ids, counts)
             norm_rep = np.repeat(an["norm"].to_numpy(), counts)
             term_codes, uniq = pd.factorize(terms_flat, sort=False)
-            order = np.lexsort((pos_flat, term_codes, doc_rep))
+            # term-major sort: (term, doc, pos) — a (term, salt) chunk is
+            # then one contiguous slice of every per-token buffer
+            order = np.lexsort((pos_flat, doc_rep, term_codes))
             tc = term_codes[order]
             dc = doc_rep[order]
             ps = pos_flat[order]
-            # run boundaries where (doc, term) changes
+            # run boundaries where (term, doc) changes
             change = np.empty(total, dtype=bool)
             change[0] = True
             change[1:] = (dc[1:] != dc[:-1]) | (tc[1:] != tc[:-1])
             starts = np.flatnonzero(change)
-            freqs = np.diff(np.append(starts, total)).astype(np.int32)
-            uniq_buckets = term_bucket_py(pd.Series(uniq), num_buckets).astype(np.int32)
             ends = np.append(starts[1:], total)
+            freqs = np.diff(np.append(starts, total)).astype(np.int64)
+            uniq_buckets = term_bucket_py(pd.Series(uniq), num_buckets).astype(np.int32)
+            # run-level (per term-doc) arrays
+            run_tc = tc[starts]
+            run_doc = dc[starts]
+            run_salt = run_doc // salt_rows
+            run_off = (run_doc % salt_rows).astype(np.uint32)
+            run_norm = norm_rep[order][starts].astype(np.uint32)
+            n_runs = len(starts)
+            # chunk boundaries where (term, salt) changes across runs
+            cchange = np.empty(n_runs, dtype=bool)
+            cchange[0] = True
+            cchange[1:] = (run_tc[1:] != run_tc[:-1]) | (
+                run_salt[1:] != run_salt[:-1]
+            )
+            cstarts = np.flatnonzero(cchange)
+            cends = np.append(cstarts[1:], n_runs)
+            csl = cstarts.tolist()
+            cel = cends.tolist()
+            dbuf = run_off.tobytes()
+            fbuf = freqs.astype(np.uint32).tobytes()
+            nbuf = run_norm.tobytes()
+            doc_bytes = [dbuf[4 * s : 4 * e] for s, e in zip(csl, cel)]
+            freq_bytes = [fbuf[4 * s : 4 * e] for s, e in zip(csl, cel)]
+            norm_bytes = [nbuf[4 * s : 4 * e] for s, e in zip(csl, cel)]
+            # token-index extent of each chunk in the sorted stream
+            tsl = starts[cstarts].tolist()
+            tel = ends[cends - 1].tolist()
             if with_positions:
                 # one vectorized delta pass over the whole sorted stream:
                 # delta[i] = pos[i] - pos[i-1] within a run, run starts
-                # restart from 0 — then slice the u32 buffer per run
+                # restart from 0 — then slice the u32 buffer per chunk
                 deltas = np.diff(ps, prepend=np.int64(0))
                 deltas[starts] = ps[starts]
                 buf = deltas.astype(np.uint32).tobytes()
-                pos_bytes = [
-                    buf[4 * s : 4 * e] for s, e in zip(starts.tolist(), ends.tolist())
-                ]
+                pos_bytes = [buf[4 * s : 4 * e] for s, e in zip(tsl, tel)]
             else:
-                pos_bytes = [b""] * len(starts)
+                pos_bytes = [b""] * len(cstarts)
             if with_offsets:
                 # same delta trick on char start offsets, interleaved
                 # with surface lengths: (start_delta, len) u32 per token
@@ -479,74 +525,112 @@ def _invert_map(fields: list, salt_rows: int, num_buckets: int,
                 inter[:, 0] = od.astype(np.uint32)
                 inter[:, 1] = oln.astype(np.uint32)
                 obuf = inter.tobytes()
-                off_bytes = [
-                    obuf[8 * s : 8 * e]
-                    for s, e in zip(starts.tolist(), ends.tolist())
-                ]
+                off_bytes = [obuf[8 * s : 8 * e] for s, e in zip(tsl, tel)]
             else:
-                off_bytes = [b""] * len(starts)
+                off_bytes = [b""] * len(cstarts)
             if pay_source is not None:
-                # f32 bit patterns, one per position, sliced per run in
+                # f32 bit patterns, one per position, sliced per chunk in
                 # the same sorted order as the pos stream
                 pay_flat = pay_source(terms_flat)[order]
                 pbuf = pay_flat.view(np.uint32).tobytes()
-                pay_bytes = [
-                    pbuf[4 * s : 4 * e]
-                    for s, e in zip(starts.tolist(), ends.tolist())
-                ]
+                pay_bytes = [pbuf[4 * s : 4 * e] for s, e in zip(tsl, tel)]
             else:
-                pay_bytes = [b""] * len(starts)
+                pay_bytes = [b""] * len(cstarts)
             yield pd.DataFrame(
                 {
-                    "field": pd.array([field_name] * len(starts), dtype=object),
-                    "term": uniq.take(tc[starts]),
-                    "doc_id": dc[starts],
-                    "freq": freqs,
+                    "field": pd.array([field_name] * len(cstarts), dtype=object),
+                    "term": uniq.take(run_tc[cstarts]),
+                    "first_off": run_off[cstarts].astype(np.int64),
+                    "doc_bytes": doc_bytes,
+                    "freq_bytes": freq_bytes,
+                    "norm_bytes": norm_bytes,
                     "pos_bytes": pos_bytes,
                     "off_bytes": off_bytes,
                     "pay_bytes": pay_bytes,
-                    "norm": norm_rep[order][starts].astype(np.int32),
-                    "bucket": uniq_buckets[tc[starts]],
-                    "salt": (dc[starts] // salt_rows).astype(np.int32),
+                    "bucket": uniq_buckets[run_tc[cstarts]],
+                    "salt": run_salt[cstarts].astype(np.int32),
                 }
             )
 
     return fn
 
 
+def _token_permute(run_lens: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """Token-level gather indices that reorder per-doc variable-length
+    token runs (lengths ``run_lens``) into ``perm`` order — vectorized
+    (np.repeat + cumsum), no per-doc loop."""
+    starts = np.cumsum(run_lens) - run_lens
+    lens_p = run_lens[perm]
+    tot = int(lens_p.sum())
+    offs = np.repeat(starts[perm], lens_p)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(
+        np.cumsum(lens_p) - lens_p, lens_p
+    )
+    return offs + within
+
+
 def _encode_group(with_positions: bool, with_offsets: bool = False,
-                  with_payloads: bool = False):
-    """applyInPandas fn over (bucket, salt): encode every term in the group."""
+                  with_payloads: bool = False, salt_rows: int = 1 << 14):
+    """applyInPandas fn over (bucket, salt): merge the map-side chunks
+    of every (field, term) in the group and block-encode them — the
+    SegmentMerger step, consuming partially aggregated chunk rows
+    (INVERTED_SCHEMA) instead of per-(term, doc) rows."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
-        pdf = pdf.sort_values(["field", "term", "doc_id"], kind="mergesort")
+        base = int(pdf["salt"].iat[0]) * salt_rows if len(pdf) else 0
+        pdf = pdf.sort_values(["field", "term", "first_off"], kind="mergesort")
         for (field_name, term), g in pdf.groupby(["field", "term"], sort=False):
-            doc_ids = g["doc_id"].to_numpy()
-            freqs = g["freq"].to_numpy()
-            norms = g["norm"].to_numpy()
+            doc_ids = np.frombuffer(
+                b"".join(bytes(b) for b in g["doc_bytes"]), dtype=np.uint32
+            ).astype(np.int64) + base
+            freqs = np.frombuffer(
+                b"".join(bytes(b) for b in g["freq_bytes"]), dtype=np.uint32
+            ).astype(np.int64)
+            norms = np.frombuffer(
+                b"".join(bytes(b) for b in g["norm_bytes"]), dtype=np.uint32
+            ).astype(np.int64)
+            # chunks from range-clustered input concatenate in docID
+            # order (first_off sort); if batches ever interleave, fall
+            # back to a vectorized token-level permutation
+            perm = None
+            if len(doc_ids) > 1 and np.any(doc_ids[1:] < doc_ids[:-1]):
+                perm = np.argsort(doc_ids, kind="mergesort")
+                doc_ids = doc_ids[perm]
+                tok_idx = _token_permute(freqs, perm)
+                freqs = freqs[perm]
+                norms = norms[perm]
             blocks = encode_posting_blocks(doc_ids, freqs, norms)
             if with_positions:
-                # rows are already per-doc delta streams (u32le) — one
-                # join + frombuffer, no per-doc diff loop
-                allb = b"".join(bytes(b) for b in g["pos_bytes"])
-                pos_bin = encode_value_stream(
-                    np.frombuffer(allb, dtype=np.uint32).astype(np.uint64)
+                # chunks are already concatenated per-doc delta streams
+                # (u32le) — one join + frombuffer, no per-doc diff loop
+                allb = np.frombuffer(
+                    b"".join(bytes(b) for b in g["pos_bytes"]), dtype=np.uint32
                 )
+                if perm is not None:
+                    allb = allb[tok_idx]
+                pos_bin = encode_value_stream(allb.astype(np.uint64))
             else:
                 pos_bin = b""
             if with_offsets:
-                allo = b"".join(bytes(b) for b in g["off_bytes"])
-                off_bin = encode_value_stream(
-                    np.frombuffer(allo, dtype=np.uint32).astype(np.uint64)
+                allo = np.frombuffer(
+                    b"".join(bytes(b) for b in g["off_bytes"]), dtype=np.uint32
                 )
+                if perm is not None:
+                    # 2 u32 words per token: expand token gather to words
+                    w = np.repeat(tok_idx * 2, 2)
+                    w[1::2] += 1
+                    allo = allo[w]
+                off_bin = encode_value_stream(allo.astype(np.uint64))
             else:
                 off_bin = b""
             if with_payloads:
-                allp = b"".join(bytes(b) for b in g["pay_bytes"])
-                pay_bin = encode_value_stream(
-                    np.frombuffer(allp, dtype=np.uint32).astype(np.uint64)
+                allp = np.frombuffer(
+                    b"".join(bytes(b) for b in g["pay_bytes"]), dtype=np.uint32
                 )
+                if perm is not None:
+                    allp = allp[tok_idx]
+                pay_bin = encode_value_stream(allp.astype(np.uint64))
             else:
                 pay_bin = b""
             out_rows.append(
@@ -715,6 +799,14 @@ def build_index(
                 corpus, order_cols or corpus.columns, snap_parts
             )
         snap = snap.withColumn("sha256", F.sha2(F.col(text_col), 256))
+        # per-field doc length computed HERE, in the pass that already
+        # holds the text in memory for the sha256 + write: the docs
+        # table then projects these ints without a second full text
+        # scan (the dl re-scan was ~25% of stage1 wall and scaled worst)
+        for _f, _c in fields:
+            snap = snap.withColumn(
+                f"__dl__{_f}", _make_dl_expr(analyzer)(_c).cast("int")
+            )
         snap.write.mode("overwrite").parquet(corpus_path)
         if doc_id_col:
             n_docs = _parquet_rows(corpus_path)
@@ -746,7 +838,7 @@ def build_index(
         # count = num_buckets * ceil(maxDoc/salt_rows); tune salt_rows so
         # groups >= cores at the target scale.
         postings = inverted.groupBy("bucket", "salt").applyInPandas(
-            _encode_group(with_positions, with_offsets, with_payloads),
+            _encode_group(with_positions, with_offsets, with_payloads, salt_rows),
             schema=POSTINGS_SCHEMA,
         )
         # Flat write, no dynamic partitioning: partitionBy("bucket")
@@ -761,13 +853,13 @@ def build_index(
         # dynamic-write sort.
         postings.write.mode("overwrite").parquet(postings_path)
         t1_post = time.time()
-        # docs table straight from the snapshot: dl is a pure column
-        # expression over the same token regex as the analyzer (each
+        # docs table straight from the snapshot: dl was computed during
+        # the stage0 write (same token regex as the analyzer; each
         # >255-char run contributes ceil(len/255) pieces,
-        # StandardTokenizer.java:77), norm = SmallFloat.intToByte4(dl)
-        # via one vectorized Arrow UDF on ints. No dependency on the
-        # inverted stream -> tokenize output flows straight into the
-        # encode shuffle with nothing persisted.
+        # StandardTokenizer.java:77) so this is a column-pruned int read
+        # — no text touched. norm = SmallFloat.intToByte4(dl) via one
+        # vectorized Arrow UDF on ints. Pre-dl snapshots (resume of an
+        # old index) fall back to the full expression.
         from lucene_spark.smallfloat import int_to_byte4
 
         dl_expr_for = _make_dl_expr(analyzer)
@@ -784,10 +876,15 @@ def build_index(
         def norm_name(f: str) -> str:
             return "norm" if f == text_col else f"norm__{f}"
 
+        def dl_source(f: str, c: str):
+            if f"__dl__{f}" in corpus_ids.columns:
+                return F.col(f"__dl__{f}")
+            return dl_expr_for(c).cast("int")
+
         docs = corpus_ids.select(
             "doc_id",
             *keep_cols,
-            *[dl_expr_for(c).cast("int").alias(dl_name(f)) for f, c in fields],
+            *[dl_source(f, c).alias(dl_name(f)) for f, c in fields],
         )
         for f, _c in fields:
             docs = docs.withColumn(norm_name(f), norm_udf(F.col(dl_name(f))))
@@ -1230,6 +1327,11 @@ def append_to_index(
     snap = snap.repartitionByRange(
         max(2, spark.sparkContext.defaultParallelism), F.col("doc_id")
     )
+    # dl in the snapshot pass, as in build_index stage0
+    for _f, _c in fields:
+        snap = snap.withColumn(
+            f"__dl__{_f}", _make_dl_expr(analyzer)(_c).cast("int")
+        )
     corpus_path = os.path.join(index_dir, f"corpus_seg{seg}")
     snap.write.mode("overwrite").parquet(corpus_path)
     corpus_ids = spark.read.parquet(corpus_path)
@@ -1245,14 +1347,12 @@ def append_to_index(
         schema=INVERTED_SCHEMA,
     )
     postings = inverted.groupBy("bucket", "salt").applyInPandas(
-        _encode_group(with_positions, with_offsets, with_payloads),
+        _encode_group(with_positions, with_offsets, with_payloads, salt_rows),
         schema=POSTINGS_SCHEMA,
     )
     postings.write.mode("overwrite").parquet(postings_path)
 
     from lucene_spark.smallfloat import int_to_byte4
-
-    dl_expr_for = _make_dl_expr(analyzer)
 
     @F.pandas_udf(T.IntegerType())
     def norm_udf(dl: pd.Series) -> pd.Series:
@@ -1267,7 +1367,7 @@ def append_to_index(
     docs = corpus_ids.select(
         "doc_id",
         *keep_cols,
-        *[dl_expr_for(c).cast("int").alias(_dl_name(f)) for f, c in fields],
+        *[F.col(f"__dl__{f}").alias(_dl_name(f)) for f, _c in fields],
     )
     for f, _c in fields:
         docs = docs.withColumn(_norm_name(f), norm_udf(F.col(_dl_name(f))))

@@ -202,5 +202,12 @@ class Index:
     def fetch(self, hits: DataFrame, cols: list[str] | None = None) -> DataFrame:
         """Stored-field fetch: join top-k hits back to the corpus snapshot
         (broadcast of k rows; Lucene90StoredFieldsFormat analog)."""
-        corpus = self.corpus if cols is None else self.corpus.select("doc_id", *cols)
+        if cols is None:
+            # hide build-internal columns (__dl__* doc lengths captured
+            # during the stage0 snapshot write)
+            corpus = self.corpus.drop(
+                *[c for c in self.corpus.columns if c.startswith("__dl__")]
+            )
+        else:
+            corpus = self.corpus.select("doc_id", *cols)
         return F.broadcast(hits).join(corpus, "doc_id", "inner")
