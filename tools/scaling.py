@@ -218,6 +218,19 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--cooldown", type=int, default=45)
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        default=True,
+        help="confine each worker (JVM + Python workers) to exactly N "
+        "CPUs via taskset — the honest analog of an N-core executor "
+        "node. Without pinning, a local[2] JVM spills its GC/netty/"
+        "compression threads onto the box's other 30 idle cores, "
+        "inflating the low level and deflating the measured ratio "
+        "(measured: unpinned local[2] tokenize ran at 90%% of the bare "
+        "2-proc kernel capacity despite all Spark overhead).",
+    )
+    ap.add_argument("--no-pin", dest="pin", action="store_false")
     ap.add_argument("rest", nargs="*")
     args = ap.parse_args()
 
@@ -259,15 +272,18 @@ def main() -> None:
                 f"local[{cpus}] ...",
                 file=sys.stderr,
             )
+            cmd = [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--worker",
+                str(cpus),
+                corpus_path,
+                idx_dir,
+            ]
+            if args.pin and shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             proc = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--worker",
-                    str(cpus),
-                    corpus_path,
-                    idx_dir,
-                ],
+                cmd,
                 capture_output=True,
                 text=True,
                 cwd=REPO,
