@@ -35,6 +35,7 @@ from lucene_spark.search.plans import (
 )
 from lucene_spark.search.queryparser import parse as parse_query
 from lucene_spark.search.querybuilder import QueryBuilder
+from lucene_spark.search.simpleparser import SimpleQueryParser
 from lucene_spark import geo
 from lucene_spark.search.wordbreak import WordBreakSpellChecker
 from lucene_spark.search import (
@@ -636,6 +637,21 @@ def _q_match_msm(text: str, fraction: float, k: int):
         qb = QueryBuilder(analyzer=s.index.analyzer)
         q = qb.create_min_should_match_query(None, text, fraction)
         return _topk_rounded(s.scored(q), k)
+
+    return fn
+
+
+def _q_high_freq(n: int):
+    """HighFreqTerms tool (misc/HighFreqTerms.java:43) over the stats
+    table — no postings decode, ties broken (df, field, term) DESC."""
+
+    def fn(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        return idx.high_freq_terms(n).select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("ttf").cast("long").alias("ttf"),
+        )
 
     return fn
 
@@ -1323,6 +1339,11 @@ def _sim_scored_sql(term: str, score_expr: str) -> str:
 
 
 _CLASSIC_EXPR = "sqrt(freq) * (ln((nd+1.0)/(df+1.0)) + 1.0) / sqrt(qdl)"
+# SweetSpot, ln_min=2 ln_max=10 steepness=0.5, baselineTf defaults
+_SWEET_EXPR = (
+    "sqrt(freq) * (ln((nd+1.0)/(df+1.0)) + 1.0) "
+    "/ sqrt(0.5*(abs(qdl-2.0)+abs(qdl-10.0)-8.0) + 1.0)"
+)
 _LMD_EXPR = (
     "greatest(ln(1.0 + freq/(2000.0*((ttf+1.0)/(sttf+1.0))))"
     " + ln(2000.0/(qdl+2000.0)), 0.0)"
@@ -1634,6 +1655,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsed_query_topk": _q_bool(
             lambda: parse_query("merge AND sort -join"), 20
         ),
+        # SimpleQueryParser (queryparser/simple): "merge + sort | hash"
+        # -> should( must(merge, sort), hash ) via the reference's
+        # operation-change wrap (search/simpleparser.py)
+        "simple_parsed_topk": _q_bool(
+            lambda: SimpleQueryParser().parse("merge + sort | hash"), 20
+        ),
         "blended_term_topk": _q_bool(
             lambda: BlendedTermQ(("merge", "join"), tiebreak=0.01), 20
         ),
@@ -1724,6 +1751,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": _q_search_after("the", 10),
         # --- pluggable similarities (lucene_spark/similarities.py) ---
         "classic_term_topk": _q_sim("classic", lambda: TermQ("vector"), 10),
+        # SweetSpotSimilarity (misc/SweetSpotSimilarity.java): length
+        # plateau [2, 10] -> norm 1.0, sqrt decay outside
+        "sweetspot_term_topk": _q_sim(
+            "sweetspot", lambda: TermQ("vector"), 10, ln_min=2, ln_max=10
+        ),
         "boolean_sim_topk": _q_sim(
             "boolean", lambda: BoolQ(should=(TermQ("merge"), TermQ("sort"))), 20
         ),
@@ -1742,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_bigram_topk": _q_sh_term("data_line", 20),
         "spell_suggest": _q_spell("mrge", 5),
         "spell_wordbreak": _q_wordbreak("bigdataline", ("val", "ue"), 5),
+        "high_freq_terms": _q_high_freq(20),
         "payload_span_topk": _q_payload_span(("data", "stream", "big"), "avg", 20),
         "drill_sideways": _q_drill_sideways(
             "merge", {"lang": "en", "source": "src5"}
@@ -2080,6 +2113,9 @@ ORDER BY score_r DESC, t.doc_id"""
         "term_topk": _topk_sql(_term_scored_sql("vector"), 10),
         "classic_term_topk": _topk_sql(_sim_scored_sql("vector", _CLASSIC_EXPR), 10),
         "boolean_sim_topk": _topk_sql(_BOOLEAN_SIM_SQL, 20),
+        "sweetspot_term_topk": _topk_sql(
+            _sim_scored_sql("vector", _SWEET_EXPR), 10
+        ),
         "lmdirichlet_topk": _topk_sql(_sim_scored_sql("vector", _LMD_EXPR), 10),
         "lmjm_topk": _topk_sql(_sim_scored_sql("vector", _LMJM_EXPR), 10),
         "dfi_topk": _topk_sql(_sim_scored_sql("vector", _DFI_EXPR), 10),
@@ -2372,6 +2408,15 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
             f"WHERE x.term = 'join' AND x.doc_id = a.doc_id)",
             20,
         ),
+        "simple_parsed_topk": _topk_sql(
+            f"SELECT doc_id, sum(score) AS score FROM ("
+            f"SELECT a.doc_id, a.score + b.score AS score "
+            f"FROM ({_term_scored_sql('merge')}) a "
+            f"JOIN ({_term_scored_sql('sort')}) b USING (doc_id) "
+            f"UNION ALL {_term_scored_sql('hash')}"
+            f") GROUP BY doc_id",
+            20,
+        ),
         "term_topk_hot": _topk_sql(_term_scored_sql("the"), 100),
         "bool_or_topk": _topk_sql(or_sql, 20),
         "bool_or_wand_topk": _topk_sql(or_sql, 20),
@@ -2394,6 +2439,11 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
             f"ORDER BY round({_GEO_HAV}, 3), doc_id LIMIT 10"
         ),
         "spell_wordbreak": _WORDBREAK_SQL,
+        "high_freq_terms": (
+            f"{_PRELUDE} SELECT term, CAST(df AS BIGINT) AS df, "
+            f"CAST(ttf AS BIGINT) AS ttf FROM dfs "
+            f"ORDER BY df DESC, term DESC LIMIT 20"
+        ),
         "phrase_topk": _topk_sql(phrase_scored, 20),
         "synonym_topk": _topk_sql(syn_sql, 20),
         "dismax_topk": _topk_sql(dismax_sql, 20),

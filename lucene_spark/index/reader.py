@@ -199,6 +199,26 @@ class Index:
             for r in stats.filter(predicate).select("term").distinct().collect()
         ]
 
+    def high_freq_terms(self, n: int = 100, field: str | None = None,
+                        order_by: str = "df") -> DataFrame:
+        """HighFreqTerms tool (misc/HighFreqTerms.java:43): the top-n
+        terms by document frequency (default) or total term frequency
+        (`order_by='ttf'`, the reference's -t flag). Ties break by
+        (field, term) DESCENDING — the comparator's full reversal.
+        One map-side partial agg over the (small) per-segment stats
+        table + TakeOrderedAndProject; no postings touched."""
+        if order_by not in ("df", "ttf"):
+            raise ValueError("order_by must be 'df' or 'ttf'")
+        st = self.term_stats
+        if field is not None:
+            st = st.filter(F.col("field") == self.resolve_field(field))
+        st = st.groupBy("field", "term").agg(
+            F.sum("df").alias("df"), F.sum("ttf").alias("ttf")
+        )
+        return st.orderBy(
+            F.desc(order_by), F.desc("field"), F.desc("term")
+        ).limit(n)
+
     def fetch(self, hits: DataFrame, cols: list[str] | None = None) -> DataFrame:
         """Stored-field fetch: join top-k hits back to the corpus snapshot
         (broadcast of k rows; Lucene90StoredFieldsFormat analog)."""

@@ -297,8 +297,49 @@ class IBSimilarity(Similarity):
         return boost * -np.log((pow_ - lam) / (1.0 - lam))
 
 
+class SweetSpotSimilarity(ClassicSimilarity):
+    """misc/SweetSpotSimilarity.java:35 — ClassicSimilarity with a
+    "sweet spot" plateau: docs whose length falls in [ln_min, ln_max]
+    all get lengthNorm 1.0 and the norm decays as
+    1/sqrt(steepness*(|x-min| + |x-max| - (max-min)) + 1) outside it
+    (computeLengthNorm, SweetSpotSimilarity.java:106-115); tf is
+    baselineTf: (freq <= tf_min) ? tf_base : sqrt(freq + tf_base^2 -
+    tf_min), 0 at 0 (SweetSpotSimilarity.java:137-142). Defaults
+    degrade to ClassicSimilarity exactly (min=max=1, steepness=0.5,
+    tf_base=tf_min=0)."""
+
+    name = "sweetspot"
+
+    def __init__(self, ln_min: int = 1, ln_max: int = 1,
+                 steepness: float = 0.5, tf_base: float = 0.0,
+                 tf_min: float = 0.0):
+        self.ln_min = int(ln_min)
+        self.ln_max = int(ln_max)
+        self.steepness = float(steepness)
+        self.tf_base = float(tf_base)
+        self.tf_min = float(tf_min)
+
+    def score(self, freqs, qdl, params):
+        (qw,) = params
+        f = np.asarray(freqs, dtype=np.float64)
+        tf = np.where(
+            f <= self.tf_min,
+            self.tf_base,
+            np.sqrt(f + self.tf_base * self.tf_base - self.tf_min),
+        )
+        tf = np.where(f == 0.0, 0.0, tf)
+        ln = 1.0 / np.sqrt(
+            self.steepness
+            * (np.abs(qdl - self.ln_min) + np.abs(qdl - self.ln_max)
+               - (self.ln_max - self.ln_min))
+            + 1.0
+        )
+        return tf * qw * ln
+
+
 _REGISTRY = {
     "classic": ClassicSimilarity,
+    "sweetspot": SweetSpotSimilarity,
     "boolean": BooleanSimilarity,
     "lmdirichlet": LMDirichletSimilarity,
     "lmjelinekmercer": LMJelinekMercerSimilarity,

@@ -64,6 +64,36 @@ def test_classic_formula():
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
+def test_sweetspot_defaults_degrade_to_classic():
+    # min=max=1, steepness=0.5, tf_base=tf_min=0 -> exactly Classic
+    # (SweetSpotSimilarity.java:97 "degrades to 1/sqrt(x)")
+    np.testing.assert_allclose(
+        _score(S.SweetSpotSimilarity()), _score(S.ClassicSimilarity()),
+        rtol=1e-12,
+    )
+
+
+def test_sweetspot_plateau_and_decay():
+    # lengths inside [4, 40] all norm 1.0; outside decays as the paper
+    # form 1/sqrt(s*(|x-lo|+|x-hi|-(hi-lo))+1) (computeLengthNorm)
+    sim = S.SweetSpotSimilarity(ln_min=4, ln_max=40, steepness=0.5)
+    got = _score(sim)
+    idf = math.log(1001 / 31.0) + 1.0
+    ln = 1.0 / np.sqrt(0.5 * (np.abs(QDL - 4) + np.abs(QDL - 40) - 36) + 1.0)
+    np.testing.assert_allclose(got, np.sqrt(FREQS) * idf * ln, rtol=1e-12)
+    assert ln[0] == ln[1] == ln[3] == 1.0 and ln[4] < 1.0
+
+
+def test_sweetspot_baseline_tf():
+    # (freq <= tf_min) ? tf_base : sqrt(freq + base^2 - min); 0 at 0
+    sim = S.SweetSpotSimilarity(tf_base=1.5, tf_min=2.0)
+    got = sim.score(np.array([0.0, 1.0, 2.0, 5.0]), np.array([1.0] * 4),
+                    sim.weight(30, 90, 1000, 40_000, 1.0))
+    idf = math.log(1001 / 31.0) + 1.0
+    want = np.array([0.0, 1.5, 1.5, math.sqrt(5.0 + 2.25 - 2.0)]) * idf
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
 def test_boolean_is_boost():
     np.testing.assert_array_equal(_score(S.BooleanSimilarity(), boost=2.5),
                                   np.full(5, 2.5))
