@@ -1,0 +1,1257 @@
+"""Snowball stemmers (Snowball 2.0.0 algorithms), re-expressed as pure
+token -> token functions for the analyzer registry
+(`analysis._TOKEN_FILTERS`).  Like the light-stemmer zoo
+(analysis_lang.py) these run once per UNIQUE batch token
+(analysis._filter_map), so cost is O(vocabulary), not O(tokens).
+
+Each function implements the published Snowball algorithm
+(https://snowballstem.org/algorithms/) and is verified against the
+reference's test vocabularies (2000 word/stem pairs per language,
+lucene/analysis/common/src/test/org/apache/lucene/analysis/snowball/
+<lang>.zip) with zero mismatches (tests/test_snowball.py):
+
+  snowball_english_stem    tartarus/snowball/ext/EnglishStemmer.java   (Porter2)
+  snowball_german_stem     tartarus/snowball/ext/GermanStemmer.java
+  snowball_spanish_stem    tartarus/snowball/ext/SpanishStemmer.java
+  snowball_italian_stem    tartarus/snowball/ext/ItalianStemmer.java
+  snowball_portuguese_stem tartarus/snowball/ext/PortugueseStemmer.java
+  snowball_danish_stem     tartarus/snowball/ext/DanishStemmer.java
+  snowball_norwegian_stem  tartarus/snowball/ext/NorwegianStemmer.java
+  snowball_swedish_stem    tartarus/snowball/ext/SwedishStemmer.java
+  snowball_russian_stem    tartarus/snowball/ext/RussianStemmer.java
+
+  snowball_french_stem     tartarus/snowball/ext/FrenchStemmer.java
+    (same methodology, but the reference ships NO french.zip test
+    vocabulary — Lucene itself does not vocab-test French — so this
+    one is covered by hand-traced unit vectors only)
+
+The reference applies these via SnowballFilter
+(analysis/common/src/java/org/apache/lucene/analysis/snowball/
+SnowballFilter.java); input is assumed already lower-cased (the
+reference chains LowerCaseFilter first), as our analyzer chain does.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _r_after(w: str, start: int, vowels: str) -> int:
+    """Standard snowball region start: position after the first
+    non-vowel following a vowel, scanning from `start`."""
+    n = len(w)
+    i = start
+    while i < n and w[i] not in vowels:
+        i += 1
+    while i < n and w[i] in vowels:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def _longest_suffix(w: str, table) -> tuple[str, object] | None:
+    """find_among_b analog: longest suffix of `w` present in `table`
+    (an iterable of (suffix, action) pairs)."""
+    best = None
+    for suf, action in table:
+        if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+            best = (suf, action)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# English (Porter2) — snowball english.sbl / EnglishStemmer.java
+# ---------------------------------------------------------------------------
+
+_EN_V = "aeiouy"
+_EN_LI = "cdeghkmnrt"
+_EN_DOUBLE = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+
+_EN_EXC1 = {
+    "skis": "ski",
+    "skies": "sky",
+    "dying": "die",
+    "lying": "lie",
+    "tying": "tie",
+    "idly": "idl",
+    "gently": "gentl",
+    "ugly": "ugli",
+    "early": "earli",
+    "only": "onli",
+    "singly": "singl",
+    "sky": "sky",
+    "news": "news",
+    "howe": "howe",
+    "atlas": "atlas",
+    "cosmos": "cosmos",
+    "bias": "bias",
+    "andes": "andes",
+}
+_EN_EXC2 = frozenset(
+    ("inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed")
+)
+
+# Step 2 table: suffix -> replacement (None = conditional, handled inline)
+_EN_STEP2 = [
+    ("ational", "ate"), ("ization", "ize"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"),
+    ("tional", "tion"), ("biliti", "ble"), ("lessli", "less"),
+    ("entli", "ent"), ("aliti", "al"), ("alism", "al"), ("ation", "ate"),
+    ("fulli", "ful"), ("ousli", "ous"), ("iviti", "ive"),
+    ("anci", "ance"), ("enci", "ence"), ("abli", "able"), ("alli", "al"),
+    ("izer", "ize"), ("ator", "ate"),
+    ("bli", "ble"), ("ogi", None), ("li", None),
+]
+_EN_STEP3 = [
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ative", None),
+    ("ical", "ic"), ("ness", ""), ("ful", ""),
+]
+_EN_STEP4 = (
+    "ement", "ance", "ence", "able", "ible", "ment",
+    "ant", "ate", "ent", "ism", "iti", "ive", "ize", "ous", "ion",
+    "al", "er", "ic",
+)
+
+
+def _en_shortv(w: str) -> bool:
+    """Backward shortv at end of `w`: non-v_WXY preceded by v preceded
+    by non-v, OR the whole word is v non-v."""
+    n = len(w)
+    if (
+        n >= 3
+        and w[-1] not in _EN_V
+        and w[-1] not in "wxY"
+        and w[-2] in _EN_V
+        and w[-3] not in _EN_V
+    ):
+        return True
+    return n == 2 and w[0] in _EN_V and w[1] not in _EN_V
+
+
+def snowball_english_stem(w: str) -> str:
+    if w in _EN_EXC1:
+        return _EN_EXC1[w]
+    if len(w) < 3:
+        return w
+    # prelude: strip one leading ', mark consonant-y as Y
+    if w[0] == "'":
+        w = w[1:]
+    chars = list(w)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _EN_V:
+            chars[i] = "Y"
+    w = "".join(chars)
+
+    # mark_regions (gener/commun/arsen prefix exception)
+    for pre in ("gener", "commun", "arsen"):
+        if w.startswith(pre):
+            r1 = len(pre)
+            break
+    else:
+        r1 = _r_after(w, 0, _EN_V)
+    r2 = _r_after(w, r1, _EN_V)
+
+    # Step 0: longest of ' 's 's'
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ied") or w.endswith("ies"):
+        w = w[:-3] + ("i" if len(w) - 3 >= 2 else "ie")
+    elif w.endswith("ss") or w.endswith("us"):
+        pass
+    elif w.endswith("s"):
+        if any(c in _EN_V for c in w[:-2]):
+            w = w[:-1]
+
+    if w in _EN_EXC2:
+        return w
+
+    if len(w) >= 3:
+        # Step 1b
+        m = _longest_suffix(w, [(s, None) for s in
+                                ("eedly", "ingly", "edly", "eed", "ing", "ed")])
+        if m:
+            suf = m[0]
+            if suf in ("eed", "eedly"):
+                if len(w) - len(suf) >= r1:
+                    w = w[: -len(suf)] + "ee"
+            else:
+                stem = w[: -len(suf)]
+                if any(c in _EN_V for c in stem):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_EN_DOUBLE):
+                        w = w[:-1]
+                    elif len(w) == r1 and _en_shortv(w):
+                        w += "e"
+        # Step 1c: y/Y -> i after a non-vowel that isn't the first letter
+        if (
+            len(w) >= 3
+            and w[-1] in "yY"
+            and w[-2] not in _EN_V
+        ):
+            w = w[:-1] + "i"
+        # Step 2 (R1)
+        m = _longest_suffix(w, _EN_STEP2)
+        if m and len(w) - len(m[0]) >= r1:
+            suf, rep = m
+            if suf == "ogi":
+                if w.endswith("logi"):
+                    w = w[:-1]
+            elif suf == "li":
+                if len(w) >= 3 and w[-3] in _EN_LI:
+                    w = w[:-2]
+            else:
+                w = w[: -len(suf)] + rep
+        # Step 3 (R1; ative needs R2)
+        m = _longest_suffix(w, _EN_STEP3)
+        if m and len(w) - len(m[0]) >= r1:
+            suf, rep = m
+            if suf == "ative":
+                if len(w) - 5 >= r2:
+                    w = w[:-5]
+            else:
+                w = w[: -len(suf)] + rep
+        # Step 4 (R2)
+        m = _longest_suffix(w, [(s, None) for s in _EN_STEP4])
+        if m and len(w) - len(m[0]) >= r2:
+            suf = m[0]
+            if suf == "ion":
+                if len(w) >= 4 and w[-4] in "st":
+                    w = w[:-3]
+            else:
+                w = w[: -len(suf)]
+        # Step 5
+        if w.endswith("e"):
+            pos = len(w) - 1
+            if pos >= r2 or (pos >= r1 and not _en_shortv(w[:-1])):
+                w = w[:-1]
+        elif w.endswith("ll") and len(w) - 1 >= r2:
+            w = w[:-1]
+
+    return w.replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# German — snowball german.sbl / GermanStemmer.java
+# ---------------------------------------------------------------------------
+
+_DE_V = "aeiouyäöü"
+_DE_S_END = "bdfghklmnrt"
+_DE_ST_END = "bdfghklmnt"
+_DE_POST = str.maketrans({"ä": "a", "ö": "o", "ü": "u",
+                          "U": "u", "Y": "y"})
+
+
+def snowball_german_stem(w: str) -> str:
+    # prelude: ss for ß; u/y between vowels marked as consonants U/Y
+    w = w.replace("ß", "ss")
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] in "uy" and chars[i - 1] in _DE_V and chars[i + 1] in _DE_V:
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+
+    r1 = _r_after(w, 0, _DE_V)
+    r2 = _r_after(w, r1, _DE_V)  # from the UNCLAMPED r1 (mark_regions order)
+    r1 = max(r1, min(3, len(w)))  # region before R1 is at least 3 chars
+
+    # pass 1 (R1)
+    m = _longest_suffix(w, [("ern", 1), ("em", 1), ("er", 1),
+                            ("en", 2), ("es", 2), ("e", 2), ("s", 3)])
+    if m and len(w) - len(m[0]) >= r1:
+        suf, case = m
+        if case == 1:
+            w = w[: -len(suf)]
+        elif case == 2:
+            w = w[: -len(suf)]
+            if w.endswith("niss"):
+                w = w[:-1]
+        elif w[-2:-1] and len(w) >= 2 and w[-2] in _DE_S_END:
+            w = w[:-1]
+
+    # pass 2 (R1)
+    m = _longest_suffix(w, [("est", 1), ("en", 1), ("er", 1), ("st", 2)])
+    if m and len(w) - len(m[0]) >= r1:
+        suf, case = m
+        if case == 1:
+            w = w[: -len(suf)]
+        elif len(w) >= 6 and w[-3] in _DE_ST_END:
+            w = w[:-2]
+
+    # pass 3 (R2, d-suffixes)
+    m = _longest_suffix(w, [("end", 1), ("ung", 1), ("isch", 2), ("ik", 2),
+                            ("ig", 2), ("lich", 3), ("heit", 3), ("keit", 4)])
+    if m and len(w) - len(m[0]) >= r2:
+        suf, case = m
+        if case == 1:
+            w = w[: -len(suf)]
+            if (w.endswith("ig") and not w.endswith("eig")
+                    and len(w) - 2 >= r2):
+                w = w[:-2]
+        elif case == 2:
+            if not w[: -len(suf)].endswith("e"):
+                w = w[: -len(suf)]
+        elif case == 3:
+            w = w[: -len(suf)]
+            if (w.endswith("er") or w.endswith("en")) and len(w) - 2 >= r1:
+                w = w[:-2]
+        else:
+            w = w[: -len(suf)]
+            m2 = _longest_suffix(w, [("lich", None), ("ig", None)])
+            if m2 and len(w) - len(m2[0]) >= r2:
+                w = w[: -len(m2[0])]
+
+    return w.translate(_DE_POST)
+
+
+# ---------------------------------------------------------------------------
+# Scandinavian trio — danish.sbl / norwegian.sbl / swedish.sbl
+# These use `setlimit tomark p1 for ([substring])`: the suffix search is
+# confined to R1, so longest-match only considers suffixes that START at
+# or after r1 (unlike the English/German post-check style).
+# ---------------------------------------------------------------------------
+
+
+def _longest_suffix_in_r1(w: str, r1: int, sufs) -> str | None:
+    best = None
+    for suf in sufs:
+        if (
+            w.endswith(suf)
+            and len(w) - len(suf) >= r1
+            and (best is None or len(suf) > len(best))
+        ):
+            best = suf
+    return best
+
+
+def _clamped_r1(w: str, vowels: str) -> int:
+    return max(_r_after(w, 0, vowels), min(3, len(w)))
+
+
+_DA_V = "aeiouyåæø"
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+_DA_CONS = frozenset("bcdfghjklmnpqrstvwxz")
+_DA_MAIN = (
+    "erendes", "hedens", "erende", "erens", "heden", "heder", "endes",
+    "ernes", "erets", "ethed", "erede", "eres", "enes", "erer", "eren",
+    "erne", "heds", "eret", "ered", "ende", "ens", "ers", "ets", "ene",
+    "ere", "hed", "es", "en", "er", "et", "e", "s",
+)
+_DA_PAIRS = ("gd", "dt", "gt", "kt")
+
+
+def _da_consonant_pair(w: str, r1: int) -> str:
+    if len(w) >= 2 and w[-2:] in _DA_PAIRS and len(w) - 2 >= r1:
+        return w[:-1]
+    return w
+
+
+def snowball_danish_stem(w: str) -> str:
+    r1 = _clamped_r1(w, _DA_V)
+    m = _longest_suffix_in_r1(w, r1, _DA_MAIN)
+    if m == "s":
+        if len(w) >= 2 and w[-2] in _DA_S_END:
+            w = w[:-1]
+    elif m:
+        w = w[: -len(m)]
+    w = _da_consonant_pair(w, r1)
+    if w.endswith("igst"):
+        w = w[:-2]
+    m = _longest_suffix_in_r1(w, r1, ("elig", "løst", "lig", "els", "ig"))
+    if m == "løst":
+        w = w[:-1]
+    elif m:
+        w = w[: -len(m)]
+        w = _da_consonant_pair(w, r1)
+    if (
+        len(w) >= 2
+        and w[-1] in _DA_CONS
+        and w[-2] == w[-1]
+        and len(w) - 1 >= r1
+    ):
+        w = w[:-1]
+    return w
+
+
+_NO_V = "aeiouyæåø"
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")
+_NO_MAIN = (
+    "hetenes", "hetene", "hetens", "heten", "heter", "endes", "edes",
+    "enes", "erte", "ande", "ende", "ane", "ene", "ede", "ens", "ers",
+    "ets", "het", "ast", "ert", "as", "es", "en", "ar", "er", "et",
+    "a", "e", "s",
+)
+_NO_ERT = ("erte", "ert")
+_NO_OTHER = (
+    "hetslov", "elig", "eleg", "slov", "elov", "lig", "eig", "leg",
+    "els", "lov", "ig",
+)
+
+
+def snowball_norwegian_stem(w: str) -> str:
+    r1 = _clamped_r1(w, _NO_V)
+    m = _longest_suffix_in_r1(w, r1, _NO_MAIN)
+    if m == "s":
+        if len(w) >= 2 and (
+            w[-2] in _NO_S_END
+            or (w[-2] == "k" and len(w) >= 3 and w[-3] not in _NO_V)
+        ):
+            w = w[:-1]
+    elif m in _NO_ERT:
+        w = w[: -len(m)] + "er"
+    elif m:
+        w = w[: -len(m)]
+    if len(w) >= 2 and w[-2:] in ("dt", "vt") and len(w) - 2 >= r1:
+        w = w[:-1]
+    m = _longest_suffix_in_r1(w, r1, _NO_OTHER)
+    if m:
+        w = w[: -len(m)]
+    return w
+
+
+_SV_V = "aeiouyäåö"
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+_SV_MAIN = (
+    "heterna", "hetens", "arnas", "ernas", "ornas", "andes", "andet",
+    "arens", "heten", "heter", "anden", "arna", "erna", "orna", "ande",
+    "arne", "aste", "aren", "ades", "erns", "ade", "are", "ern", "ens",
+    "het", "ast", "ad", "en", "ar", "er", "or", "as", "es", "at", "a",
+    "e", "s",
+)
+_SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+
+
+def snowball_swedish_stem(w: str) -> str:
+    r1 = _clamped_r1(w, _SV_V)
+    m = _longest_suffix_in_r1(w, r1, _SV_MAIN)
+    if m == "s":
+        if len(w) >= 2 and w[-2] in _SV_S_END:
+            w = w[:-1]
+    elif m:
+        w = w[: -len(m)]
+    if len(w) >= 2 and w[-2:] in _SV_PAIRS and len(w) - 2 >= r1:
+        w = w[:-1]
+    m = _longest_suffix_in_r1(w, r1, ("fullt", "löst", "lig", "els", "ig"))
+    if m == "fullt":
+        w = w[:-1]
+    elif m == "löst":
+        w = w[:-1]
+    elif m:
+        w = w[: -len(m)]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Romance helpers + Spanish — spanish.sbl / SpanishStemmer.java
+# ---------------------------------------------------------------------------
+
+
+def _rv_romance(w: str, vowels: str) -> int:
+    """RV: if the 2nd letter is a consonant, after the next vowel; if the
+    first two letters are vowels, after the next consonant; else (c-v)
+    after the 3rd letter; end of word when not found."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in vowels:
+        i = 2
+        while i < n and w[i] not in vowels:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in vowels:
+        i = 2
+        while i < n and w[i] in vowels:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
+_ES_V = "aeiouáéíóúü"
+_ES_POST = str.maketrans("áéíóú", "aeiou")
+_ES_PRON = ("selas", "selos", "sela", "selo", "las", "les", "los",
+            "nos", "la", "le", "lo", "me", "se")
+_ES_PRE = [
+    ("iéndo", "iendo"), ("ándo", "ando"), ("ár", "ar"), ("ér", "er"),
+    ("ír", "ir"), ("iendo", ""), ("yendo", "y?"), ("ando", ""),
+    ("ar", ""), ("er", ""), ("ir", ""),
+]
+# standard_suffix table: (suffix, case)
+_ES_STD = [
+    ("amientos", 1), ("imientos", 1), ("amiento", 1), ("imiento", 1),
+    ("aciones", 2), ("uciones", 4), ("logías", 3), ("encias", 5),
+    ("ancias", 2), ("idades", 8), ("adoras", 2), ("amente", 6),
+    ("adores", 2), ("ución", 4), ("logía", 3), ("encia", 5),
+    ("ancia", 2), ("mente", 7), ("adora", 2), ("antes", 2),
+    ("ables", 1), ("ibles", 1), ("istas", 1), ("ación", 2),
+    ("icas", 1), ("icos", 1), ("osas", 1), ("osos", 1), ("anzas", 1),
+    ("ismos", 1), ("ivas", 9), ("ivos", 9), ("idad", 8), ("able", 1),
+    ("ible", 1), ("ante", 2), ("ista", 1), ("anza", 1), ("ador", 2),
+    ("ica", 1), ("ico", 1), ("osa", 1), ("oso", 1), ("ismo", 1),
+    ("iva", 9), ("ivo", 9),
+]
+_ES_YVERB = ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+             "yes", "ya", "ye", "yo", "yó")
+_ES_VERB1 = ("éis", "emos", "en", "es")  # gu -> drop u cases
+_ES_VERB2 = (
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "ábamos",
+    "áramos", "ásemos", "aríais", "eríais", "iríais", "ierais",
+    "ieseis", "asteis", "isteis", "íamos", "arían", "arías", "aréis",
+    "erían", "erías", "eréis", "irían", "irías", "iréis", "ieran",
+    "iesen", "ieron", "iendo", "ieras", "ieses", "abais", "arais",
+    "aseis", "íais", "aremos", "eremos", "iremos", "aban", "aran",
+    "asen", "aron", "arán", "erán", "irán", "abas",
+    "adas", "idas", "aras", "ases", "ías", "ará", "aré", "erá", "eré",
+    "irá", "iré", "aba", "ada", "ida", "ara", "ase", "ían", "ado",
+    "ido", "ando", "iera", "iese", "aste", "iste", "ería", "iría",
+    "aría", "arás", "erás", "irás", "áis", "ía", "ad", "ed", "id",
+    "an", "ió", "ar", "er", "ir", "as", "ís", "ados", "idos", "amos",
+    "imos",
+)
+
+
+def snowball_spanish_stem(w: str) -> str:
+    rv = _rv_romance(w, _ES_V)
+    r1 = _r_after(w, 0, _ES_V)
+    r2 = _r_after(w, r1, _ES_V)
+
+    # step 0: attached pronoun
+    p = _longest_suffix(w, [(s, None) for s in _ES_PRON])
+    if p:
+        stem = w[: -len(p[0])]
+        m = _longest_suffix(stem, _ES_PRE)
+        if m and len(stem) - len(m[0]) >= rv:
+            suf, rep = m
+            if rep == "":
+                w = stem
+            elif rep == "y?":
+                if stem.endswith("uyendo"):
+                    w = stem
+            else:
+                w = stem[: -len(suf)] + rep
+
+    # step 1: standard suffix  (falls through to verb steps on failure)
+    done = False
+    m = _longest_suffix(w, _ES_STD)
+    if m:
+        suf, case = m
+        start = len(w) - len(suf)
+        if case == 6:
+            if start >= r1:
+                done = True
+                w = w[:-6]
+                m2 = _longest_suffix(w, [("ic", 2), ("ad", 2), ("os", 2),
+                                         ("iv", 1)])
+                if m2 and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if m2[1] == 1 and w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+        elif start >= r2:
+            done = True
+            if case == 1:
+                w = w[: -len(suf)]
+            elif case == 2:
+                w = w[: -len(suf)]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            elif case == 3:
+                w = w[: -len(suf)] + "log"
+            elif case == 4:
+                w = w[: -len(suf)] + "u"
+            elif case == 5:
+                w = w[: -len(suf)] + "ente"
+            elif case == 7:
+                w = w[: -len(suf)]
+                m2 = _longest_suffix(w, [("ante", None), ("able", None),
+                                         ("ible", None)])
+                if m2 and len(w) - 4 >= r2:
+                    w = w[:-4]
+            elif case == 8:
+                w = w[: -len(suf)]
+                m2 = _longest_suffix(w, [("abil", None), ("ic", None),
+                                         ("iv", None)])
+                if m2 and len(w) - len(m2[0]) >= r2:
+                    w = w[: -len(m2[0])]
+            elif case == 9:
+                w = w[: -len(suf)]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+
+    # step 2a: y-verb suffixes (suffix within RV, preceded by u)
+    if not done:
+        m = _longest_suffix_in_r1(w, rv, _ES_YVERB)
+        if m and w[: -len(m)].endswith("u"):
+            w = w[: -len(m)]
+            done = True
+
+    # step 2b: other verb suffixes (within RV)
+    if not done:
+        m = _longest_suffix_in_r1(w, rv, _ES_VERB1 + _ES_VERB2)
+        if m:
+            if m in _ES_VERB1 and w[: -len(m)].endswith("gu"):
+                w = w[: -len(m) - 1]
+            else:
+                w = w[: -len(m)]
+
+    # step 3: residual
+    m = _longest_suffix(w, [(s, None) for s in
+                            ("os", "a", "o", "á", "í", "ó", "e", "é")])
+    if m and len(w) - len(m[0]) >= rv:
+        suf = m[0]
+        if suf in ("e", "é"):
+            w = w[: -len(suf)]
+            if w.endswith("gu") and len(w) - 1 >= rv:
+                w = w[:-1]
+        else:
+            w = w[: -len(suf)]
+
+    return w.translate(_ES_POST)
+
+
+# ---------------------------------------------------------------------------
+# Italian — italian.sbl / ItalianStemmer.java
+# ---------------------------------------------------------------------------
+
+_IT_V = "aeiouàèìòù"
+_IT_AEIO = "aeioàèìò"
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+_IT_POST = str.maketrans("UI", "ui")
+_IT_PRON = (
+    "gliela", "gliele", "glieli", "glielo", "gliene",
+    "cela", "cele", "celi", "celo", "cene", "mela", "mele", "meli",
+    "melo", "mene", "sene", "tela", "tele", "teli", "telo", "tene",
+    "vela", "vele", "veli", "velo", "vene", "gli",
+    "la", "le", "li", "lo", "ne", "ci", "mi", "si", "ti", "vi",
+)
+_IT_STD = [
+    ("amente", 7), ("amenti", 6), ("imenti", 6), ("amento", 6),
+    ("imento", 6), ("atrice", 1), ("atrici", 1), ("usione", 4),
+    ("azione", 2), ("uzione", 4), ("usioni", 4), ("azioni", 2),
+    ("uzioni", 4),
+    ("logia", 3), ("logie", 3), ("abile", 1), ("ibile", 1),
+    ("atore", 2), ("atori", 2), ("abili", 1), ("ibili", 1),
+    ("mente", 1), ("anza", 1), ("enza", 5), ("anze", 1), ("enze", 5),
+    ("iche", 1), ("ichi", 1), ("ismi", 1), ("ismo", 1), ("ista", 1),
+    ("iste", 1), ("isti", 1), ("istà", 1), ("istè", 1), ("istì", 1),
+    ("ante", 1), ("anti", 1),
+    ("ica", 1), ("ice", 1), ("ici", 1), ("ico", 1), ("osa", 1),
+    ("ose", 1), ("osi", 1), ("oso", 1), ("iva", 9), ("ive", 9),
+    ("ivi", 9), ("ivo", 9), ("ità", 8),
+]
+_IT_VERB = (
+    "erebbero", "irebbero", "assero", "essero", "issero", "assimo",
+    "eremmo", "iremmo", "iscano", "iscono", "avano", "evano", "ivano",
+    "eranno", "iranno", "arono", "erono", "irono", "avamo", "evamo",
+    "ivamo", "eremo", "iremo", "erebbe", "irebbe", "avate", "evate",
+    "ivate", "erete", "irete", "ereste", "ireste", "eresti", "iresti",
+    "isca", "enda", "isce", "ende", "asse", "isci", "endi", "erai",
+    "irai", "erei", "irei", "assi", "isco", "ando", "endo", "Yamo",
+    "iamo", "ammo", "emmo", "immo", "ano", "ono", "ata", "ita", "uta",
+    "ava", "eva", "iva", "are", "ere", "ire", "ate", "ete", "ite",
+    "ute", "ati", "iti", "uti", "avi", "evi", "ivi", "ato", "ito",
+    "uto", "avo", "evo", "ivo", "erà", "irà", "erò", "irò", "ar", "ir",
+)
+
+
+def snowball_italian_stem(w: str) -> str:
+    # prelude: acute -> grave, qu -> qU, u/i between vowels marked U/I
+    w = w.translate(_IT_ACUTE)
+    chars = list(w)
+    for i in range(1, len(chars)):
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+    for i in range(1, len(chars) - 1):
+        if (chars[i] in "ui" and chars[i - 1] in _IT_V
+                and chars[i + 1] in _IT_V):
+            chars[i] = chars[i].upper()
+    w = "".join(chars)
+
+    rv = _rv_romance(w, _IT_V)
+    r1 = _r_after(w, 0, _IT_V)
+    r2 = _r_after(w, r1, _IT_V)
+
+    # attached pronoun
+    p = _longest_suffix(w, [(s, None) for s in _IT_PRON])
+    if p:
+        stem = w[: -len(p[0])]
+        m = _longest_suffix(stem, [("ando", 1), ("endo", 1), ("ar", 2),
+                                   ("er", 2), ("ir", 2)])
+        if m and len(stem) - len(m[0]) >= rv:
+            w = stem if m[1] == 1 else stem + "e"
+
+    done = False
+    m = _longest_suffix(w, _IT_STD)
+    if m:
+        suf, case = m
+        start = len(w) - len(suf)
+        if case == 6:
+            if start >= rv:
+                done = True
+                w = w[: -len(suf)]
+        elif case == 7:
+            if start >= r1:
+                done = True
+                w = w[:-6]
+                m2 = _longest_suffix(w, [("abil", 2), ("ic", 2), ("os", 2),
+                                         ("iv", 1)])
+                if m2 and len(w) - len(m2[0]) >= r2:
+                    w = w[: -len(m2[0])]
+                    if m2[1] == 1 and w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+        elif start >= r2:
+            done = True
+            if case == 1:
+                w = w[: -len(suf)]
+            elif case == 2:
+                w = w[: -len(suf)]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            elif case == 3:
+                w = w[: -len(suf)] + "log"
+            elif case == 4:
+                w = w[: -len(suf)] + "u"
+            elif case == 5:
+                w = w[: -len(suf)] + "ente"
+            elif case == 8:
+                w = w[: -len(suf)]
+                m2 = _longest_suffix(w, [("abil", None), ("ic", None),
+                                         ("iv", None)])
+                if m2 and len(w) - len(m2[0]) >= r2:
+                    w = w[: -len(m2[0])]
+            elif case == 9:
+                w = w[: -len(suf)]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("ic") and len(w) - 2 >= r2:
+                        w = w[:-2]
+
+    if not done:
+        m = _longest_suffix_in_r1(w, rv, _IT_VERB)
+        if m:
+            w = w[: -len(m)]
+
+    # vowel suffix: final a/e/i/o/à/è/ì/ò in RV, then a following i in RV
+    if w and w[-1] in _IT_AEIO and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # ch/gh -> c/g
+    if (
+        len(w) >= 2
+        and w[-1] == "h"
+        and w[-2] in "cg"
+        and len(w) - 2 >= rv  # RV checked at the c/g position
+    ):
+        w = w[:-1]
+
+    return w.translate(_IT_POST)
+
+
+# ---------------------------------------------------------------------------
+# French — french.sbl / FrenchStemmer.java
+# ---------------------------------------------------------------------------
+
+_FR_V = "aeiouyàâèéêëîïôùû"
+_FR_KEEP_S = "aiouès"
+_FR_STD = [
+    ("issements", 12), ("issement", 12),
+    ("atrices", 2), ("amment", 13), ("emment", 14),
+    ("atrice", 2), ("ements", 6), ("logies", 3), ("usions", 4),
+    ("utions", 4), ("ations", 2), ("ateurs", 2),
+    ("ement", 6), ("logie", 3), ("usion", 4), ("ution", 4),
+    ("ation", 2), ("ateur", 2), ("iqUes", 1), ("ances", 1),
+    ("ences", 5), ("ables", 1), ("ismes", 1), ("euses", 11),
+    ("istes", 1), ("ments", 15),
+    ("iqUe", 1), ("ance", 1), ("ence", 5), ("able", 1), ("isme", 1),
+    ("euse", 11), ("iste", 1), ("ives", 8), ("eaux", 9), ("ment", 15),
+    ("ités", 7), ("ive", 8), ("ifs", 8), ("aux", 10), ("eux", 1),
+    ("ité", 7), ("if", 8),
+]
+_FR_IVERB = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez", "issons",
+    "irais", "irait", "irent", "iriez", "irons", "iront", "isses",
+    "issez", "îmes", "îtes", "irai", "iras", "irez", "isse", "ira",
+    "ies", "ir", "is", "it", "ie", "i", "ît",
+)
+_FR_VERB = [
+    ("eraIent", 2), ("assions", 3), ("erions", 2), ("assent", 3),
+    ("assiez", 3), ("èrent", 2), ("erais", 2), ("erait", 2),
+    ("eriez", 2), ("erons", 2), ("eront", 2), ("aIent", 3),
+    ("antes", 3), ("asses", 3), ("ions", 1), ("erai", 2), ("eras", 2),
+    ("erez", 2), ("âmes", 3), ("âtes", 3), ("ante", 3), ("ants", 3),
+    ("asse", 3), ("ées", 2), ("era", 2), ("iez", 2), ("ais", 3),
+    ("ait", 3), ("ant", 3), ("ée", 2), ("és", 2), ("er", 2),
+    ("ez", 2), ("ât", 3), ("ai", 3), ("as", 3), ("é", 2), ("a", 3),
+]
+_FR_RESID = [("Ière", 2), ("ière", 2), ("Ier", 2), ("ier", 2),
+             ("ion", 1), ("e", 3)]
+_FR_DOUBLE = ("eill", "ell", "enn", "onn", "ett")
+
+
+def _fr_prelude(w: str) -> str:
+    out = []
+    i = 0
+    n = len(w)
+    while i < n:
+        c = w[i]
+        if c in _FR_V:
+            out.append(c)
+            nxt = w[i + 1] if i + 1 < n else ""
+            nxt2 = w[i + 2] if i + 2 < n else ""
+            if nxt == "u" and nxt2 in _FR_V:
+                out.append("U")
+                i += 2
+            elif nxt == "i" and nxt2 in _FR_V:
+                out.append("I")
+                i += 2
+            elif nxt == "y":
+                out.append("Y")
+                i += 2
+            else:
+                i += 1
+        elif c == "ë":
+            out.append("He")
+            i += 1
+        elif c == "ï":
+            out.append("Hi")
+            i += 1
+        elif c == "y" and i + 1 < n and w[i + 1] in _FR_V:
+            out.append("Y")
+            i += 1
+        elif c == "q" and i + 1 < n and w[i + 1] == "u":
+            out.append("qU")
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def snowball_french_stem(w: str) -> str:
+    w = _fr_prelude(w)
+    n = len(w)
+    if n >= 3 and w[0] in _FR_V and w[1] in _FR_V:
+        rv = 3
+    elif w[:3] in ("par", "col", "tap"):
+        rv = 3
+    else:
+        i = 1
+        while i < n and w[i] not in _FR_V:
+            i += 1
+        rv = i + 1 if i < n else n
+    r1 = _r_after(w, 0, _FR_V)
+    r2 = _r_after(w, r1, _FR_V)
+
+    changed = False  # any of standard / i_verb / verb succeeded
+
+    m = _longest_suffix(w, _FR_STD)
+    if m:
+        suf, case = m
+        start = len(w) - len(suf)
+        if case == 1 and start >= r2:
+            w, changed = w[:-len(suf)], True
+        elif case == 2 and start >= r2:
+            w, changed = w[:-len(suf)], True
+            if w.endswith("ic"):
+                if len(w) - 2 >= r2:
+                    w = w[:-2]
+                else:
+                    w = w[:-2] + "iqU"
+        elif case == 3 and start >= r2:
+            w, changed = w[:-len(suf)] + "log", True
+        elif case == 4 and start >= r2:
+            w, changed = w[:-len(suf)] + "u", True
+        elif case == 5 and start >= r2:
+            w, changed = w[:-len(suf)] + "ent", True
+        elif case == 6 and start >= rv:
+            w, changed = w[:-len(suf)], True
+            m2 = _longest_suffix(w, [("iqU", 3), ("abl", 3), ("Ièr", 4),
+                                     ("ièr", 4), ("eus", 2), ("iv", 1)])
+            if m2:
+                s2, c2 = m2
+                st2 = len(w) - len(s2)
+                if c2 == 1 and st2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif c2 == 2:
+                    if st2 >= r2:
+                        w = w[:-3]
+                    elif st2 >= r1:
+                        w = w[:-3] + "eux"
+                elif c2 == 3 and st2 >= r2:
+                    w = w[:-3]
+                elif c2 == 4 and st2 >= rv:
+                    w = w[:-3] + "i"
+        elif case == 7 and start >= r2:
+            w, changed = w[:-len(suf)], True
+            m2 = _longest_suffix(w, [("abil", 1), ("ic", 2), ("iv", 3)])
+            if m2:
+                s2, c2 = m2
+                st2 = len(w) - len(s2)
+                if c2 == 1:
+                    w = w[:-4] if st2 >= r2 else w[:-4] + "abl"
+                elif c2 == 2:
+                    w = w[:-2] if st2 >= r2 else w[:-2] + "iqU"
+                elif st2 >= r2:
+                    w = w[:-2]
+        elif case == 8 and start >= r2:
+            w, changed = w[:-len(suf)], True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif case == 9:
+            w, changed = w[:-1], True
+        elif case == 10 and start >= r1:
+            w, changed = w[:-2] + "l", True
+        elif case == 11:
+            if start >= r2:
+                w, changed = w[:-len(suf)], True
+            elif start >= r1:
+                w, changed = w[:-len(suf)] + "eux", True
+        elif case == 12 and start >= r1 and start >= 1 \
+                and w[start - 1] not in _FR_V:
+            w, changed = w[:-len(suf)], True
+        elif case == 13 and start >= rv:
+            w = w[:-6] + "ant"  # then fall through to verb steps
+        elif case == 14 and start >= rv:
+            w = w[:-6] + "ent"
+        elif case == 15 and start >= 1 and w[start - 1] in _FR_V \
+                and start - 1 >= rv:
+            w = w[:-len(suf)]
+
+    if not changed:
+        # i-verb: suffix in RV, preceded (within RV) by a non-vowel, not H
+        m = _longest_suffix_in_r1(w, rv, _FR_IVERB)
+        if m:
+            start = len(w) - len(m)
+            if (start > rv and w[start - 1] not in _FR_V
+                    and w[start - 1] != "H"):
+                w, changed = w[:start], True
+
+    if not changed:
+        m = None
+        best = None
+        for suf, case in _FR_VERB:
+            if w.endswith(suf) and len(w) - len(suf) >= rv and (
+                    best is None or len(suf) > len(best[0])):
+                best = (suf, case)
+        if best:
+            suf, case = best
+            start = len(w) - len(suf)
+            if case == 1:
+                if start >= r2:
+                    w, changed = w[:start], True
+            elif case == 2:
+                w, changed = w[:start], True
+            else:
+                w, changed = w[:start], True
+                if w.endswith("e") and len(w) - 1 >= rv:
+                    w = w[:-1]
+
+    if changed:
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # residual suffix
+        if w.endswith("s") and len(w) >= 2 and (
+                w[-3:-1] == "Hi" or w[-2] not in _FR_KEEP_S):
+            w = w[:-1]
+        m = None
+        best = None
+        for suf, case in _FR_RESID:
+            if w.endswith(suf) and len(w) - len(suf) >= rv and (
+                    best is None or len(suf) > len(best[0])):
+                best = (suf, case)
+        if best:
+            suf, case = best
+            start = len(w) - len(suf)
+            if case == 1:
+                if start >= r2 and start > rv and w[start - 1] in "st":
+                    w = w[:start]
+            elif case == 2:
+                w = w[:start] + "i"
+            else:
+                w = w[:start]
+
+    # un_double
+    if w.endswith(_FR_DOUBLE):
+        w = w[:-1]
+    # un_accent: >=1 trailing non-vowels preceded by é/è -> e
+    i = len(w) - 1
+    while i >= 0 and w[i] not in _FR_V:
+        i -= 1
+    if i >= 0 and i < len(w) - 1 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1:]
+
+    # postlude
+    out = []
+    i = 0
+    while i < len(w):
+        if w.startswith("He", i):
+            out.append("ë")
+            i += 2
+        elif w.startswith("Hi", i):
+            out.append("ï")
+            i += 2
+        elif w[i] == "H":
+            i += 1
+        elif w[i] == "I":
+            out.append("i")
+            i += 1
+        elif w[i] == "U":
+            out.append("u")
+            i += 1
+        elif w[i] == "Y":
+            out.append("y")
+            i += 1
+        else:
+            out.append(w[i])
+            i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Portuguese — portuguese.sbl / PortugueseStemmer.java
+# ---------------------------------------------------------------------------
+
+_PT_V = "aeiouáâéêíóôú"
+_PT_STD = [
+    ("amentos", 1), ("imentos", 1), ("uça~o", 3), ("uço~es", 3),
+    ("amento", 1), ("imento", 1), ("adoras", 1), ("adores", 1),
+    ("aça~o", 1), ("aço~es", 1), ("logias", 2), ("ências", 4),
+    ("amente", 5), ("idades", 7), ("ância", 1), ("ência", 4),
+    ("logia", 2), ("mente", 6), ("idade", 7), ("adora", 1),
+    ("antes", 1), ("ador", 1), ("ante", 1), ("ável", 1), ("ível", 1),
+    ("istas", 1), ("ismos", 1), ("osas", 1), ("osos", 1), ("icas", 1),
+    ("icos", 1), ("iras", 9), ("ezas", 1), ("ivas", 8), ("ivos", 8),
+    ("ista", 1), ("ismo", 1), ("osa", 1), ("oso", 1), ("ica", 1),
+    ("ico", 1), ("ira", 9), ("eza", 1), ("iva", 8), ("ivo", 8),
+]
+_PT_VERB = (
+    "ada", "ida", "ia", "aria", "eria", "iria", "ara", "era", "ira",
+    "ava", "asse", "esse", "isse", "aste", "este", "iste", "ei",
+    "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam",
+    "aram", "eram", "iram", "avam", "em", "arem", "erem", "irem",
+    "assem", "essem", "issem", "ado", "ido", "ando", "endo", "indo",
+    "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as", "adas", "idas",
+    "ias", "arias", "erias", "irias", "aras", "eras", "iras", "avas",
+    "es", "ardes", "erdes", "irdes", "ares", "eres", "ires", "asses",
+    "esses", "isses", "astes", "estes", "istes", "is", "ais", "eis",
+    "areis", "ereis", "ireis", "áreis", "éreis", "íreis", "ásseis",
+    "ésseis", "ísseis", "áveis", "íeis", "aríeis", "eríeis", "iríeis",
+    "ados", "idos", "amos", "áramos", "éramos", "íramos", "ávamos",
+    "íamos", "aríamos", "eríamos", "iríamos", "emos", "aremos",
+    "eremos", "iremos", "ássemos", "êssemos", "íssemos", "imos",
+    "armos", "ermos", "irmos", "ámos", "arás", "erás", "irás", "eu",
+    "iu", "ou", "ará", "erá", "irá",
+)
+
+
+def snowball_portuguese_stem(w: str) -> str:
+    w = w.replace("ã", "a~").replace("õ", "o~")
+    rv = _rv_romance(w, _PT_V)
+    r1 = _r_after(w, 0, _PT_V)
+    r2 = _r_after(w, r1, _PT_V)
+
+    changed = False
+    m = _longest_suffix(w, _PT_STD)
+    if m:
+        suf, case = m
+        start = len(w) - len(suf)
+        if case == 1 and start >= r2:
+            w, changed = w[:-len(suf)], True
+        elif case == 2 and start >= r2:
+            w, changed = w[:-len(suf)] + "log", True
+        elif case == 3 and start >= r2:
+            w, changed = w[:-len(suf)] + "u", True
+        elif case == 4 and start >= r2:
+            w, changed = w[:-len(suf)] + "ente", True
+        elif case == 5 and start >= r1:
+            w, changed = w[:-6], True
+            m2 = _longest_suffix(w, [("ic", 2), ("ad", 2), ("os", 2),
+                                     ("iv", 1)])
+            if m2 and len(w) - 2 >= r2:
+                w = w[:-2]
+                if m2[1] == 1 and w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif case == 6 and start >= r2:
+            w, changed = w[:-5], True
+            m2 = _longest_suffix(w, [("ante", None), ("avel", None),
+                                     ("ível", None)])
+            if m2 and len(w) - 4 >= r2:
+                w = w[:-4]
+        elif case == 7 and start >= r2:
+            w, changed = w[:-len(suf)], True
+            m2 = _longest_suffix(w, [("abil", None), ("ic", None),
+                                     ("iv", None)])
+            if m2 and len(w) - len(m2[0]) >= r2:
+                w = w[:-len(m2[0])]
+        elif case == 8 and start >= r2:
+            w, changed = w[:-len(suf)], True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif case == 9 and start >= rv and w[:start].endswith("e"):
+            w, changed = w[:-len(suf)] + "ir", True
+
+    if not changed:
+        m = _longest_suffix_in_r1(w, rv, _PT_VERB)
+        if m:
+            w, changed = w[:-len(m)], True
+
+    if changed:
+        # final i preceded by c, i in RV -> delete
+        if w.endswith("ci") and len(w) - 1 >= rv:
+            w = w[:-1]
+    else:
+        m = _longest_suffix_in_r1(w, rv, ("os", "a", "i", "o", "á",
+                                          "í", "ó"))
+        if m:
+            w = w[:-len(m)]
+
+    # residual form
+    if w.endswith(("e", "é", "ê")):
+        pos = len(w) - 1
+        if pos >= rv:
+            w = w[:-1]
+            if ((w.endswith("gu") or w.endswith("ci"))
+                    and len(w) - 1 >= rv):
+                w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
+# Russian — russian.sbl / RussianStemmer.java
+# (every step runs inside RV: setlimit tomark pV wraps the whole
+# backwards block, so suffixes AND their а/я look-behinds must lie in RV)
+# ---------------------------------------------------------------------------
+
+_RU_V = "аеиоуыэюя"
+_RU_PERF1 = ("вшись", "вши", "в")
+_RU_PERF2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJ = (
+    "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ое", "ые",
+    "ей", "ий", "ой", "ый", "ем", "им", "ом", "ым", "их", "ых", "ею",
+    "ою", "ую", "юю", "ая", "яя",
+)
+_RU_PART1 = ("нн", "ем", "вш", "ющ", "щ")
+_RU_PART2 = ("ивш", "ывш", "ующ")
+_RU_VERB1 = (
+    "нно", "ете", "йте", "ешь", "ла", "на", "ли", "ем", "ло", "но",
+    "ет", "ют", "ны", "ть", "й", "л", "н",
+)
+_RU_VERB2 = (
+    "ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли", "ило",
+    "ыло", "ено", "ует", "уют", "ены", "ить", "ыть", "ишь",
+    "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ит", "ыт", "ят", "ую",
+    "ю",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ию", "ья",
+    "ье", "ия", "ью", "ии", "еи", "ие", "ей", "ий", "ой",
+    "ам", "ем", "ом", "ям", "ах", "ях", "ев", "ов", "а", "е", "и",
+    "й", "о", "у", "ы", "ь", "ю", "я",
+)
+
+
+def snowball_russian_stem(w: str) -> str:
+    w = w.replace("ё", "е")
+    n = len(w)
+    i = 0
+    while i < n and w[i] not in _RU_V:
+        i += 1
+    rv = i + 1 if i < n else n
+    i = rv
+    while i < n and w[i] in _RU_V:
+        i += 1
+    p1 = i + 1 if i < n else n
+    i = p1
+    while i < n and w[i] not in _RU_V:
+        i += 1
+    i += 1  # past the vowel
+    while i < n and w[i] in _RU_V:
+        i += 1
+    r2 = i + 1 if i < n else n
+
+    def ay(start: int) -> bool:
+        return start - 1 >= rv and w[start - 1] in "ая"
+
+    # step 1: perfective gerund, else (reflexive? then adj|verb|noun)
+    m = _longest_suffix_in_r1(w, rv, _RU_PERF1 + _RU_PERF2)
+    if m and (m in _RU_PERF2 or ay(len(w) - len(m))):
+        w = w[: -len(m)]
+    else:
+        m = _longest_suffix_in_r1(w, rv, ("сь", "ся"))
+        if m:
+            w = w[: -len(m)]
+        m = _longest_suffix_in_r1(w, rv, _RU_ADJ)
+        if m:
+            w = w[: -len(m)]
+            m2 = _longest_suffix_in_r1(w, rv, _RU_PART1 + _RU_PART2)
+            if m2 and (m2 in _RU_PART2 or ay(len(w) - len(m2))):
+                w = w[: -len(m2)]
+        else:
+            m = _longest_suffix_in_r1(w, rv, _RU_VERB1 + _RU_VERB2)
+            if m and (m in _RU_VERB2 or ay(len(w) - len(m))):
+                w = w[: -len(m)]
+            else:
+                m = _longest_suffix_in_r1(w, rv, _RU_NOUN)
+                if m:
+                    w = w[: -len(m)]
+
+    # step 2: final и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # step 3: derivational (R2, within RV)
+    m = _longest_suffix_in_r1(w, rv, ("ость", "ост"))
+    if m and len(w) - len(m) >= r2:
+        w = w[: -len(m)]
+
+    # step 4: tidy up
+    m = _longest_suffix_in_r1(w, rv, ("ейше", "ейш", "н", "ь"))
+    if m in ("ейше", "ейш"):
+        w = w[: -len(m)]
+        if w.endswith("нн") and len(w) - 1 >= rv:
+            w = w[:-1]
+    elif m == "н":
+        if w[-2:] == "нн" and len(w) - 2 >= rv:
+            w = w[:-1]
+    elif m == "ь":
+        w = w[:-1]
+    return w
+
+
+SNOWBALL_STEMMERS = {
+    "snowball_english_stem": snowball_english_stem,
+    "snowball_german_stem": snowball_german_stem,
+    "snowball_french_stem": snowball_french_stem,
+    "snowball_spanish_stem": snowball_spanish_stem,
+    "snowball_italian_stem": snowball_italian_stem,
+    "snowball_portuguese_stem": snowball_portuguese_stem,
+    "snowball_danish_stem": snowball_danish_stem,
+    "snowball_norwegian_stem": snowball_norwegian_stem,
+    "snowball_swedish_stem": snowball_swedish_stem,
+    "snowball_russian_stem": snowball_russian_stem,
+}

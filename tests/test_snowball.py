@@ -1,0 +1,68 @@
+"""Snowball stemmers vs the reference's test vocabularies
+(analysis/common/src/test/.../snowball/<lang>.zip: voc.txt/output.txt,
+~2000 word/stem pairs per language, the same fixtures
+TestSnowballVocab.java asserts against). Every pair must match exactly.
+
+French has NO vocabulary in the reference (Lucene does not vocab-test
+it), so it gets hand-traced unit vectors instead.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pytest
+
+from lucene_spark import analysis_snowball as S
+
+_BASE = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis/snowball"
+)
+
+_CASES = [
+    ("english", S.snowball_english_stem),
+    ("german", S.snowball_german_stem),
+    ("spanish", S.snowball_spanish_stem),
+    ("italian", S.snowball_italian_stem),
+    ("portuguese", S.snowball_portuguese_stem),
+    ("danish", S.snowball_danish_stem),
+    ("norwegian", S.snowball_norwegian_stem),
+    ("swedish", S.snowball_swedish_stem),
+    ("russian", S.snowball_russian_stem),
+]
+
+
+@pytest.mark.parametrize("lang,fn", _CASES, ids=[c[0] for c in _CASES])
+def test_snowball_full_vocabulary(lang, fn):
+    path = os.path.join(_BASE, lang + ".zip")
+    if not os.path.exists(path):
+        pytest.skip("reference vocabulary not available")
+    z = zipfile.ZipFile(path)
+    voc = z.read("voc.txt").decode("utf-8").split()
+    out = z.read("output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) and len(voc) > 1500
+    bad = [(v, fn(v), o) for v, o in zip(voc, out) if fn(v) != o]
+    assert not bad, f"{lang}: {len(bad)} mismatches, first: {bad[:5]}"
+
+
+def test_french_unit_vectors():
+    # hand-traced through the published snowball french algorithm
+    fn = S.snowball_french_stem
+    cases = {
+        "continuité": "continu",        # ité (R2) + abil/ic/iv absent
+        "majestueusement": "majestu",   # emment? no: ement + eus
+        "conditionnellement": "conditionnel",  # ement, un_double ell->el
+        "choisir": "chois",             # i-verb ir
+        "choisissait": "chois",         # i-verb issait
+        "mangeaient": "mang",           # verb aIent, e in RV dropped
+        "volontairement": "volontair",  # ement in RV
+        "généreuses": "géner",          # euses R2, then un_accent é->e
+        "nationaux": "national",        # aux -> al
+        "châteaux": "château",          # eaux -> eau
+        "payer": "pai",                 # y->Y marking, er verb, Y->i
+        "abondamment": "abond",         # amment -> ant, then verb ant
+    }
+    for w, want in cases.items():
+        assert fn(w) == want, f"{w!r} -> {fn(w)!r}, want {want!r}"
