@@ -33,7 +33,13 @@ literal/escape  translated (Java metachars escaped)
                 lookahead; nested -> UnsupportedRegexpOperator
 ``~``           UnsupportedRegexpOperator (deprecated in the
                 reference; not expressible in Java regex)
-``<n-m>``       UnsupportedRegexpOperator (numeric interval)
+``<n-m>``       translated to a digit-range alternation
+                (Automata.makeDecimalInterval semantics: same-
+                length operands -> fixed-width zero-padded
+                strings; different lengths -> any value in
+                [n, m] with arbitrary leading zeros; reversed
+                bounds swap, RegExp.java:1313-1321)
+``<name>``      UnsupportedRegexpOperator (named automaton)
 =============  ==============================================
 
 Unsupported operators raise with the operator name and position so a
@@ -65,6 +71,54 @@ class UnsupportedRegexpOperator(RegexpSyntaxError):
 
 def _esc(c: str) -> str:
     return "\\" + c if c in _JAVA_META else c
+
+
+def _digit_span(a: str, b: str) -> str:
+    return a if a == b else f"[{a}-{b}]"
+
+
+def _fixed_range(x: str, y: str) -> list[str]:
+    """Alternatives matching decimal strings of len(x)==len(y) digits
+    with x <= s <= y numerically (equal-width compare == lexicographic)."""
+    if not x:
+        return [""]
+    if x[0] == y[0]:
+        return [x[0] + r for r in _fixed_range(x[1:], y[1:])]
+    rest = len(x) - 1
+    if rest == 0:
+        return [_digit_span(x[0], y[0])]
+    out = [x[0] + r for r in _fixed_range(x[1:], "9" * rest)]
+    if ord(y[0]) - ord(x[0]) >= 2:
+        mid = _digit_span(chr(ord(x[0]) + 1), chr(ord(y[0]) - 1))
+        out.append(mid + f"[0-9]{{{rest}}}" if rest > 1 else mid + "[0-9]")
+    out += [y[0] + r for r in _fixed_range("0" * rest, y[1:])]
+    return out
+
+
+def _interval_regex(smin: str, smax: str) -> str:
+    """<n-m> -> Java regex, mirroring Automata.makeDecimalInterval:
+    equal-length operands = fixed width (zero-padded strings of exactly
+    that length); otherwise any number of leading zeros around the
+    value range."""
+    imin, imax = int(smin), int(smax)
+    digits = len(smin) if len(smin) == len(smax) else 0
+    if imin > imax:
+        imin, imax = imax, imin
+    if digits > 0:
+        x = str(imin).zfill(digits)
+        y = str(imax).zfill(digits)
+        alts = _fixed_range(x, y)
+    else:
+        alts = []
+        for width in range(1, len(str(imax)) + 1):
+            lo = 0 if width == 1 else 10 ** (width - 1)
+            hi = 10**width - 1
+            a, b = max(imin, lo), min(imax, hi)
+            if a <= b:
+                alts.extend(_fixed_range(str(a).zfill(width),
+                                         str(b).zfill(width)))
+    body = alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+    return body if digits > 0 else "0*" + body
 
 
 def _esc_cc(c: str) -> str:
@@ -203,11 +257,24 @@ class _Parser:
                 raise RegexpSyntaxError(f"unbalanced parens in {self.s!r}")
             return "(?:" + inner + ")"
         if c == "<":
-            raise UnsupportedRegexpOperator(
-                "<n-m>", pos,
-                "numeric intervals compile to an automaton in the "
-                "reference; no faithful Java-regex translation",
-            )
+            body = ""
+            while self.peek() not in (None, ">"):
+                body += self.take()
+            if not self.match(">"):
+                raise RegexpSyntaxError(f"unterminated <...> in {self.s!r}")
+            i = body.find("-")
+            if i <= 0 or i == len(body) - 1 or i != body.rfind("-"):
+                raise UnsupportedRegexpOperator(
+                    f"<{body}>", pos,
+                    "named automata are a reference extension point; only "
+                    "numeric <n-m> intervals translate to Java regex",
+                )
+            smin, smax = body[:i], body[i + 1 :]
+            if not (smin.isdigit() and smax.isdigit()):
+                raise RegexpSyntaxError(
+                    f"interval syntax error at position {pos} in {self.s!r}"
+                )
+            return "(?:" + _interval_regex(smin, smax) + ")"
         if c == "\\":
             return _esc(self.take())
         if c in (")", "}", "]"):

@@ -56,6 +56,17 @@ MATRIX = [
     # top-level intersection: both operands must cover the whole term
     ("[ab]*&.*a.*", ["a", "aba", "ba"], ["b", "bb", "ca"]),
     ("a.c&ab.", ["abc"], ["abd", "axc"]),
+    # numeric intervals (Automata.makeDecimalInterval semantics):
+    # different-length operands -> any leading zeros, value in range
+    ("<1-10>", ["1", "7", "10", "007", "0000010"], ["0", "11", "x", ""]),
+    ("<0-40>", ["0", "00", "39", "040"], ["41", "400"]),
+    # same-length operands -> fixed width, zero-padded
+    ("<01-10>", ["01", "05", "10"], ["1", "5", "11", "010"]),
+    ("<10-99>", ["10", "55", "99"], ["9", "100", "055"]),
+    # reversed bounds swap (RegExp.java:1316-1320)
+    ("<10-1>", ["3", "10"], ["0", "11"]),
+    # composes with surrounding pattern + quantifiers
+    ("v<1-31>x?", ["v7", "v31x", "v07"], ["v32", "32"]),
 ]
 
 
@@ -72,8 +83,8 @@ def test_dialect_matrix(pattern, accept, reject):
     [
         ("~abc", "~"),
         ("a~b", "~"),
-        ("<1-100>", "<n-m>"),
         ("(a&b)c", "&"),  # nested intersection: no sound translation
+        ("<myname>", "<myname>"),  # named automaton extension point
     ],
 )
 def test_unsupported_operators_raise(pattern, op):
