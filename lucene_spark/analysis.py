@@ -346,6 +346,11 @@ from lucene_spark.analysis_lang import LIGHT_STEMMERS as _LIGHT_STEMMERS  # noqa
 
 _TOKEN_FILTERS.update(_LIGHT_STEMMERS)
 
+# snowball family (tartarus/snowball/ext — see analysis_snowball.py)
+from lucene_spark.analysis_snowball import SNOWBALL_STEMMERS as _SNOWBALL  # noqa: E402
+
+_TOKEN_FILTERS.update(_SNOWBALL)
+
 
 def _filter_map(vocab, filters: list[str]) -> dict[str, str]:
     """Apply the token-filter chain once per UNIQUE token (the hot-path
