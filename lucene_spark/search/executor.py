@@ -23,6 +23,8 @@ Two scoring modes:
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -152,6 +154,7 @@ class Searcher:
     # one-job plan instead. Cost-based, like the reference's rewrite
     # decisions; at 100 TB any hot clause clears this instantly.
     WAND_MIN_POSTINGS = 5_000_000
+    WAND_META_CACHE_MAX = 32  # persisted bounds DataFrames kept (LRU)
 
     # Phrase phase-1: once the rarest slot's df is at most this, the
     # position shuffle is already bounded tightly enough that decoding
@@ -181,7 +184,11 @@ class Searcher:
         self.wand_min_postings = (
             self.WAND_MIN_POSTINGS if wand_min_postings is None else wand_min_postings
         )
-        self._wand_meta_cache: dict = {}  # per-reader MaxScoreCache analog
+        # per-reader MaxScoreCache analog: LRU of persisted (term, salt)
+        # bounds DataFrames, capped so a long-running query service with
+        # diverse hot terms can't accumulate persisted blocks without
+        # bound (evicted entries are unpersisted, like querycache.py)
+        self._wand_meta_cache: OrderedDict = OrderedDict()
         # LRUQueryCache analog (search/querycache.py): caches persisted
         # doc-set DataFrames for repeated filter-context queries
         self.query_cache = query_cache
@@ -656,10 +663,17 @@ class Searcher:
         return self.index.spark.createDataFrame([], _SCORE_SCHEMA)
 
     @staticmethod
-    def _cand(df: DataFrame, candidates: list[int] | None) -> DataFrame:
-        """Literal docID allow-list filter (rescore second pass)."""
+    def _cand(df: DataFrame, candidates) -> DataFrame:
+        """DocID allow-list filter (rescore second pass): a literal list
+        pushes down as an IN predicate; a DataFrame allow-list (the WAND
+        θ-verification, where the candidates are themselves a sub-plan)
+        applies as a broadcast semi-join so sample + verification run as
+        ONE Spark action instead of collect-then-isin."""
         if candidates is None:
             return df
+        if isinstance(candidates, DataFrame):
+            ids = candidates.select("doc_id").distinct()
+            return df.join(F.broadcast(ids), "doc_id", "left_semi")
         return df.filter(F.col("doc_id").isin([int(d) for d in candidates]))
 
     def _sum_as_float(self, col):
@@ -1668,15 +1682,22 @@ class Searcher:
             return None
         if st == "empty":
             return self._empty_scored().limit(k)
-        samples = self._wand_sample_plan(st, k).collect()
-        verified = None
+        sample_plan = self._wand_sample_plan(st, k)
         if self._wand_needs_verify(st):
-            ids = list({r["doc_id"] for r in samples})
+            # fuse sampling + verification into ONE action: the sample
+            # union feeds the candidate-bounded exact scorer as a
+            # broadcast semi-join sub-plan (was: collect ids, then a
+            # second isin-filtered job) — per-query driver round-trips
+            # drop from 3 to 2, which is what bounds sequential query
+            # scaling (BENCH_scaling query_scaling_efficiency)
             verified = [
                 float(r["score"])
-                for r in self.scored(q, candidates=ids).collect()
+                for r in self.scored(q, candidates=sample_plan).collect()
             ]
-        theta = self._wand_theta(st, k, samples, verified)
+            theta = self._wand_theta(st, k, None, verified)
+        else:
+            samples = sample_plan.collect()
+            theta = self._wand_theta(st, k, samples, None)
         return self._wand_pruned_plan(st, theta, k)
 
     def _wand_state(self, q: P.BoolQ, k: int):
@@ -1814,7 +1835,9 @@ class Searcher:
         # which pass 3 consumes via a join (AQE broadcasts it when small).
         cache_key = frozenset(weights.items())
         bounds = self._wand_meta_cache.get(cache_key)
-        if bounds is None:
+        if bounds is not None:
+            self._wand_meta_cache.move_to_end(cache_key)
+        else:
             light = self.index.postings_for_terms(terms).select(
                 "term", "salt", "row_impacts"
             )
@@ -1842,6 +1865,9 @@ class Searcher:
                 .persist()
             )
             self._wand_meta_cache[cache_key] = bounds
+            while len(self._wand_meta_cache) > self.WAND_META_CACHE_MAX:
+                _, evicted = self._wand_meta_cache.popitem(last=False)
+                evicted.unpersist()
         n_must = len(must_set)
 
         # ---- pass 3: pruned decode scan (bounds joined in, not collected) ----
