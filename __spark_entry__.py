@@ -36,7 +36,9 @@ from lucene_spark.search.plans import (
 from lucene_spark.search.queryparser import parse as parse_query
 from lucene_spark.search.querybuilder import QueryBuilder
 from lucene_spark.search.simpleparser import SimpleQueryParser
-from lucene_spark import geo
+from lucene_spark import geo, geo_shape
+from lucene_spark.search import complexphrase as _complexphrase
+from lucene_spark.search.fuzzysuggest import FuzzySuggester
 from lucene_spark.search.wordbreak import WordBreakSpellChecker
 from lucene_spark.search import (
     BlendedTermQ,
@@ -147,6 +149,106 @@ def _get_an_index(spark: SparkSession, sf_dir: str) -> Index:
     )
     _INDEXES[key] = Index(spark, idx_dir)
     return _INDEXES[key]
+
+
+# Snowball (Porter2) analyzer index: the fixture corpus carries no
+# inflected forms, so the gate derives them deterministically (the same
+# trick as _AN_DERIVE_SQL): merge -> merges/merging/merged by doc_id
+# residue. The derived vocabulary is closed by construction, so the
+# oracle's stem class for query 'merging' (stem 'merg') is EXACTLY
+# {merge, merges, merging, merged}; the full stemmer itself is verified
+# against the reference's 18k-pair vocabularies in tests/test_snowball.py.
+_SNOW_ANALYZER = {"tokenizer": "standard",
+                  "filters": ["snowball_english_stem"]}
+_SNOW_CLASS = ("merge", "merges", "merging", "merged")
+_SNOW_DERIVE_SQL = (
+    "CASE WHEN doc_id % 4 = 1 THEN regexp_replace(text, '\\bmerge\\b', 'merges', 'g') "
+    "WHEN doc_id % 4 = 2 THEN regexp_replace(text, '\\bmerge\\b', 'merging', 'g') "
+    "WHEN doc_id % 4 = 3 THEN regexp_replace(text, '\\bmerge\\b', 'merged', 'g') "
+    "ELSE text END"
+)
+
+
+def _snow_derive_col():
+    c = F.col("text")
+    return (
+        F.when(F.col("doc_id") % 4 == 1,
+               F.regexp_replace(c, r"\bmerge\b", "merges"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.regexp_replace(c, r"\bmerge\b", "merging"))
+        .when(F.col("doc_id") % 4 == 3,
+              F.regexp_replace(c, r"\bmerge\b", "merged"))
+        .otherwise(c)
+    )
+
+
+def _get_snow_index(spark: SparkSession, sf_dir: str) -> Index:
+    key = os.path.normpath(sf_dir) + "|snow"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.withColumn("text", _snow_derive_col())
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        keep_cols=["lang"], num_buckets=8, salt_rows=2048, resume=True,
+        analyzer=_SNOW_ANALYZER,
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_snowball_term(qtext: str, k: int):
+    """Query text through the snowball analyzer chain (stem at query
+    side too, QueryBuilder re-analysis), scored on the snowball index."""
+
+    def fn(spark, sf_dir):
+        s = Searcher(_get_snow_index(spark, sf_dir), scoring="double")
+        toks = s.analyze(qtext)
+        return _topk_rounded(s.scored(TermQ(toks[0])), k)
+
+    return fn
+
+
+def _snow_topk_sql(k: int) -> str:
+    """BM25 over the stem class: tf = class token count (stemming is
+    1:1 so dl and norms are unchanged), df = docs containing any class
+    member."""
+    cls = ", ".join(f"'{t}'" for t in _SNOW_CLASS)
+    w = "ln(1 + (g.doc_count - cdf.df + 0.5) / (cdf.df + 0.5))"
+    return f"""
+WITH doc2 AS (
+  SELECT doc_id, {_SNOW_DERIVE_SQL} AS text FROM documents
+),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
+  FROM doc2
+),
+dls AS (SELECT doc_id, len(toks) AS dl FROM tok),
+qdls AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 32 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+                     << (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+    END AS qdl
+  FROM dls),
+g AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         CAST(sum(dl) AS DOUBLE) AS sum_ttf
+  FROM dls),
+rawterms AS (SELECT doc_id, unnest(toks) AS rt FROM tok),
+ctf AS (SELECT doc_id, count(*) AS freq FROM rawterms
+        WHERE rt IN ({cls}) GROUP BY doc_id),
+cdf AS (SELECT count(*) AS df FROM ctf),
+scored AS (
+  SELECT ctf.doc_id,
+         ({w}) - ({w}) / (1 + ctf.freq * {_INV}) AS score
+  FROM ctf JOIN qdls q USING (doc_id), g, cdf
+)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY score_r DESC, doc_id LIMIT {k}
+"""
 
 
 # UAX#29-join tokenizer index: docs with doc_id % 3 == 0 get appended
@@ -590,6 +692,109 @@ def _geo_docs_df(spark, sf_dir):
 
 
 _GEO_LAT, _GEO_LON = 12.5, 80.25  # query point for the distance gates
+
+# concave pentagon + rectangular hole for the polygon gate
+# (LatLonPoint.newPolygonQuery analog, lucene_spark/geo_shape.py)
+_POLY = [(-20.0, -60.0), (35.0, -75.0), (60.0, 10.0), (10.0, 40.0),
+         (3.0, -20.0)]
+_POLY_HOLE = [(5.0, -55.0), (40.0, -55.0), (40.0, -10.0), (5.0, -10.0)]
+
+
+def _q_geo_polygon():
+    def fn(spark, sf_dir):
+        df = geo_shape.polygon_filter(
+            _geo_docs_df(spark, sf_dir), "lat", "lon", _POLY, (_POLY_HOLE,)
+        )
+        return df.select("doc_id").orderBy("doc_id")
+
+    return fn
+
+
+def _q_complex_phrase(qs: str, k: int):
+    """ComplexPhraseQueryParser (search/complexphrase.py): wildcard
+    inside a quoted phrase, expanded against the term dictionary and
+    lowered to SpanNear/SpanOr -> the interval algebra."""
+
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        q = _complexphrase.parse(qs, s)
+        return _topk_rounded(s.scored(q), k)
+
+    return fn
+
+
+def _q_suggest_fuzzy(qtext: str, k: int, max_edits: int = 2):
+    def fn(spark, sf_dir):
+        sug = FuzzySuggester(_get_index(spark, sf_dir), max_edits=max_edits)
+        return sug.lookup(qtext, k)
+
+    return fn
+
+
+def _q_ann_recall(k: int = 10, floors=None, n_queries: int = 3):
+    """ANN quality gate: recall@k of the IVF and LSH paths vs the exact
+    cosine oracle, averaged over the first n_queries vectors, asserted
+    against per-method floors at each path's operating point (IVF
+    nprobe=4 of 8 cells: >= 0.9, measured 1.0; multi-table 8-bit
+    hyperplane LSH probing Hamming <= 2: >= 0.7, measured ~0.83 — the
+    hyperplane sketch's honest precision at this cost, and exactly the
+    recall@latency gap an HNSW-class graph index would close). The
+    oracle encodes the CONTRACT (both rows true), so any recall
+    regression below a floor hash-mismatches; absolute recall is
+    intentionally not hashed (bucket layouts may legitimately reorder
+    ties)."""
+    floors = floors or {"ivf": 0.9, "lsh": 0.7}
+
+    def fn(spark, sf_dir):
+        emb = _emb_df(spark, sf_dir)
+        tag = os.path.normpath(sf_dir).strip("/").replace("/", "_")
+        ann_dir = os.path.join(_CACHE_ROOT, f"annidx_{tag}")
+        if not os.path.exists(os.path.join(ann_dir, "_SUCCESS")):
+            similarity.build_ann_index(emb, ann_dir, nbits=8)
+        lsh_index = spark.read.parquet(ann_dir)
+        ivf_dir = os.path.join(_CACHE_ROOT, f"ivfidx_{tag}")
+        dim = len(emb.select("embedding").first()[0])
+        C = similarity.ivf_centroids_random(dim, 8)
+        if not os.path.exists(os.path.join(ivf_dir, "_SUCCESS")):
+            similarity.build_ivf_index(emb, ivf_dir, C)
+        ivf_index = spark.read.parquet(ivf_dir)
+
+        recalls = {"ivf": [], "lsh": []}
+        for qid in range(n_queries):
+            qv = list(
+                emb.filter(F.col("vec_id") == qid)
+                .select("embedding").first()[0]
+            )
+            exact = {
+                r["vec_id"]
+                for r in similarity.cosine_topk(emb, qv, k).collect()
+            }
+            ivf = {
+                r["vec_id"]
+                for r in similarity.ivf_topk(
+                    None, qv, k, C, nprobe=4, index=ivf_index
+                ).collect()
+            }
+            lsh = {
+                r["vec_id"]
+                for r in similarity.ann_topk(
+                    None, qv, k, nbits=8, probe_hamming=2, index=lsh_index
+                ).collect()
+            }
+            recalls["ivf"].append(len(ivf & exact) / k)
+            recalls["lsh"].append(len(lsh & exact) / k)
+        rows = [
+            (m, bool(sum(v) / len(v) >= floors[m]))
+            for m, v in sorted(recalls.items())
+        ]
+        return spark.createDataFrame(
+            rows, T.StructType([
+                T.StructField("method", T.StringType(), False),
+                T.StructField("meets_floor", T.BooleanType(), False),
+            ])
+        ).orderBy("method")
+
+    return fn
 
 
 def _q_geo_box():
@@ -1560,28 +1765,34 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_WINDOW = [
     "term_topk", "bool_or_wand_topk", "bool_filter_lang",
     "phrase_topk", "phrase_sloppy_topk", "multiphrase_topk",
-    "ngram_phrase_topk", "common_terms_topk", "mlt_topk",
+    "complex_phrase_topk", "common_terms_topk", "mlt_topk",
     "fuzzy_topk", "match_msm_topk", "regexp_docs",
     "prefix_scored_topk", "wildcard_blended_topk",
-    "synonym_topk", "dismax_topk", "interval_ordered_topk",
+    "synonym_topk", "dismax_topk", "snowball_term_topk",
     "span_near_topk",
     "feature_boost_topk", "function_score_topk",
     "blended_cross_field_topk", "parsed_field_query_topk",
     "sort_by_field", "sort_after_page2",
     "total_hits", "rescore_topk",
-    "facet_range_nchars", "facet_taxonomy_path", "drill_sideways",
+    "ann_recall_floor", "facet_taxonomy_path", "drill_sideways",
     "group_top_per_lang",
     "join_parent_max", "suggest_prefix", "spell_suggest",
     "sim_zoo_topk",
     "uax29_term_topk", "stemmed_term_topk", "synonym_index_topk",
     "wd_subword_topk", "shingle_bigram_topk",
-    "text_token_counts", "text_scrub",
+    "text_token_counts", "suggest_fuzzy",
     "payload_span_topk",
     "dedup_exact", "dedup_minhash_pairs",
-    "dedup_clusters", "classify_nb", "classify_knn",
+    "dedup_clusters", "classify_nb", "geo_polygon_docs",
     "ann_cosine_topk", "geo_nearest_topk",
     "multimodal_asset_stats",
 ]
+# Round-4 window swaps (still one gate per family inside; the displaced
+# variants remain defined below and selfcheck-verifiable): ngram_phrase
+# -> complex_phrase (parser family gains wildcards-in-phrase),
+# interval_ordered -> snowball_term (spans already exercise intervals),
+# facet_range -> ann_recall_floor, text_scrub -> suggest_fuzzy,
+# classify_knn -> geo_polygon_docs.
 
 
 def _window_ordered(qs: dict) -> dict:
@@ -1641,6 +1852,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": _q_rescore("data", ("data", "line"), 20, 2.0),
         "suggest_prefix": _q_suggest("s", 10),
         "suggest_infix": _q_suggest_infix("data vect", 10),
+        # FuzzySuggester (suggest/analyzing/FuzzySuggester.java): 'spork'
+        # within Damerau prefix-distance 2 of a completion's prefix
+        "suggest_fuzzy": _q_suggest_fuzzy("spork", 8),
+        # ComplexPhraseQueryParser: wildcard INSIDE a quoted phrase,
+        # expanded to SpanOr and matched adjacent to 'join'
+        "complex_phrase_topk": _q_complex_phrase('"s* join"', 20),
+        # Snowball (Porter2) analyzer chain end-to-end: 'merging' stems
+        # to 'merg' query-side and matches all derived inflections
+        "snowball_term_topk": _q_snowball_term("merging", 20),
+        "geo_polygon_docs": _q_geo_polygon(),
+        "ann_recall_floor": _q_ann_recall(),
         "datetools_day_counts": _q_datetools_day_counts("20240105", "20240112"),
         "facet_range_nchars": _q_facet_range("vector"),
         "facet_taxonomy_path": _q_facet_taxonomy("vector"),
@@ -2190,6 +2412,53 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
             f"{_PRELUDE} SELECT term, CAST(sum(freq) AS BIGINT) AS weight "
             f"FROM tf WHERE term LIKE 's%' GROUP BY term "
             f"ORDER BY weight DESC, term LIMIT 10"
+        ),
+        # FuzzySuggester 'spork' e=2: prefix-edit identity — some prefix
+        # of term within Damerau 2 of the query iff min over slice
+        # lengths L in [|q|-2, |q|+2] of damerau(q, term[:L]) <= 2
+        # (slices past the term end truncate, reproducing L=len(term))
+        "suggest_fuzzy": (
+            f"{_PRELUDE} SELECT term, CAST(ttf AS BIGINT) AS weight "
+            f"FROM dfs WHERE term LIKE 's%' AND length(term) >= 3 AND least("
+            + ", ".join(
+                f"damerau_levenshtein(substr(term, 1, {L}), 'spork')"
+                for L in range(3, 8)
+            )
+            + ") <= 2 ORDER BY weight DESC, term LIMIT 8"
+        ),
+        # ComplexPhrase "s* join": freq = adjacent (s-term, join) pairs;
+        # weight = summed idf over ALL dictionary expansions of s* plus
+        # join (the interval scorer's combined leaf weight)
+        "complex_phrase_topk": (
+            f"{_PRELUDE}, scored AS ("
+            f" SELECT p.doc_id, (ws.w0) - (ws.w0) / (1 + p.freq * {_INV}) AS score"
+            f" FROM ("
+            f"  SELECT a.doc_id, count(*) AS freq"
+            f"  FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,"
+            f"        toks FROM tok) a"
+            f"  WHERE a.toks[a.pos] LIKE 's%' AND a.pos < len(a.toks)"
+            f"    AND a.toks[a.pos + 1] = 'join'"
+            f"  GROUP BY a.doc_id"
+            f" ) p JOIN qdls q USING (doc_id), g,"
+            f" (SELECT (SELECT sum({_w('df')}) FROM dfs, g WHERE term LIKE 's%')"
+            f"       + (SELECT {_w('df')} FROM dfs, g WHERE term = 'join') AS w0) ws"
+            f") SELECT doc_id, round(score, 4) AS score_r FROM scored "
+            f"ORDER BY score_r DESC, doc_id LIMIT 20"
+        ),
+        "snowball_term_topk": _snow_topk_sql(20),
+        "geo_polygon_docs": (
+            f"SELECT doc_id FROM {_GEO_T} WHERE "
+            + geo_shape.polygon_predicate_sql(
+                "lat", "lon", _POLY, (_POLY_HOLE,)
+            )
+            + " ORDER BY doc_id"
+        ),
+        # assertion gate: the CONTRACT is each method clears its
+        # recall@10 floor (ivf >= 0.9, lsh >= 0.7 — see _q_ann_recall);
+        # a regression below a floor hash-mismatches
+        "ann_recall_floor": (
+            "SELECT * FROM (VALUES ('ivf', true), ('lsh', true)) "
+            "AS t(method, meets_floor) ORDER BY method"
         ),
         "suggest_infix": (
             f"{_PRELUDE} SELECT d.doc_id, d.n_chars AS weight FROM documents d "
