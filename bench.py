@@ -148,6 +148,13 @@ def main() -> None:
     similarity.ivf_topk(emb, list(qv), 10, C, nprobe=2).collect()
     timings["ann_ivf_topk"] = round(time.time() - t0, 3)
 
+    # --- sf1 tier: 50k synthetic docs (10x sf0.1) -------------------------
+    # Per-query latencies at sf0.1 sit on the ~1s fixed-job floor, which
+    # made round-over-round comparisons noise-driven; this tier gives the
+    # scan/shuffle term enough weight to dominate the floor. Same corpus
+    # generator as tools/scaling.py; cached across rounds.
+    sf1 = _sf1_tier(spark)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "index-build + BM25 top-k query suite wall time",
@@ -158,8 +165,77 @@ def main() -> None:
         "n_docs": n_docs,
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "cpus": cpus,
+        **sf1,
     }
     print(json.dumps(out))
+
+
+def _sf1_tier(spark, n_docs: int = 50_000) -> dict:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lucene_spark.index import Index, build_index
+    from lucene_spark.search import BoolQ, PhraseQ, Searcher, SynonymQ, TermQ
+
+    corpus_dir = os.path.join(REPO, ".cache", f"scaling_corpus_{n_docs}")
+    marker = os.path.join(corpus_dir, "_done")
+    if not os.path.exists(marker):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from lucene_spark.corpus import make_corpus
+
+        pdf = make_corpus(n_docs, seed=42)
+        os.makedirs(corpus_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(corpus_dir, "corpus.parquet"),
+            row_group_size=max(1000, n_docs // 64),
+        )
+        open(marker, "w").close()
+    docs = spark.read.parquet(os.path.join(corpus_dir, "corpus.parquet"))
+
+    idx_dir = os.path.join(REPO, ".cache", "bench_idx_sf1")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    build_index(
+        spark, docs, idx_dir, text_col="content",
+        order_cols=["repo", "path", "commit"], keep_cols=["repo", "lang"],
+        num_buckets=16, salt_rows=1 << 14, resume=False,
+    )
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+
+    searcher = Searcher(Index(spark, idx_dir), scoring="lucene")
+    queries = {
+        "term_topk": (TermQ("var_17"), 10),
+        "term_topk_hot": (TermQ("license"), 100),
+        "bool_or_topk": (BoolQ(should=(TermQ("import"), TermQ("return"))), 20),
+        "bool_and_topk": (BoolQ(must=(TermQ("public"), TermQ("class"))), 20),
+        "bool_not_topk": (
+            BoolQ(must=(TermQ("public"),), must_not=(TermQ("class"),)), 20
+        ),
+        "msm_topk": (
+            BoolQ(should=(TermQ("import"), TermQ("return"), TermQ("func")),
+                  min_should_match=2),
+            20,
+        ),
+        "phrase_topk": (PhraseQ(("apache", "license")), 20),
+        "synonym_topk": (SynonymQ(("import", "return")), 20),
+    }
+    for name, (q, k) in queries.items():
+        t0 = time.time()
+        searcher.top_k(q, k).collect()
+        timings[name] = round(time.time() - t0, 3)
+    t0 = time.time()
+    searcher.top_k_batch({n: q for n, (q, _) in queries.items()}, 100).collect()
+    timings["batch_suite"] = round(time.time() - t0, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "sf1_queries": timings,
+        "sf1_n_docs": n_docs,
+        "sf1_build_docs_per_sec": round(n_docs / build_sec, 1),
+    }
 
 
 if __name__ == "__main__":
