@@ -731,6 +731,26 @@ def _q_suggest_fuzzy(qtext: str, k: int, max_edits: int = 2):
     return fn
 
 
+def _q_suggest_freetext(key: str, n: int):
+    """FreeTextSuggester (stupid-backoff n-gram completion,
+    search/freetext.py): one shingle-count pass over documents, lookup
+    merges trigram predictions with ALPHA-decayed bigram backoff."""
+
+    def fn(spark, sf_dir):
+        from lucene_spark.search.freetext import FreeTextSuggester
+
+        sug = FreeTextSuggester(_docs_df(spark, sf_dir), text_col="text",
+                                grams=3)
+        df = sug.lookup_df(spark, key, n)
+        return (
+            df.withColumn("score_r", F.round("score", 6))
+            .select("gram", "score_r")
+            .orderBy(F.desc("score_r"), F.asc("gram"))
+        )
+
+    return fn
+
+
 def _q_ann_recall(k: int = 10, floors=None, n_queries: int = 3):
     """ANN quality gate: recall@k of the IVF and LSH paths vs the exact
     cosine oracle, averaged over the first n_queries vectors, asserted
@@ -1855,6 +1875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FuzzySuggester (suggest/analyzing/FuzzySuggester.java): 'spork'
         # within Damerau prefix-distance 2 of a completion's prefix
         "suggest_fuzzy": _q_suggest_fuzzy("spork", 8),
+        # FreeTextSuggester: 'big data ' ended-input lookup — trigram
+        # next-word predictions + ALPHA-decayed bigram backoff, deduped
+        "suggest_freetext": _q_suggest_freetext("big data ", 50),
         # ComplexPhraseQueryParser: wildcard INSIDE a quoted phrase,
         # expanded to SpanOr and matched adjacent to 'join'
         "complex_phrase_topk": _q_complex_phrase('"s* join"', 20),
@@ -2426,6 +2449,38 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
             )
             + ") <= 2 ORDER BY weight DESC, term LIMIT 8"
         ),
+        # FreeTextSuggester 'big data ': trigram model over context
+        # 'big data' (backoff 1.0) + bigram model over 'data' (backoff
+        # ALPHA=0.4, trigram model was visited) with higher-order-wins
+        # word dedup; the unigram model is skipped (empty probe on a
+        # non-empty ended key, FreeTextSuggester.java:531-535)
+        "suggest_freetext": f"""
+WITH tok AS (
+  SELECT doc_id, {_uax29_tokens_sql('text')} AS toks FROM documents
+),
+p AS (SELECT unnest(generate_series(1, len(toks))) AS i, toks FROM tok),
+g1 AS (SELECT toks[i] AS gram, count(*) AS c FROM p GROUP BY 1),
+g2 AS (SELECT toks[i] || ' ' || toks[i+1] AS gram, count(*) AS c
+       FROM p WHERE i < len(toks) GROUP BY 1),
+g3 AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram,
+              count(*) AS c
+       FROM p WHERE i + 1 < len(toks) GROUP BY 1),
+m3 AS (
+  SELECT gram, split_part(gram, ' ', 3) AS word,
+         1.0 * c / (SELECT c FROM g2 WHERE gram = 'big data') AS score
+  FROM g3 WHERE gram LIKE 'big data %'),
+m2 AS (
+  SELECT gram, split_part(gram, ' ', 2) AS word,
+         0.4 * c / (SELECT c FROM g1 WHERE gram = 'data') AS score
+  FROM g2 WHERE gram LIKE 'data %'),
+merged AS (
+  SELECT gram, score FROM m3
+  UNION ALL
+  SELECT gram, score FROM m2 WHERE word NOT IN (SELECT word FROM m3)
+)
+SELECT gram, round(score, 6) AS score_r FROM merged
+ORDER BY score_r DESC, gram LIMIT 50
+""",
         # ComplexPhrase "s* join": freq = adjacent (s-term, join) pairs;
         # weight = summed idf over ALL dictionary expansions of s* plus
         # join (the interval scorer's combined leaf weight)

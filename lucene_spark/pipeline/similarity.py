@@ -581,6 +581,13 @@ def knn_join(
     corpus neighbors by cosine. Broadcast the (small) query side; rank
     with a window — the standard blocked brute-force kNN join shape.
 
+    SIZE BOUND: ``crossJoin(broadcast(queries))`` is a broadcast
+    nested-loop by construction — correct and cheap while the query
+    batch fits a broadcast (rule of thumb: <= ~10^4 queries x dim
+    floats; executor work is |corpus| * |queries| dots). For large
+    query sets use the bucketed paths instead (ann_topk / ivf_topk per
+    query, or pre-bucket both sides) — do NOT feed 10^6 queries here.
+
     Output: (qid, vec_id, cos, rank)."""
     from pyspark.sql import Window as W
 
