@@ -126,3 +126,73 @@ class InfixSuggester:
         return out.orderBy(
             F.desc("n_matched"), F.desc(self.weight_col), F.asc(self.key_col)
         ).limit(n)
+
+
+class AnalyzingSuggester:
+    """AnalyzingSuggester analog (suggest/analyzing/
+    AnalyzingSuggester.java:118-230): completion matches the ANALYZED
+    form of the suggestion from the start — the query's analyzed token
+    sequence must be a prefix of the suggestion's analyzed token
+    sequence (last query token matches as a within-token prefix).
+
+    Spark-native shape: suggestions analyzed ONCE at build into a
+    joined-token string column; every lookup is a sargable
+    ``startswith`` range over that column (persist sorted by it at
+    scale), ranked weight desc. ``preserve_sep`` (reference default
+    true) keeps token boundaries in the joined form so "ghostch" does
+    NOT match "ghost christmas"; ``exact_first`` (reference default
+    true) returns surface forms whose whole analyzed form equals the
+    analyzed query ahead of everything else regardless of weight
+    (AnalyzingSuggester.java exactFirst contract).
+
+    The reference's maxSurfaceFormsPerAnalyzedForm pruning (a build-
+    size cap, default 256) is not replicated — a relational table has
+    no FST arc-budget to protect."""
+
+    def __init__(
+        self,
+        entries: DataFrame,
+        key_col: str = "key",
+        text_col: str = "text",
+        weight_col: str = "weight",
+        analyzer: dict | None = None,
+        preserve_sep: bool = True,
+        exact_first: bool = True,
+    ):
+        self.key_col = key_col
+        self.text_col = text_col
+        self.weight_col = weight_col
+        self.analyzer = analyzer
+        self.preserve_sep = preserve_sep
+        self.exact_first = exact_first
+        an = analyzer
+        sep = " " if preserve_sep else ""
+
+        @F.pandas_udf(T.StringType())
+        def an_udf(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda t: sep.join(tokenize(t or "", analyzer=an)[0])
+            )
+
+        self.entries = entries.withColumn("analyzed", an_udf(F.col(text_col)))
+        self._built: DataFrame | None = None
+
+    def build(self) -> "AnalyzingSuggester":
+        if self._built is None:
+            self._built = self.entries.persist()
+            self._built.count()
+        return self
+
+    def lookup(self, query: str, n: int = 10) -> DataFrame:
+        ent = self._built if self._built is not None else self.entries
+        sep = " " if self.preserve_sep else ""
+        qa = sep.join(tokenize(query, analyzer=self.analyzer)[0])
+        cand = ent.filter(F.col("analyzed").startswith(qa))
+        order = [F.desc(self.weight_col), F.asc(self.text_col)]
+        if self.exact_first:
+            order.insert(0, F.desc((F.col("analyzed") == qa).cast("int")))
+        return (
+            cand.orderBy(*order)
+            .limit(n)
+            .select(self.key_col, self.text_col, self.weight_col)
+        )
