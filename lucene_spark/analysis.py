@@ -36,6 +36,7 @@ import unicodedata
 import numpy as np
 import pandas as pd
 
+from lucene_spark.analysis_cjk import cjk_bigrams, cjk_split, cjk_width_fold
 from lucene_spark.smallfloat import int_to_byte4
 
 MAX_TOKEN_LENGTH = 255  # StandardTokenizer.java:77
@@ -404,7 +405,8 @@ def word_delimit_sql(col: str) -> str:
 
 def _norm_analyzer(analyzer: dict | None, stopwords=None):
     """Normalize the analyzer config + legacy stopwords arg into
-    (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd)."""
+    (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd, shingles,
+    cjk)."""
     a = analyzer or {}
     stopset = stopwords if stopwords is not None else (
         frozenset(a["stopwords"]) if a.get("stopwords") else None
@@ -416,7 +418,11 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
     # word_delimiter pre-splitter defaults to "standard": its split
     # boundaries ('.' between identifier parts) are exactly the chars
     # the uax29 joins would re-glue, so composing them undoes the split.
-    default_tok = "standard" if a.get("word_delimiter") else "uax29"
+    # cjk (CJKAnalyzer.java) needs the `unicode` regex so spaced-out CJK
+    # chars survive tokenization at all.
+    cjk = a.get("cjk", False)  # False | True | "unigrams"
+    default_tok = ("unicode" if cjk
+                   else "standard" if a.get("word_delimiter") else "uax29")
     return (
         a.get("tokenizer", default_tok),
         bool(a.get("ascii_fold")),
@@ -426,6 +432,7 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
         list(a.get("filters") or []),
         bool(a.get("word_delimiter")),
         bool(a.get("shingles")),
+        cjk,
     )
 
 
@@ -453,16 +460,29 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     Positions count stopword holes (StopFilter position increments);
     synonym-injected terms repeat the source position (posIncr=0)."""
     (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
-     shingles) = _norm_analyzer(analyzer, stopwords)
+     shingles, cjk) = _norm_analyzer(analyzer, stopwords)
     if shingles and synonyms:
         raise ValueError("shingles + synonyms not supported in one chain")
+    if cjk and (shingles or wd):
+        raise ValueError("cjk composes with stop/fold/stem, not "
+                         "shingles/word_delimiter")
     if not text:
         return [], []
     if wd:
         text = word_delimit(text)
+    if cjk:
+        # CJKAnalyzer.java chain order: width fold precedes lowercase
+        # (both are per-char, order only matters for fullwidth latin,
+        # where either order converges)
+        text = cjk_width_fold(text)
     text = text.lower()
     if fold:
         text = fold_ascii(text)
+    if cjk:
+        # StandardTokenizer emits Han/Hiragana/Katakana/Hangul one char
+        # per token (<IDEOGRAPHIC>); spacing them out makes the
+        # `unicode` regex do the same (analysis_cjk.cjk_split)
+        text = cjk_split(text)
     uax = tokenizer == "uax29"
     if uax:
         text = uax29_join(text)
@@ -487,6 +507,9 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     if filters:
         fmap = _filter_map(set(raw), filters)
         raw = [fmap[t] for t in raw]
+    if cjk:
+        raw, positions = cjk_bigrams(
+            raw, positions, output_unigrams=(cjk == "unigrams"))
     if shingles:
         raw, positions = _add_shingles(raw, positions)
     return raw, positions
@@ -518,19 +541,26 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     norm = SmallFloat.intToByte4(dl) (BM25Similarity.java:137-148).
     """
     (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
-     shingles) = _norm_analyzer(analyzer, stopwords)
+     shingles, cjk) = _norm_analyzer(analyzer, stopwords)
     if shingles and (synonyms or want_offsets):
         raise ValueError(
             "shingles compose with stop/stem/fold/wd chains, not with "
             "synonyms or offsets"
         )
+    if cjk and (shingles or wd or want_offsets):
+        raise ValueError("cjk composes with stop/fold/stem, not "
+                         "shingles/word_delimiter/offsets")
     filled = texts.fillna("")
     if wd:
         # vectorized: the split rules are plain regex substitutions on
         # the case-intact text, chained with pandas .str.replace
         for rx, rep in _WD_RULES:
             filled = filled.str.replace(rx, rep, regex=True)
+    if cjk:
+        filled = filled.map(cjk_width_fold)
     lowered = filled.str.lower()
+    if cjk:
+        lowered = lowered.map(cjk_split)
     if fold:
         lowered = (
             lowered.str.normalize("NFKD")
@@ -605,6 +635,13 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
                     if starts is not None:
                         # injected/stemmed tokens keep the surface span
                         offs.extend((starts[p], len(t)))
+            if cjk:
+                terms, positions = cjk_bigrams(
+                    terms, positions, output_unigrams=(cjk == "unigrams"))
+                # bigrams re-densified: dl = distinct positions (the
+                # overlapping unigrams of outputUnigrams are posIncr=0,
+                # discounted like synonym injections)
+                n_orig = (positions[-1] + 1) if positions else 0
             if shingles:
                 terms, positions = _add_shingles(terms, positions)
             out_terms.append(terms)
@@ -616,11 +653,16 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
                 out_off.append(offs)
         else:
             terms, positions = list(toks), list(range(len(toks)))
+            dl_val = len(toks)
+            if cjk:
+                terms, positions = cjk_bigrams(
+                    terms, positions, output_unigrams=(cjk == "unigrams"))
+                dl_val = (positions[-1] + 1) if positions else 0
             if shingles:
                 terms, positions = _add_shingles(terms, positions)
             out_terms.append(terms)
             out_pos.append(positions)
-            out_dl.append(len(toks))
+            out_dl.append(dl_val)
             if starts is not None:
                 out_off.append(
                     [v for s, t in zip(starts, toks) for v in (s, len(t))]

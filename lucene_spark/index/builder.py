@@ -336,10 +336,10 @@ def _make_dl_expr(analyzer: dict | None):
         _norm_analyzer,
     )
 
-    tokenizer, fold, stopset, _syn, _ko, _filters, wd, _sh = _norm_analyzer(
-        analyzer
-    )
-    if fold or stopset or wd or tokenizer not in ("standard", "uax29"):
+    (tokenizer, fold, stopset, _syn, _ko, _filters, wd, _sh,
+     cjk) = _norm_analyzer(analyzer)
+    if (fold or stopset or wd or cjk
+            or tokenizer not in ("standard", "uax29")):
         dl_conf = {**(analyzer or {}), "synonyms": {}, "filters": []}
 
         def dl_expr_for(col: str):
