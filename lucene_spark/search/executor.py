@@ -213,9 +213,11 @@ class Searcher:
         pluggable similarity installed the weight is that similarity's
         createWeight-time params tuple instead of a float."""
         if self.sim is not None:
+            extra = ({"field": field}
+                     if getattr(self.sim, "wants_field", False) else {})
             return self.sim.weight(
                 df, ttf, self.index.doc_count_for(field),
-                self.index.sum_ttf_for(field), boost,
+                self.index.sum_ttf_for(field), boost, **extra,
             )
         dc = self.index.doc_count_for(field)
         if self.scoring == "lucene":
@@ -227,9 +229,11 @@ class Searcher:
         """Multi-term weight: per-term float idfs summed in double
         (BM25Similarity.java:191-200)."""
         if self.sim is not None:
+            extra = ({"field": field}
+                     if getattr(self.sim, "wants_field", False) else {})
             return self.sim.combined_weight(
                 [(n, 0) for n in dfs], self.index.doc_count_for(field),
-                self.index.sum_ttf_for(field), boost,
+                self.index.sum_ttf_for(field), boost, **extra,
             )
         dc = self.index.doc_count_for(field)
         if self.scoring == "lucene":

@@ -337,6 +337,75 @@ class SweetSpotSimilarity(ClassicSimilarity):
         return tf * qw * ln
 
 
+class MultiSimilarity(Similarity):
+    """search/similarities/MultiSimilarity.java:30-76 — score is the SUM
+    of the sub-similarities' scores (MultiSimScorer.score accumulates;
+    its explain labels the node "sum of:"). Weight params are the tuple
+    of child params, threading through the decode UDF unchanged."""
+
+    name = "multi"
+
+    def __init__(self, sims):
+        self.sims = [by_name(s) for s in sims]
+        if not self.sims:
+            raise ValueError("MultiSimilarity needs >= 1 sub-similarity")
+        self.supports_combined = all(s.supports_combined for s in self.sims)
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost):
+        return tuple(
+            s.weight(df, ttf, doc_count, sum_ttf, boost) for s in self.sims
+        )
+
+    def combined_weight(self, stats, doc_count, sum_ttf, boost):
+        return tuple(
+            s.combined_weight(stats, doc_count, sum_ttf, boost)
+            for s in self.sims
+        )
+
+    def score(self, freqs, qdl, params):
+        acc = None
+        for s, p in zip(self.sims, params):
+            v = s.score(freqs, qdl, p)
+            acc = v if acc is None else acc + v
+        return acc
+
+
+class PerFieldSimilarityWrapper(Similarity):
+    """search/similarities/PerFieldSimilarityWrapper.java:31-47 — the
+    similarity is chosen by FIELD at createWeight time. The executor
+    passes the leaf's field into ``weight`` (wants_field opt-in); the
+    resolved child's key is embedded in the weight params so the decode
+    UDF dispatches without needing the field again."""
+
+    name = "per_field"
+    wants_field = True
+
+    def __init__(self, default, fields: dict | None = None):
+        self.default = by_name(default)
+        self.fields = {f: by_name(s) for f, s in (fields or {}).items()}
+        self.supports_combined = self.default.supports_combined and all(
+            s.supports_combined for s in self.fields.values()
+        )
+
+    def get(self, field):
+        """PerFieldSimilarityWrapper.get(String field) analog."""
+        return self.fields.get(field, self.default)
+
+    def weight(self, df, ttf, doc_count, sum_ttf, boost, field=None):
+        child = self.get(field)
+        return (field if field in self.fields else None,
+                child.weight(df, ttf, doc_count, sum_ttf, boost))
+
+    def combined_weight(self, stats, doc_count, sum_ttf, boost, field=None):
+        child = self.get(field)
+        return (field if field in self.fields else None,
+                child.combined_weight(stats, doc_count, sum_ttf, boost))
+
+    def score(self, freqs, qdl, params):
+        key, child_params = params
+        return self.get(key).score(freqs, qdl, child_params)
+
+
 _REGISTRY = {
     "classic": ClassicSimilarity,
     "sweetspot": SweetSpotSimilarity,
@@ -346,6 +415,8 @@ _REGISTRY = {
     "dfi": DFISimilarity,
     "dfr": DFRSimilarity,
     "ib": IBSimilarity,
+    "multi": MultiSimilarity,
+    "per_field": PerFieldSimilarityWrapper,
 }
 
 
