@@ -19,6 +19,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -38,6 +40,9 @@ from lucene_spark.search.querybuilder import QueryBuilder
 from lucene_spark.search.simpleparser import SimpleQueryParser
 from lucene_spark import geo, geo_shape
 from lucene_spark.search import complexphrase as _complexphrase
+from lucene_spark.search import surround as _surround
+from lucene_spark.search import xmlparser as _xmlparser
+from lucene_spark.pipeline import hnsw as _hnsw
 from lucene_spark.search.fuzzysuggest import FuzzySuggester
 from lucene_spark.search.wordbreak import WordBreakSpellChecker
 from lucene_spark.search import (
@@ -467,6 +472,54 @@ def _get_uax_index(spark: SparkSession, sf_dir: str) -> Index:
     return _INDEXES[key]
 
 
+def _get_cjk_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Index over a deterministic synthetic Han corpus (no external
+    data: 6 consecutive-codepoint chars derived from doc_id, both the
+    Spark synthesis and the DuckDB oracle regenerate it) analyzed with
+    the CJK chain (analysis_cjk.py width fold + per-char split +
+    CJKBigramFilter)."""
+    key = os.path.normpath(sf_dir) + "|cjk"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    @F.pandas_udf("string")
+    def _mk_cjk(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: "".join(
+                chr(0x4E00 + (int(d) * 7 + i) % 64) for i in range(6)
+            )
+        )
+
+    docs = docs.select("doc_id", _mk_cjk(F.col("doc_id")).alias("text"))
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        num_buckets=8, salt_rows=2048, resume=True,
+        analyzer={"cjk": True},
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_cjk_bigram_terms(n: int):
+    """CJK bigram analysis e2e: the cjk-analyzed index's term dictionary
+    holds exactly the Han bigrams of each doc (CJKBigramFilter analog);
+    HighFreqTerms over it is oracle-checkable because the corpus is a
+    pure function of doc_id."""
+
+    def fn(spark, sf_dir):
+        idx = _get_cjk_index(spark, sf_dir)
+        return idx.high_freq_terms(n).select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("ttf").cast("long").alias("ttf"),
+        )
+
+    return fn
+
+
 def _q_uax_term(term: str, k: int):
     def fn(spark, sf_dir):
         s = Searcher(_get_uax_index(spark, sf_dir), scoring="double")
@@ -723,6 +776,20 @@ def _q_complex_phrase(qs: str, k: int):
     return fn
 
 
+def _q_surround(qs: str, k: int):
+    """Surround query-language parser (search/surround.py): proximity
+    operators nW/nN lowered to SpanNear with slop = n - 1
+    (queryparser/surround DistanceQuery.java:97); truncations inside
+    W/N expand against the term dictionary."""
+
+    def fn(spark, sf_dir):
+        s = _searcher(spark, sf_dir)
+        q = _surround.parse(qs, s)
+        return _topk_rounded(s.scored(q), k)
+
+    return fn
+
+
 def _q_suggest_fuzzy(qtext: str, k: int, max_edits: int = 2):
     def fn(spark, sf_dir):
         sug = FuzzySuggester(_get_index(spark, sf_dir), max_edits=max_edits)
@@ -763,7 +830,7 @@ def _q_ann_recall(k: int = 10, floors=None, n_queries: int = 3):
     regression below a floor hash-mismatches; absolute recall is
     intentionally not hashed (bucket layouts may legitimately reorder
     ties)."""
-    floors = floors or {"ivf": 0.9, "lsh": 0.7}
+    floors = floors or {"ivf": 0.9, "lsh": 0.7, "hnsw": 0.9}
 
     def fn(spark, sf_dir):
         emb = _emb_df(spark, sf_dir)
@@ -778,8 +845,14 @@ def _q_ann_recall(k: int = 10, floors=None, n_queries: int = 3):
         if not os.path.exists(os.path.join(ivf_dir, "_SUCCESS")):
             similarity.build_ivf_index(emb, ivf_dir, C)
         ivf_index = spark.read.parquet(ivf_dir)
+        # per-segment HNSW graph (pipeline/hnsw.py — the reference's
+        # util/hnsw single-layer NSW, per-segment build + top-k merge)
+        hnsw_dir = os.path.join(_CACHE_ROOT, f"hnswidx_{tag}")
+        if not os.path.exists(os.path.join(hnsw_dir, "_SUCCESS")):
+            _hnsw.build_hnsw_index(emb, hnsw_dir, n_segments=2)
+        hnsw_index = spark.read.parquet(hnsw_dir)
 
-        recalls = {"ivf": [], "lsh": []}
+        recalls = {"ivf": [], "lsh": [], "hnsw": []}
         for qid in range(n_queries):
             qv = list(
                 emb.filter(F.col("vec_id") == qid)
@@ -801,8 +874,15 @@ def _q_ann_recall(k: int = 10, floors=None, n_queries: int = 3):
                     None, qv, k, nbits=8, probe_hamming=2, index=lsh_index
                 ).collect()
             }
+            hnsw = {
+                r["vec_id"]
+                for r in _hnsw.hnsw_topk(
+                    qv, k, hnsw_index, num_seed=64
+                ).collect()
+            }
             recalls["ivf"].append(len(ivf & exact) / k)
             recalls["lsh"].append(len(lsh & exact) / k)
+            recalls["hnsw"].append(len(hnsw & exact) / k)
         rows = [
             (m, bool(sum(v) / len(v) >= floors[m]))
             for m, v in sorted(recalls.items())
@@ -1787,7 +1867,7 @@ _GATE_WINDOW = [
     "phrase_topk", "phrase_sloppy_topk", "multiphrase_topk",
     "complex_phrase_topk", "common_terms_topk", "mlt_topk",
     "fuzzy_topk", "match_msm_topk", "regexp_docs",
-    "prefix_scored_topk", "wildcard_blended_topk",
+    "prefix_scored_topk", "surround_parsed_topk",
     "synonym_topk", "dismax_topk", "snowball_term_topk",
     "span_near_topk",
     "feature_boost_topk", "function_score_topk",
@@ -1798,7 +1878,7 @@ _GATE_WINDOW = [
     "group_top_per_lang",
     "join_parent_max", "suggest_prefix", "spell_suggest",
     "sim_zoo_topk",
-    "uax29_term_topk", "stemmed_term_topk", "synonym_index_topk",
+    "uax29_term_topk", "cjk_bigram_terms", "synonym_index_topk",
     "wd_subword_topk", "shingle_bigram_topk",
     "text_token_counts", "suggest_fuzzy",
     "payload_span_topk",
@@ -1812,7 +1892,11 @@ _GATE_WINDOW = [
 # -> complex_phrase (parser family gains wildcards-in-phrase),
 # interval_ordered -> snowball_term (spans already exercise intervals),
 # facet_range -> ann_recall_floor, text_scrub -> suggest_fuzzy,
-# classify_knn -> geo_polygon_docs.
+# classify_knn -> geo_polygon_docs, wildcard_blended -> surround_parsed
+# (prefix_scored keeps the MultiTermQuery-rewrite family inside;
+# surround adds the proximity query language end-to-end),
+# stemmed_term -> cjk_bigram_terms (snowball_term keeps stemming
+# inside; cjk adds the width-fold + bigram analysis family).
 
 
 def _window_ordered(qs: dict) -> dict:
@@ -1881,6 +1965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ComplexPhraseQueryParser: wildcard INSIDE a quoted phrase,
         # expanded to SpanOr and matched adjacent to 'join'
         "complex_phrase_topk": _q_complex_phrase('"s* join"', 20),
+        # surround language: 4W = ordered within distance 4 -> SpanNear
+        # slop 3 -> the interval algebra's max_gaps=3 (same contract the
+        # interval_ordered oracle encodes)
+        "surround_parsed_topk": _q_surround("4w(data, line)", 20),
         # Snowball (Porter2) analyzer chain end-to-end: 'merging' stems
         # to 'merg' query-side and matches all derived inflections
         "snowball_term_topk": _q_snowball_term("merging", 20),
@@ -1905,6 +1993,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operation-change wrap (search/simpleparser.py)
         "simple_parsed_topk": _q_bool(
             lambda: SimpleQueryParser().parse("merge + sort | hash"), 20
+        ),
+        # XML query syntax (queryparser/xml CoreParser analog,
+        # search/xmlparser.py): same must(merge, sort) + mustNot(join)
+        # shape as parsed_query_topk, reached through element builders
+        "xml_parsed_topk": _q_bool(
+            lambda: _xmlparser.parse(
+                "<BooleanQuery>"
+                '<Clause occurs="must"><TermQuery>merge</TermQuery></Clause>'
+                '<Clause occurs="must"><TermQuery>sort</TermQuery></Clause>'
+                '<Clause occurs="mustNot"><TermQuery>join</TermQuery>'
+                "</Clause></BooleanQuery>"
+            ),
+            20,
         ),
         "blended_term_topk": _q_bool(
             lambda: BlendedTermQ(("merge", "join"), tiebreak=0.01), 20
@@ -2014,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_zoo_topk": _q_sim_zoo("vector"),
         # --- analyzer chain: S-stemmer + index-time synonyms + folding ---
         "stemmed_term_topk": _q_analyzed_term("merges", 20),
+        "cjk_bigram_terms": _q_cjk_bigram_terms(10),
         "synonym_index_topk": _q_analyzed_term("quick", 20),
         "wd_subword_topk": _q_wd_term("frame", 20),
         "shingle_bigram_topk": _q_sh_term("data_line", 20),
@@ -2386,6 +2488,20 @@ SELECT b.doc_id,
   round(coalesce(bs.score, 0.0), 4) AS boolsim_r
 FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
         "stemmed_term_topk": _an_topk_sql("merge", 20),
+        # cjk corpus = pure function of doc_id (6 chars at codepoint
+        # 0x4E00+ (d*7+i)%64): the oracle regenerates the bigrams and
+        # counts df/ttf; each doc's 5 bigrams are distinct so ttf == df
+        "cjk_bigram_terms": (
+            "WITH bg AS (SELECT doc_id, "
+            "unnest(list_transform(range(0, 5), i -> "
+            "chr(CAST(19968 + (doc_id * 7 + i) % 64 AS INTEGER)) || "
+            "chr(CAST(19968 + (doc_id * 7 + i + 1) % 64 AS INTEGER)))) "
+            "AS term "
+            "FROM documents) "
+            "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+            "CAST(count(*) AS BIGINT) AS ttf "
+            "FROM bg GROUP BY term ORDER BY df DESC, term DESC LIMIT 10"
+        ),
         "synonym_index_topk": _an_topk_sql("quick", 20),
         "wd_subword_topk": _wd_topk_sql("frame", 20),
         "shingle_bigram_topk": _sh_topk_sql("data_line", 20),
@@ -2512,7 +2628,8 @@ ORDER BY score_r DESC, gram LIMIT 50
         # recall@10 floor (ivf >= 0.9, lsh >= 0.7 — see _q_ann_recall);
         # a regression below a floor hash-mismatches
         "ann_recall_floor": (
-            "SELECT * FROM (VALUES ('ivf', true), ('lsh', true)) "
+            "SELECT * FROM (VALUES ('ivf', true), ('lsh', true), "
+            "('hnsw', true)) "
             "AS t(method, meets_floor) ORDER BY method"
         ),
         "suggest_infix": (
@@ -2701,6 +2818,26 @@ ORDER BY score_r DESC, gram LIMIT 50
             "SELECT doc_id, round(score, 4) AS score_r FROM scored "
             "ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
         ),
+        # surround "4w(data, line)": ordered within distance 4 == slop 3
+        # == max_gaps 3 — the same minimal-interval contract as
+        # interval_ordered_topk, reached through the surround parser
+        "surround_parsed_topk": (
+            f"{_PRELUDE}{_POSR}, "
+            "pa AS (SELECT doc_id, pos - 1 AS a FROM posr WHERE toks[pos] = 'data'), "
+            "pb AS (SELECT doc_id, pos - 1 AS b FROM posr WHERE toks[pos] = 'line'), "
+            "chain AS (SELECT pa.doc_id, pa.a, min(pb.b) AS b FROM pa "
+            "JOIN pb ON pb.doc_id = pa.doc_id AND pb.b > pa.a GROUP BY pa.doc_id, pa.a), "
+            "minimal AS (SELECT doc_id, max(a) AS a, b FROM chain GROUP BY doc_id, b), "
+            "pf AS (SELECT doc_id, sum(1.0 / (b - a)) AS freq FROM minimal "
+            "WHERE b - a - 1 <= 3 GROUP BY doc_id), "
+            "scored AS (SELECT p.doc_id, "
+            f"(wsum.w0) - (wsum.w0) / (1 + p.freq * {_INV}) AS score "
+            "FROM pf p JOIN qdls q USING (doc_id), g, "
+            f"(SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data') "
+            f"+ (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum) "
+            "SELECT doc_id, round(score, 4) AS score_r FROM scored "
+            "ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
+        ),
         # notContaining(ordered(data..line), big): minimal ordered intervals
         # that do NOT contain a 'big' occurrence; weight sums idf of all
         # leaf terms incl. the (optional) subtrahend when present
@@ -2739,6 +2876,14 @@ ORDER BY score_r DESC, gram LIMIT 50
             f"JOIN ({_term_scored_sql('sort')}) b USING (doc_id) "
             f"UNION ALL {_term_scored_sql('hash')}"
             f") GROUP BY doc_id",
+            20,
+        ),
+        "xml_parsed_topk": _topk_sql(
+            f"SELECT a.doc_id, a.score + b.score AS score "
+            f"FROM ({_term_scored_sql('merge')}) a "
+            f"JOIN ({_term_scored_sql('sort')}) b USING (doc_id) "
+            f"WHERE NOT EXISTS (SELECT 1 FROM tf x "
+            f"WHERE x.term = 'join' AND x.doc_id = a.doc_id)",
             20,
         ),
         "term_topk_hot": _topk_sql(_term_scored_sql("the"), 100),

@@ -148,6 +148,18 @@ def main() -> None:
     similarity.ivf_topk(emb, list(qv), 10, C, nprobe=2).collect()
     timings["ann_ivf_topk"] = round(time.time() - t0, 3)
 
+    # round-4: per-segment HNSW graph ANN (build untimed — deterministic
+    # and cacheable; the query hop count is what scales to big N)
+    from lucene_spark.pipeline import hnsw as hnsw_mod
+
+    hnsw_dir = os.path.join(REPO, ".cache", f"bench_hnsw_{sf}")
+    if not os.path.exists(os.path.join(hnsw_dir, "_SUCCESS")):
+        hnsw_mod.build_hnsw_index(emb, hnsw_dir, n_segments=2)
+    hnsw_index = spark.read.parquet(hnsw_dir)
+    t0 = time.time()
+    hnsw_mod.hnsw_topk(list(qv), 10, hnsw_index, num_seed=64).collect()
+    timings["ann_hnsw_topk"] = round(time.time() - t0, 3)
+
     # --- sf1 tier: 50k synthetic docs (10x sf0.1) -------------------------
     # Per-query latencies at sf0.1 sit on the ~1s fixed-job floor, which
     # made round-over-round comparisons noise-driven; this tier gives the
