@@ -202,10 +202,10 @@ def _worker(cpus: int, corpus_path: str, idx_dir: str) -> None:
                 "build_sec": round(build_sec, 2),
                 "build_docs_per_sec": round(n_docs / build_sec, 1),
                 "query_sec": round(query_sec, 2),
-                "queries_per_sec": round(n_queries / query_sec, 2),
+                "queries_per_sec": round(n_queries / query_sec, 4),
                 "n_queries": n_queries,
                 "batch_query_sec": round(batch_sec, 2),
-                "batch_queries_per_sec": round(n_queries / batch_sec, 2),
+                "batch_queries_per_sec": round(n_queries / batch_sec, 4),
             }
         )
     )
@@ -333,8 +333,20 @@ def main() -> None:
     lo, hi = levels[0], levels[-1]
     ratio = hi / lo
 
+    # efficiency from the RAW elapsed seconds, not the printed per-sec
+    # rates: queries_per_sec is rounded to 2dp for display, and at the
+    # ~0.1 q/s magnitudes of the sequential-query phase that rounding
+    # quantizes the ratio (rep with raw 0.847 reported as 0.75). The
+    # throughput ratio (n/hi_sec)/((n/lo_sec)*ratio) == lo_sec/(hi_sec*ratio).
+    _SEC_FIELD = {
+        "build_docs_per_sec": "build_sec",
+        "queries_per_sec": "query_sec",
+        "batch_queries_per_sec": "batch_query_sec",
+    }
+
     def _eff(res, key):
-        return res[hi][key] / (res[lo][key] * ratio)
+        sec = _SEC_FIELD[key]
+        return res[lo][sec] / (res[hi][sec] * ratio)
 
     def _drift(res) -> float:
         """Relative host-condition drift between the rep's two phases
