@@ -188,10 +188,218 @@ def hindi_stem(w: str) -> str:
     return w
 
 
+# ---------------------------------------------------------------------------
+# Sorani Kurdish (ckb/SoraniNormalizer.java, ckb/SoraniStemmer.java)
+# ---------------------------------------------------------------------------
+
+_CKB_DELETE = set("ـًٌٍَُِّْ")
+
+
+def sorani_normalize(w: str) -> str:
+    """SoraniNormalizer.java:37-125 — a left-to-right in-place scan
+    (deletions shift the remainder, so a reh exposed at position 0 by a
+    deleted format char still gets the rreh rewrite, and word-final heh
+    is judged against the CURRENT end)."""
+    import unicodedata
+
+    s = list(w)
+    i, ln = 0, len(s)
+    while i < ln:
+        c = s[i]
+        if c in ("ي", "ى"):   # yeh / dotless yeh -> farsi yeh
+            s[i] = "ی"
+        elif c == "ك":              # kaf -> keheh
+            s[i] = "ک"
+        elif c == "‌":              # zwnj; heh+zwnj -> ae
+            if i > 0 and s[i - 1] == "ه":
+                s[i - 1] = "ە"
+            del s[i]
+            ln -= 1
+            continue
+        elif c == "ه":              # word-final heh -> ae
+            if i == ln - 1:
+                s[i] = "ە"
+        elif c == "ة":              # teh marbuta -> ae
+            s[i] = "ە"
+        elif c == "ھ":              # heh doachashmee -> heh
+            s[i] = "ه"
+        elif c == "ر":              # word-initial reh -> rreh
+            if i == 0:
+                s[i] = "ڕ"
+        elif c == "ڒ":              # reh small v above -> rreh
+            s[i] = "ڕ"
+        elif c in _CKB_DELETE or unicodedata.category(c) == "Cf":
+            del s[i]
+            ln -= 1
+            continue
+        i += 1
+    return "".join(s)
+
+
+def sorani_stem(w: str) -> str:
+    """SoraniStemmer.java:31-100 — postposition, then possessive
+    pronoun, then ONE of the ezafe/definite/indefinite/demonstrative
+    suffixes (first match in the reference's if/else chain returns)."""
+    n = len(w)
+    # postposition
+    if n > 5 and w.endswith("دا"):
+        w = w[:-2]
+    elif n > 4 and w.endswith("نا"):
+        w = w[:-1]
+    elif n > 6 and w.endswith("ەوە"):
+        w = w[:-3]
+    n = len(w)
+    # possessive pronoun
+    if n > 6 and (w.endswith("مان") or w.endswith("یان")
+                  or w.endswith("تان")):
+        w = w[:-3]
+    n = len(w)
+    for suf, guard in (
+        ("ێکی", 6), ("یەکی", 7),     # indefinite singular ezafe
+        ("ێک", 5), ("یەک", 6),       # indefinite singular
+        ("ەکە", 6), ("کە", 5),       # definite singular
+        ("ەکان", 7), ("کان", 6),     # definite plural
+        ("یانی", 7), ("انی", 6),     # indefinite plural ezafe
+        ("یان", 6), ("ان", 5),       # indefinite plural
+        ("یانە", 7), ("انە", 6),     # demonstrative plural
+    ):
+        if n > guard and w.endswith(suf):
+            return w[: -len(suf)]
+    # demonstrative singular (-2 despite the 3-char match, the
+    # reference keeps the leading vowel), absolute singular ezafe
+    if n > 5 and (w.endswith("ایە") or w.endswith("ەیە")):
+        return w[:-2]
+    if n > 4 and w.endswith("ە"):
+        return w[:-1]
+    if n > 4 and w.endswith("ی"):
+        return w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Czech (cz/CzechStemmer.java — Dolamic/Savoy light stemmer; input
+# lowercase WITH diacritics)
+# ---------------------------------------------------------------------------
+
+_CZ_CASE = (
+    (7, ("atech",)),
+    (6, ("ětem", "etem", "atům")),
+    (5, ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+         "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+         "aty", "ých", "ama", "ami", "ové", "ovi", "ými")),
+    (4, ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+         "mi", "ou")),
+)
+
+
+def czech_stem(w: str) -> str:
+    # removeCase
+    done = False
+    for guard, sufs in _CZ_CASE:
+        if len(w) > guard:
+            for s in sufs:
+                if w.endswith(s):
+                    w = w[: -len(s)]
+                    done = True
+                    break
+        if done:
+            break
+    else:
+        if len(w) > 3 and w[-1] in "aeiouůyáéíýě":
+            w = w[:-1]
+    # removePossessives
+    if len(w) > 5 and (w.endswith("ov") or w.endswith("in")
+                       or w.endswith("ův")):
+        w = w[:-2]
+    # normalize (palatalization)
+    if not w:
+        return w
+    if w.endswith("čt"):
+        return w[:-2] + "ck"
+    if w.endswith("št"):
+        return w[:-2] + "sk"
+    if w[-1] in "cč":
+        return w[:-1] + "k"
+    if w[-1] in "zž":
+        return w[:-1] + "h"
+    if len(w) > 1 and w[-2] == "e":
+        return w[:-2] + w[-1]
+    if len(w) > 2 and w[-2] == "ů":
+        return w[:-2] + "o" + w[-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Bulgarian (bg/BulgarianStemmer.java — Savoy BUIR light stemmer)
+# ---------------------------------------------------------------------------
+
+
+def _bg_article(w: str) -> str:
+    n = len(w)
+    if n > 6 and w.endswith("ият"):
+        return w[:-3]
+    if n > 5 and w[-2:] in ("ът", "то", "те", "та", "ия"):
+        return w[:-2]
+    if n > 4 and w.endswith("ят"):
+        return w[:-2]
+    return w
+
+
+def _bg_plural(w: str) -> str:
+    n = len(w)
+    if n > 6:
+        if w.endswith("овци"):
+            return w[:-3]
+        if w.endswith("ове"):
+            return w[:-3]
+        if w.endswith("еве"):
+            return w[:-3] + "й"
+    if n > 5:
+        if w.endswith("ища"):
+            return w[:-3]
+        if w.endswith("та"):
+            return w[:-2]
+        if w.endswith("ци"):
+            return w[:-2] + "к"
+        if w.endswith("зи"):
+            return w[:-2] + "г"
+        if w[-3] == "е" and w[-1] == "и":
+            return w[:-3] + "я" + w[-2]
+    if n > 4:
+        if w.endswith("си"):
+            return w[:-2] + "х"
+        if w.endswith("и"):
+            return w[:-1]
+    return w
+
+
+def bulgarian_stem(w: str) -> str:
+    if len(w) < 4:
+        return w
+    if len(w) > 5 and w.endswith("ища"):
+        return w[:-3]
+    w = _bg_article(w)
+    w = _bg_plural(w)
+    if len(w) > 3:
+        if w.endswith("я"):
+            w = w[:-1]
+        if w and w[-1] in "аое":
+            w = w[:-1]
+    if len(w) > 4 and w.endswith("ен"):
+        w = w[:-2] + "н"
+    if len(w) > 5 and w[-2] == "ъ":
+        w = w[:-2] + w[-1]
+    return w
+
+
 INTL_FILTERS = {
     "arabic_normalize": arabic_normalize,
     "arabic_stem": arabic_stem,
     "persian_normalize": persian_normalize,
     "hindi_normalize": hindi_normalize,
     "hindi_stem": hindi_stem,
+    "sorani_normalize": sorani_normalize,
+    "sorani_stem": sorani_stem,
+    "czech_stem": czech_stem,
+    "bulgarian_stem": bulgarian_stem,
 }

@@ -150,7 +150,116 @@ def test_hindi_stem(w, want):
 def test_registry_complete():
     assert set(INTL_FILTERS) == {
         "arabic_normalize", "arabic_stem", "persian_normalize",
-        "hindi_normalize", "hindi_stem",
+        "hindi_normalize", "hindi_stem", "sorani_normalize",
+        "sorani_stem", "czech_stem", "bulgarian_stem",
     }
     for fn in INTL_FILTERS.values():
         assert fn("") == ""
+
+
+# --- Sorani Kurdish (TestSoraniStemFilter / TestSoraniNormalizationFilter) --
+
+from lucene_spark.analysis_intl import (  # noqa: E402
+    bulgarian_stem,
+    czech_stem,
+    sorani_normalize,
+    sorani_stem,
+)
+
+CKB_STEM_VECTORS = [
+    ("پیاوێک", "پیاو"),     # -ek
+    ("دەرگایەک", "دەرگا"),  # -yek
+    ("پیاوەكە", "پیاو"),    # -aka (kaf normalizes first in the chain)
+    ("دەرگاكە", "دەرگا"),   # -ka
+    ("کتاویە", "کتاوی"),    # -a
+    ("دەرگایە", "دەرگا"),   # -ya
+    ("پیاوان", "پیاو"),     # -An
+    ("دەرگایان", "دەرگا"),  # -yAn
+    ("پیاوەکان", "پیاو"),   # -akAn
+    ("دەرگاکان", "دەرگا"),  # -kAn
+    ("پیاوانە", "پیاو"),    # -Ana
+    ("دەرگایانە", "دەرگا"), # -yAna
+    ("هۆتیلی", "هۆتیل"),    # singular ezafe
+    ("هۆتیلێکی", "هۆتیل"),  # indefinite ezafe
+    ("هۆتیلانی", "هۆتیل"),  # plural ezafe
+    ("دوورەوە", "دوور"),    # -awa
+    ("نیوەشەودا", "نیوەشەو"),  # -dA
+    ("سۆرانا", "سۆران"),    # -A (نا strips one char)
+    ("پارەمان", "پارە"),    # -mAn
+    ("پارەتان", "پارە"),    # -tAn
+    ("پارەیان", "پارە"),    # -yAn possessive
+]
+
+
+@pytest.mark.parametrize("w,want", CKB_STEM_VECTORS)
+def test_sorani_stem(w, want):
+    # the analyzer chain normalizes before stemming (SoraniAnalyzer)
+    assert sorani_stem(sorani_normalize(w)) == want
+
+
+def test_sorani_normalize():
+    assert sorani_normalize("يى") == "یی"      # yeh forms -> farsi yeh
+    assert sorani_normalize("ك") == "ک"        # kaf -> keheh
+    assert sorani_normalize("ره‌") == "ڕە"  # initial reh; heh+zwnj
+    assert sorani_normalize("ماله") == "مالە"   # word-final heh -> ae
+    assert sorani_normalize("هەر") == "هەر"     # non-final heh kept
+    assert sorani_normalize("ة") == "ە"         # teh marbuta -> ae
+    assert sorani_normalize("ھ") == "ه"         # doachashmee -> heh
+    assert sorani_normalize("ڒ") == "ڕ"         # rreh above -> rreh
+    assert sorani_normalize("روبرـــت") == "ڕوبرت"  # tatweel removed
+    assert sorani_normalize("‎اب") == "اب"  # format char (LRM)
+
+
+# --- Czech (TestCzechStemmer) -----------------------------------------------
+
+CZ_VECTORS = [
+    ("pán", "pán"), ("páni", "pán"), ("pánové", "pán"), ("pána", "pán"),
+    ("pánů", "pán"), ("pánovi", "pán"), ("pánům", "pán"), ("pány", "pán"),
+    ("páne", "pán"), ("pánech", "pán"), ("pánem", "pán"),
+    ("hrad", "hrad"), ("hradu", "hrad"), ("hradem", "hrad"),
+    ("hrady", "hrad"), ("hradech", "hrad"), ("hradům", "hrad"),
+    ("hradů", "hrad"),
+    ("muž", "muh"), ("muži", "muh"), ("muže", "muh"), ("mužů", "muh"),
+    ("mužům", "muh"), ("mužích", "muh"), ("mužem", "muh"),
+    ("stroj", "stroj"), ("stroje", "stroj"), ("strojů", "stroj"),
+    ("stroji", "stroj"), ("strojům", "stroj"), ("strojích", "stroj"),
+    ("strojem", "stroj"),
+    ("předseda", "předsd"), ("předsedové", "předsd"),
+    ("předsedy", "předsd"), ("předsedů", "předsd"),
+    ("předsedovi", "předsd"), ("předsedům", "předsd"),
+    ("předsedu", "předsd"),
+]
+
+
+@pytest.mark.parametrize("w,want", CZ_VECTORS)
+def test_czech_stem(w, want):
+    assert czech_stem(w) == want
+
+
+# --- Bulgarian (TestBulgarianStemmer) ----------------------------------------
+
+BG_VECTORS = [
+    ("град", "град"), ("града", "град"), ("градът", "град"),
+    ("градове", "град"), ("градовете", "град"),
+    ("народ", "народ"), ("народа", "народ"), ("народът", "народ"),
+    ("народи", "народ"), ("народите", "народ"), ("народе", "народ"),
+    ("път", "път"), ("пътя", "път"), ("пътят", "път"),
+    ("пътища", "път"), ("пътищата", "път"),
+    ("градец", "градец"), ("градеца", "градец"), ("градецът", "градец"),
+    ("градовце", "градовц"), ("градовцете", "градовц"),
+    ("дядо", "дяд"), ("дядото", "дяд"), ("дядовци", "дяд"),
+    ("дядовците", "дяд"),
+    ("мъж", "мъж"), ("мъжа", "мъж"), ("мъже", "мъж"),
+    ("мъжете", "мъж"), ("мъжо", "мъж"), ("мъжът", "мъжът"),
+    ("крак", "крак"), ("крака", "крак"), ("кракът", "крак"),
+    ("краката", "крак"),
+    ("брат", "брат"), ("брата", "брат"), ("братът", "брат"),
+    ("братя", "брат"), ("братята", "брат"), ("брате", "брат"),
+    ("вест", "вест"), ("вестта", "вест"), ("вести", "вест"),
+    ("вестите", "вест"),
+]
+
+
+@pytest.mark.parametrize("w,want", BG_VECTORS)
+def test_bulgarian_stem(w, want):
+    assert bulgarian_stem(w) == want
