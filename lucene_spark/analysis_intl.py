@@ -392,7 +392,134 @@ def bulgarian_stem(w: str) -> str:
     return w
 
 
+
+
+# ---------------------------------------------------------------------------
+# Bengali (bn/BengaliNormalizer.java, bn/BengaliStemmer.java)
+# ---------------------------------------------------------------------------
+
+
+def bengali_normalize(w: str) -> str:
+    """BengaliNormalizer.java:29-152 (UzZaman/Khan double-metaphone
+    folding): chandrabindu deletion, long->short kars, khio and
+    ja/ba-phala cluster rewrites with the reference's exact in-place
+    index arithmetic, visarga tripling/deletion, sh/na/ra folds."""
+    s = list(w)
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\u0981":            # chandrabindu: delete
+            del s[i]
+            n -= 1
+            continue
+        elif c == "\u09c0":          # dirgho i kar -> rossho i kar
+            s[i] = "\u09bf"
+        elif c == "\u09c2":          # dirgho u kar -> rossho u kar
+            s[i] = "\u09c1"
+        elif c == "\u0995":          # khio cluster
+            if i + 2 < n and s[i + 1] == "\u09cd" and s[i + 2] == "\u09bf":
+                if i == 0:
+                    s[i] = "\u0996"
+                    del s[i + 2]
+                    del s[i + 1]
+                    n -= 2
+                else:
+                    s[i + 1] = "\u0996"
+                    del s[i + 2]
+                    n -= 1
+        elif c == "\u0999":          # nga -> anusvara
+            s[i] = "\u0982"
+        elif c == "\u09af":          # ja phala
+            if i - 2 == 0 and s[i - 1] == "\u09cd":
+                s[i - 1] = "\u09c7"
+                if i + 1 < n and s[i + 1] == "\u09be":
+                    del s[i + 1]
+                    n -= 1
+                del s[i]
+                n -= 1
+                continue              # java i--; i++ -> same index
+            elif i - 1 >= 0 and s[i - 1] == "\u09cd":
+                del s[i]
+                del s[i - 1]
+                n -= 2
+                i -= 1                # java i -= 2; i++ -> i - 1
+                continue
+        elif c == "\u09ac":          # ba phala
+            if i == 0 or s[i - 1] != "\u09cd":
+                pass
+            elif i - 2 == 0:
+                del s[i]
+                del s[i - 1]
+                n -= 2
+                i -= 1
+                continue
+            elif i - 5 >= 0 and s[i - 3] == "\u09cd":
+                del s[i]
+                del s[i - 1]
+                n -= 2
+                i -= 1
+                continue
+            elif i - 2 >= 0:
+                s[i - 1] = s[i - 2]
+                del s[i]
+                n -= 1
+                continue              # java i--; i++ -> same index
+        elif c == "\u0983":          # visarga
+            if i == n - 1:
+                if n <= 3:
+                    s[i] = "\u09b9"
+                else:
+                    del s[i]
+                    n -= 1
+                    continue
+            else:
+                s[i] = s[i + 1]
+        elif c in ("\u09b6", "\u09b7"):  # sh forms -> sa
+            s[i] = "\u09b8"
+        elif c == "\u09a3":          # murdhanya na -> dantya na
+            s[i] = "\u09a8"
+        elif c in ("\u09dc", "\u09dd"):  # rra forms -> ra
+            s[i] = "\u09b0"
+        elif c == "\u09ce":          # khanda ta -> ta
+            s[i] = "\u09a4"
+        i += 1
+    return "".join(s)
+
+
+# verb-inflection suffix tiers, longest first, one removal
+# (BengaliStemmer.java:31-127, Sengupta/Chaudhuri + Savoy criteria)
+_BN_SUFFIXES = (
+    (9,
+     ("\u09bf\u09df\u09be\u099b\u09bf\u09b2\u09be\u09ae", "\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09be\u09ae", "\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09c7\u09a8", "\u0987\u09a4\u09c7\u099b\u09bf\u09b2\u09c7\u09a8", "\u09bf\u09df\u09be\u099b\u09bf\u09b2\u09c7\u09a8", "\u0987\u09df\u09be\u099b\u09bf\u09b2\u09c7\u09a8")),
+    (8,
+     ("\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09bf", "\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09c7", "\u09bf\u09df\u09be\u099b\u09bf\u09b2\u09be", "\u09bf\u09df\u09be\u099b\u09bf\u09b2\u09c7", "\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09be", "\u09bf\u09df\u09be\u099b\u09bf\u09b2\u09bf", "\u09df\u09c7\u09a6\u09c7\u09b0\u0995\u09c7")),
+    (7,
+     ("\u09bf\u09a4\u09c7\u099b\u09bf\u09b8", "\u09bf\u09a4\u09c7\u099b\u09c7\u09a8", "\u09bf\u09df\u09be\u099b\u09bf\u09b8", "\u09bf\u09df\u09be\u099b\u09c7\u09a8", "\u09c7\u099b\u09bf\u09b2\u09be\u09ae", "\u09c7\u099b\u09bf\u09b2\u09c7\u09a8", "\u09c7\u09a6\u09c7\u09b0\u0995\u09c7")),
+    (6,
+     ("\u09bf\u09a4\u09c7\u099b\u09bf", "\u09bf\u09a4\u09c7\u099b\u09be", "\u09bf\u09a4\u09c7\u099b\u09c7", "\u099b\u09bf\u09b2\u09be\u09ae", "\u099b\u09bf\u09b2\u09c7\u09a8", "\u09bf\u09df\u09be\u099b\u09bf", "\u09bf\u09df\u09be\u099b\u09be", "\u09bf\u09df\u09be\u099b\u09c7", "\u09c7\u099b\u09bf\u09b2\u09c7", "\u09c7\u099b\u09bf\u09b2\u09be", "\u09df\u09c7\u09a6\u09c7\u09b0", "\u09a6\u09c7\u09b0\u0995\u09c7")),
+    (5,
+     ("\u09bf\u09b2\u09be\u09ae", "\u09bf\u09b2\u09c7\u09a8", "\u09bf\u09a4\u09be\u09ae", "\u09bf\u09a4\u09c7\u09a8", "\u09bf\u09ac\u09c7\u09a8", "\u099b\u09bf\u09b2\u09bf", "\u099b\u09bf\u09b2\u09c7", "\u099b\u09bf\u09b2\u09be", "\u09a4\u09c7\u099b\u09c7", "\u09bf\u09a4\u09c7\u099b", "\u0996\u09be\u09a8\u09be", "\u0996\u09be\u09a8\u09bf", "\u0997\u09c1\u09b2\u09cb", "\u0997\u09c1\u09b2\u09bf", "\u09df\u09c7\u09b0\u09be", "\u09c7\u09a6\u09c7\u09b0")),
+    (4,
+     ("\u09b2\u09be\u09ae", "\u09bf\u09b2\u09bf", "\u0987\u09b2\u09bf", "\u09bf\u09b2\u09c7", "\u0987\u09b2\u09c7", "\u09b2\u09c7\u09a8", "\u09bf\u09b2\u09be", "\u0987\u09b2\u09be", "\u09a4\u09be\u09ae", "\u09bf\u09a4\u09bf", "\u0987\u09a4\u09bf", "\u09bf\u09a4\u09c7", "\u0987\u09a4\u09c7", "\u09a4\u09c7\u09a8", "\u09bf\u09a4\u09be", "\u09bf\u09ac\u09be", "\u0987\u09ac\u09be", "\u09bf\u09ac\u09bf", "\u0987\u09ac\u09bf", "\u09ac\u09c7\u09a8", "\u09bf\u09ac\u09c7", "\u0987\u09ac\u09c7", "\u099b\u09c7\u09a8", "\u09df\u09cb\u09a8", "\u09df\u09c7\u09b0", "\u09c7\u09b0\u09be", "\u09a6\u09c7\u09b0")),
+    (3,
+     ("\u09bf\u09b8", "\u09c7\u09a8", "\u09b2\u09bf", "\u09b2\u09c7", "\u09b2\u09be", "\u09a4\u09bf", "\u09a4\u09c7", "\u09a4\u09be", "\u09ac\u09bf", "\u09ac\u09c7", "\u09ac\u09be", "\u099b\u09bf", "\u099b\u09be", "\u099b\u09c7", "\u09c1\u09a8", "\u09c1\u0995", "\u099f\u09be", "\u099f\u09bf", "\u09a8\u09bf", "\u09c7\u09b0", "\u09a4\u09c7", "\u09b0\u09be", "\u0995\u09c7")),
+    (2,
+     ("\u09bf", "\u09c0", "\u09be", "\u09cb", "\u09c7", "\u09ac", "\u09a4")),
+)
+
+
+def bengali_stem(w: str) -> str:
+    for guard, tier in _BN_SUFFIXES:
+        if len(w) > guard:
+            for s in tier:
+                if w.endswith(s):
+                    return w[: -len(s)]
+    return w
+
+
 INTL_FILTERS = {
+    "bengali_normalize": bengali_normalize,
+    "bengali_stem": bengali_stem,
     "arabic_normalize": arabic_normalize,
     "arabic_stem": arabic_stem,
     "persian_normalize": persian_normalize,

@@ -152,6 +152,7 @@ def test_registry_complete():
         "arabic_normalize", "arabic_stem", "persian_normalize",
         "hindi_normalize", "hindi_stem", "sorani_normalize",
         "sorani_stem", "czech_stem", "bulgarian_stem",
+        "bengali_normalize", "bengali_stem",
     }
     for fn in INTL_FILTERS.values():
         assert fn("") == ""
@@ -263,3 +264,66 @@ BG_VECTORS = [
 @pytest.mark.parametrize("w,want", BG_VECTORS)
 def test_bulgarian_stem(w, want):
     assert bulgarian_stem(w) == want
+
+
+# --- Bengali (TestBengaliNormalizer / TestBengaliStemmer) --------------------
+
+from lucene_spark.analysis_intl import (  # noqa: E402
+    bengali_normalize,
+    bengali_stem,
+)
+
+BN_NORM_VECTORS = [
+    # exact codepoints from TestBengaliNormalizer.java (rra/ya are PRECOMPOSED U+09DC/U+09DF)
+    ("\u099a\u09be\u0981\u09a6", "\u099a\u09be\u09a6"),
+    ("\u09ac\u09be\u09dc\u09c0", "\u09ac\u09be\u09b0\u09bf"),
+    ("\u09a4\u09c0\u09b0", "\u09a4\u09bf\u09b0"),
+    ("\u09ad\u09c2\u09b2", "\u09ad\u09c1\u09b2"),
+    ("\u0985\u09a8\u09c2\u09aa", "\u0985\u09a8\u09c1\u09aa"),
+    ("\u09ac\u09be\u0999\u09b2\u09be", "\u09ac\u09be\u0982\u09b2\u09be"),
+    ("\u09ac\u09cd\u09af\u09be\u0995\u09cd\u09a4\u09bf",
+     "\u09ac\u09c7\u0995\u09cd\u09a4\u09bf"),
+    ("\u09b8\u09a8\u09cd\u09a7\u09cd\u09af\u09be",
+     "\u09b8\u09a8\u09cd\u09a7\u09be"),
+    ("\u09b8\u09cd\u09ac\u09a6\u09c7\u09b6", "\u09b8\u09a6\u09c7\u09b8"),
+    ("\u09a4\u09a4\u09cd\u09a4\u09cd\u09ac", "\u09a4\u09a4\u09cd\u09a4"),
+    ("\u09ac\u09bf\u09b6\u09cd\u09ac", "\u09ac\u09bf\u09b8\u09b8"),
+    ("\u09a6\u09c1\u0983\u0996", "\u09a6\u09c1\u0996\u0996"),
+    ("\u0989\u0983", "\u0989\u09b9"),
+    ("\u09aa\u09c1\u09a8\u0983", "\u09aa\u09c1\u09a8"),
+    ("\u0995\u09a3\u09be", "\u0995\u09a8\u09be"),
+    ("\u09b6\u09b0\u09c0\u09b0", "\u09b8\u09b0\u09bf\u09b0"),
+    ("\u09ac\u09be\u09dc\u09bf", "\u09ac\u09be\u09b0\u09bf"),
+]
+
+
+@pytest.mark.parametrize("w,want", BN_NORM_VECTORS)
+def test_bengali_normalize(w, want):
+    assert bengali_normalize(w) == want
+
+
+BN_STEM_VECTORS = [
+    # exact codepoints from TestBengaliStemmer.java
+    ("\u0995\u09b0\u09c7\u099b\u09bf\u09b2\u09be\u09ae", "\u0995\u09b0"),
+    ("\u0995\u09b0\u09bf\u09a4\u09c7\u099b\u09bf\u09b2\u09c7", "\u0995\u09b0"),
+    ("\u0996\u09be\u0987\u09a4\u09be\u09ae", "\u0996\u09be\u0987"),
+    ("\u09af\u09be\u0987\u09ac\u09c7", "\u09af\u09be"),
+    ("\u0995\u09b0\u099b\u09bf\u09b2\u09be\u09ae", "\u0995\u09b0"),
+    ("\u0995\u09b0\u099b\u09bf\u09b2\u09c7", "\u0995\u09b0"),
+    ("\u0995\u09b0\u09a4\u09be\u09ae", "\u0995\u09b0"),
+    ("\u09af\u09be\u09ac", "\u09af\u09be"),
+    ("\u09af\u09be\u09ac\u09c7", "\u09af\u09be"),
+    ("\u0995\u09b0\u09bf", "\u0995\u09b0"),
+    ("\u0995\u09b0\u09cb", "\u0995\u09b0"),
+    ("\u09ae\u09c7\u09df\u09c7\u09b0\u09be", "\u09ae\u09c7"),
+    ("\u09ae\u09c7\u09df\u09c7\u09a6\u09c7\u09b0\u0995\u09c7", "\u09ae\u09c7"),
+    ("\u09ae\u09c7\u09df\u09c7\u09a6\u09c7\u09b0", "\u09ae\u09c7"),
+    ("\u098f\u0995\u099f\u09bf", "\u098f\u0995"),
+    ("\u09ae\u09be\u09a8\u09c1\u09b7\u0997\u09c1\u09b2\u09bf",
+     "\u09ae\u09be\u09a8\u09c1\u09b7"),
+]
+
+
+@pytest.mark.parametrize("w,want", BN_STEM_VECTORS)
+def test_bengali_stem(w, want):
+    assert bengali_stem(w) == want
