@@ -517,7 +517,125 @@ def bengali_stem(w: str) -> str:
     return w
 
 
+
+
+# ---------------------------------------------------------------------------
+# Indonesian (id/IndonesianStemmer.java — Tala 2003)
+# ---------------------------------------------------------------------------
+
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = (
+    1, 2, 4, 8, 16, 32, 64)
+
+
+def indonesian_stem(w: str, derivational: bool = True) -> str:
+    """IndonesianStemmer.java:45-267 (Tala): inflectional particles +
+    possessive pronouns, then derivational first-order prefix ->
+    suffix -> second-order prefix with the reference's rule-fired
+    control flow, syllable (=vowel) budget, and prefix/suffix
+    disallowed-combination flags (e.g. peng- blocks -kan)."""
+    syl = sum(1 for c in w if c in "aeiou")
+    flags = 0
+
+    def vowel(c: str) -> bool:
+        return c in "aeiou"
+
+    if syl > 2 and (w.endswith("kah") or w.endswith("lah")
+                    or w.endswith("pun")):
+        syl -= 1
+        w = w[:-3]
+    if syl > 2:
+        if w.endswith("ku") or w.endswith("mu"):
+            syl -= 1
+            w = w[:-2]
+        elif w.endswith("nya"):
+            syl -= 1
+            w = w[:-3]
+    if not derivational:
+        return w
+
+    def first_order(w: str) -> str:
+        nonlocal syl, flags
+        if w.startswith("meng"):
+            flags |= _ID_MENG; syl -= 1; return w[4:]
+        if w.startswith("meny") and len(w) > 4 and vowel(w[4]):
+            flags |= _ID_MENG; syl -= 1; return "s" + w[4:]
+        if w.startswith("men"):
+            flags |= _ID_MENG; syl -= 1; return w[3:]
+        if w.startswith("mem"):
+            flags |= _ID_MENG; syl -= 1; return w[3:]
+        if w.startswith("me"):
+            flags |= _ID_MENG; syl -= 1; return w[2:]
+        if w.startswith("peng"):
+            flags |= _ID_PENG; syl -= 1; return w[4:]
+        if w.startswith("peny") and len(w) > 4 and vowel(w[4]):
+            flags |= _ID_PENG; syl -= 1; return "s" + w[4:]
+        if w.startswith("peny"):
+            flags |= _ID_PENG; syl -= 1; return w[4:]
+        if w.startswith("pen") and len(w) > 3 and vowel(w[3]):
+            flags |= _ID_PENG; syl -= 1; return "t" + w[3:]
+        if w.startswith("pen"):
+            flags |= _ID_PENG; syl -= 1; return w[3:]
+        if w.startswith("pem"):
+            flags |= _ID_PENG; syl -= 1; return w[3:]
+        if w.startswith("di"):
+            flags |= _ID_DI; syl -= 1; return w[2:]
+        if w.startswith("ter"):
+            flags |= _ID_TER; syl -= 1; return w[3:]
+        if w.startswith("ke"):
+            flags |= _ID_KE; syl -= 1; return w[2:]
+        return w
+
+    def second_order(w: str) -> str:
+        nonlocal syl, flags
+        if w.startswith("ber"):
+            flags |= _ID_BER; syl -= 1; return w[3:]
+        if w == "belajar":
+            flags |= _ID_BER; syl -= 1; return w[3:]
+        if (w.startswith("be") and len(w) > 4 and not vowel(w[2])
+                and w[3] == "e" and w[4] == "r"):
+            flags |= _ID_BER; syl -= 1; return w[2:]
+        if w.startswith("per"):
+            syl -= 1; return w[3:]
+        if w == "pelajar":
+            syl -= 1; return w[3:]
+        if w.startswith("pe"):
+            flags |= _ID_PE; syl -= 1; return w[2:]
+        return w
+
+    def suffix(w: str) -> str:
+        nonlocal syl
+        if (w.endswith("kan") and not flags & _ID_KE
+                and not flags & _ID_PENG and not flags & _ID_PE):
+            syl -= 1; return w[:-3]
+        if (w.endswith("an") and not flags & _ID_DI
+                and not flags & _ID_MENG and not flags & _ID_TER):
+            syl -= 1; return w[:-2]
+        if (w.endswith("i") and not w.endswith("si")
+                and not flags & _ID_BER and not flags & _ID_KE
+                and not flags & _ID_PENG):
+            syl -= 1; return w[:-1]
+        return w
+
+    old = len(w)
+    if syl > 2:
+        w = first_order(w)
+    if old != len(w):  # a rule fired
+        old = len(w)
+        if syl > 2:
+            w = suffix(w)
+        if old != len(w):  # a rule fired
+            if syl > 2:
+                w = second_order(w)
+    else:
+        if syl > 2:
+            w = second_order(w)
+        if syl > 2:
+            w = suffix(w)
+    return w
+
+
 INTL_FILTERS = {
+    "indonesian_stem": indonesian_stem,
     "bengali_normalize": bengali_normalize,
     "bengali_stem": bengali_stem,
     "arabic_normalize": arabic_normalize,

@@ -152,7 +152,7 @@ def test_registry_complete():
         "arabic_normalize", "arabic_stem", "persian_normalize",
         "hindi_normalize", "hindi_stem", "sorani_normalize",
         "sorani_stem", "czech_stem", "bulgarian_stem",
-        "bengali_normalize", "bengali_stem",
+        "bengali_normalize", "bengali_stem", "indonesian_stem",
     }
     for fn in INTL_FILTERS.values():
         assert fn("") == ""
@@ -327,3 +327,43 @@ BN_STEM_VECTORS = [
 @pytest.mark.parametrize("w,want", BN_STEM_VECTORS)
 def test_bengali_stem(w, want):
     assert bengali_stem(w) == want
+
+
+# --- Indonesian (TestIndonesianStemmer) --------------------------------------
+
+from lucene_spark.analysis_intl import indonesian_stem  # noqa: E402
+
+ID_VECTORS = [
+    ("bukukah", "buku"), ("adalah", "ada"), ("bukupun", "buku"),
+    ("bukuku", "buku"), ("bukumu", "buku"), ("bukunya", "buku"),
+    ("mengukur", "ukur"), ("menyapu", "sapu"), ("menduga", "duga"),
+    ("menuduh", "uduh"), ("membaca", "baca"), ("merusak", "rusak"),
+    ("pengukur", "ukur"), ("penyapu", "sapu"), ("penduga", "duga"),
+    ("pembaca", "baca"), ("diukur", "ukur"), ("tersapu", "sapu"),
+    ("kekasih", "kasih"), ("berlari", "lari"), ("belajar", "ajar"),
+    ("bekerja", "kerja"), ("perjelas", "jelas"), ("pelajar", "ajar"),
+    ("pekerja", "kerja"), ("tarikkan", "tarik"), ("ambilkan", "ambil"),
+    ("mengambilkan", "ambil"), ("makanan", "makan"), ("janjian", "janji"),
+    ("perjanjian", "janji"), ("tandai", "tanda"), ("dapati", "dapat"),
+    ("mendapati", "dapat"), ("pantai", "panta"),
+    ("penyalahgunaan", "salahguna"), ("menyalahgunakan", "salahguna"),
+    ("disalahgunakan", "salahguna"),
+    ("pertanggungjawaban", "tanggungjawab"),
+    ("mempertanggungjawabkan", "tanggungjawab"),
+    ("dipertanggungjawabkan", "tanggungjawab"),
+    ("pelaksanaan", "laksana"), ("pelaksana", "laksana"),
+    ("melaksanakan", "laksana"), ("dilaksanakan", "laksana"),
+    ("melibatkan", "libat"), ("terlibat", "libat"),
+    ("penculikan", "culik"), ("menculik", "culik"), ("diculik", "culik"),
+]
+
+
+@pytest.mark.parametrize("w,want", ID_VECTORS)
+def test_indonesian_stem(w, want):
+    assert indonesian_stem(w) == want
+
+
+def test_indonesian_inflectional_only():
+    # stemDerivational=false mode keeps the derivational affixes
+    assert indonesian_stem("bukunya", derivational=False) == "buku"
+    assert indonesian_stem("mengukur", derivational=False) == "mengukur"
