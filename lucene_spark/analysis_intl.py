@@ -634,7 +634,151 @@ def indonesian_stem(w: str, derivational: bool = True) -> str:
     return w
 
 
+
+
+# ---------------------------------------------------------------------------
+# Latvian (lv/LatvianStemmer.java — Kreslins light stemmer)
+# ---------------------------------------------------------------------------
+
+# (affix, vowel-count guard, fires palatalization) — order matters
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("aj\u0101m", 2, False), ("ajos", 2, False), ("aj\u0101s", 2, False),
+    ("iem", 2, True), ("aj\u0101", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("\u0101m", 1, False),
+    ("am", 1, False), ("\u0113m", 1, False), ("\u012bm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("\u0101s", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("\u012bs", 1, False),
+    ("\u0113s", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True), ("e", 1, False),
+    ("\u0101", 1, False), ("\u0113", 1, False), ("\u012b", 1, False),
+    ("\u016b", 1, False), ("o", 1, False), ("s", 0, False),
+    ("\u0161", 0, False),
+)
+
+_LV_VOWELS = set("aeiou\u0101\u012b\u0113\u016b")
+
+
+def _lv_unpalatalize(stem: str, removed_first: str) -> str:
+    """LatvianStemmer.unpalatalize — the declension II/V/VI inverse
+    palatalization; the -u affix enables the genitive-plural-only
+    k\u0161->kst and \u0146\u0146->nn rules."""
+    if removed_first == "u":
+        if stem.endswith("k\u0161"):
+            return stem[:-2] + "kst"
+        if stem.endswith("\u0146\u0146"):
+            return stem[:-2] + "nn"
+    if stem[-2:] in ("pj", "bj", "mj", "vj"):
+        return stem[:-1]
+    two = {"\u0161\u0146": "sn", "\u017e\u0146": "zn",
+           "\u0161\u013c": "sl", "\u017e\u013c": "zl",
+           "\u013c\u0146": "ln", "\u013c\u013c": "ll"}
+    if stem[-2:] in two:
+        return stem[:-2] + two[stem[-2:]]
+    one = {"\u010d": "c", "\u013c": "l", "\u0146": "n"}
+    if stem and stem[-1] in one:
+        return stem[:-1] + one[stem[-1]]
+    return stem
+
+
+def latvian_stem(w: str) -> str:
+    n_vowels = sum(1 for c in w if c in _LV_VOWELS)
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if (n_vowels > vc and len(w) >= len(affix) + 3
+                and w.endswith(affix)):
+            stem = w[: -len(affix)]
+            return _lv_unpalatalize(stem, affix[0]) if palatalizes else stem
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Case folding the generic .lower() gets wrong (tr/el/ga)
+# ---------------------------------------------------------------------------
+
+
+def turkish_lowercase(w: str) -> str:
+    """TurkishLowerCaseFilter.java:61-112 — I without a combining dot
+    above lowers to DOTLESS i (\u0131); I + combining-dot-above lowers
+    to i with the dot consumed; combining dots after an i-context are
+    removed to mimic composed lowercase. Replaces str.lower() for
+    Turkish — a generic lower() has already destroyed the distinction.
+    """
+    import unicodedata
+
+    out: list = []
+    chars = list(w)
+    i, n = 0, len(chars)
+    i_or_after = False
+    while i < n:
+        c = chars[i]
+        i_or_after = c == "I" or (i_or_after
+                                  and unicodedata.category(c) == "Mn")
+        if i_or_after:
+            if c == "\u0307":
+                i += 1
+                continue
+            if c == "I":
+                j = i + 1
+                before_dot = False
+                while j < n and unicodedata.category(chars[j]) == "Mn":
+                    if chars[j] == "\u0307":
+                        before_dot = True
+                        break
+                    j += 1
+                if before_dot:
+                    out.append("i")
+                else:
+                    out.append("\u0131")
+                    i_or_after = False
+                i += 1
+                continue
+        # Java Character.toLowerCase(\u0130) is a plain 'i'; Python's
+        # str.lower() expands it to 'i' + combining dot above
+        out.append("i" if c == "\u0130" else c.lower())
+        i += 1
+    return "".join(out)
+
+
+_GA_UPPER_VOWELS = set("AEIOU\u00c1\u00c9\u00cd\u00d3\u00da")
+
+
+def irish_lowercase(w: str) -> str:
+    """IrishLowerCaseFilter.java:37-80 — inserts a hyphen between an
+    eclipsis/t-prothesis prefix (n-/t-) and a following UPPER vowel
+    before lowercasing (nAthair -> n-athair). Case-sensitive, so it
+    replaces str.lower() rather than following it."""
+    if len(w) > 1 and w[0] in ("n", "t") and w[1] in _GA_UPPER_VOWELS:
+        return w[0] + "-" + w[1:].lower()
+    return w.lower()
+
+
+_EL_FOLD = str.maketrans({
+    "\u03c2": "\u03c3",                       # final sigma -> sigma
+    "\u0386": "\u03b1", "\u03ac": "\u03b1",  # alpha tonos
+    "\u0388": "\u03b5", "\u03ad": "\u03b5",  # epsilon tonos
+    "\u0389": "\u03b7", "\u03ae": "\u03b7",  # eta tonos
+    "\u038a": "\u03b9", "\u03aa": "\u03b9", "\u03af": "\u03b9",
+    "\u03ca": "\u03b9", "\u0390": "\u03b9",  # iota tonos/dialytika
+    "\u038e": "\u03c5", "\u03ab": "\u03c5", "\u03cd": "\u03c5",
+    "\u03cb": "\u03c5", "\u03b0": "\u03c5",  # upsilon tonos/dialytika
+    "\u038c": "\u03bf", "\u03cc": "\u03bf",  # omicron tonos
+    "\u038f": "\u03c9", "\u03ce": "\u03c9",  # omega tonos
+    "\u03a2": "\u03c2",                       # reserved (bwcompat)
+})
+
+
+def greek_lowercase(w: str) -> str:
+    """GreekLowerCaseFilter.java:40-113 — lowercase + final-sigma
+    standardization + tonos/dialytika removal. The sigma/diacritic
+    table is lowercase-idempotent, so this also works as a token
+    filter AFTER a generic lower()."""
+    return w.lower().translate(_EL_FOLD)
+
+
 INTL_FILTERS = {
+    "latvian_stem": latvian_stem,
+    "greek_lowercase": greek_lowercase,
     "indonesian_stem": indonesian_stem,
     "bengali_normalize": bengali_normalize,
     "bengali_stem": bengali_stem,
@@ -647,4 +791,11 @@ INTL_FILTERS = {
     "sorani_stem": sorani_stem,
     "czech_stem": czech_stem,
     "bulgarian_stem": bulgarian_stem,
+}
+
+
+CASE_FOLDERS = {
+    "turkish": turkish_lowercase,
+    "irish": irish_lowercase,
+    "greek": greek_lowercase,
 }

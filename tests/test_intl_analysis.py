@@ -153,6 +153,7 @@ def test_registry_complete():
         "hindi_normalize", "hindi_stem", "sorani_normalize",
         "sorani_stem", "czech_stem", "bulgarian_stem",
         "bengali_normalize", "bengali_stem", "indonesian_stem",
+        "latvian_stem", "greek_lowercase",
     }
     for fn in INTL_FILTERS.values():
         assert fn("") == ""
@@ -367,3 +368,70 @@ def test_indonesian_inflectional_only():
     # stemDerivational=false mode keeps the derivational affixes
     assert indonesian_stem("bukunya", derivational=False) == "buku"
     assert indonesian_stem("mengukur", derivational=False) == "mengukur"
+
+
+# --- Latvian (TestLatvianStemmer) --------------------------------------------
+
+from lucene_spark.analysis_intl import (  # noqa: E402
+    CASE_FOLDERS,
+    greek_lowercase,
+    irish_lowercase,
+    latvian_stem,
+    turkish_lowercase,
+)
+
+LV_VECTORS = [
+    # noun declensions I-VI incl. palatalization (TestLatvianStemmer)
+    ("tēvs", "tēv"), ("tēvi", "tēv"), ("tēva", "tēv"), ("tēvu", "tēv"),
+    ("tēvam", "tēv"), ("tēviem", "tēv"), ("tēvus", "tēv"),
+    ("tēvā", "tēv"), ("tēvos", "tēv"),
+    ("lācis", "lāc"), ("lāči", "lāc"), ("lāča", "lāc"), ("lāču", "lāc"),
+    ("lācim", "lāc"), ("lāčiem", "lāc"), ("lāci", "lāc"),
+    ("lāčus", "lāc"), ("lācī", "lāc"), ("lāčos", "lāc"),
+    ("akmens", "akmen"), ("akmeņi", "akmen"), ("akmeņu", "akmen"),
+    ("akmenim", "akmen"), ("akmeņiem", "akmen"), ("akmeni", "akmen"),
+    ("akmeņus", "akmen"), ("akmenī", "akmen"), ("akmeņos", "akmen"),
+    ("kurmis", "kurm"), ("kurmji", "kurm"), ("kurmja", "kurm"),
+    ("kurmju", "kurm"),
+]
+
+
+@pytest.mark.parametrize("w,want", LV_VECTORS)
+def test_latvian_stem(w, want):
+    assert latvian_stem(w) == want
+
+
+# --- Turkish / Irish / Greek case folding ------------------------------------
+
+
+def test_turkish_lowercase_composed():
+    assert turkish_lowercase("İSTANBUL") == "istanbul"
+    assert turkish_lowercase("İZMİR") == "izmir"
+    assert turkish_lowercase("ISPARTA") == "ısparta"
+
+
+def test_turkish_lowercase_decomposed():
+    assert turkish_lowercase("İSTANBUL") == "istanbul"
+    assert turkish_lowercase("İZMİR") == "izmir"
+    # other non-spacing marks may sit between I and the dot
+    assert turkish_lowercase("İ̖STANBUL") == "i̖stanbul"
+    assert turkish_lowercase("I̖SPARTA") == "ı̖sparta"
+
+
+def test_irish_lowercase():
+    assert irish_lowercase("nAthair") == "n-athair"
+    assert irish_lowercase("tUISCE") == "t-uisce"
+    assert irish_lowercase("hARD") == "hard"
+
+
+def test_greek_lowercase():
+    # final sigma + tonos/dialytika folds (GreekLowerCaseFilter)
+    assert greek_lowercase("ΜΊΑ") == "μια"
+    assert greek_lowercase("ΜΙΑΣ") == "μιασ"
+    assert greek_lowercase("Άδικος") == "αδικοσ"
+    # idempotent on generically-lowered text (usable as a token filter)
+    assert greek_lowercase("μίας".lower()) == "μιασ"
+
+
+def test_case_folders_registry():
+    assert set(CASE_FOLDERS) == {"turkish", "irish", "greek"}
