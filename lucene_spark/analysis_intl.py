@@ -776,7 +776,92 @@ def greek_lowercase(w: str) -> str:
     return w.lower().translate(_EL_FOLD)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Norwegian (no/NorwegianLightStemmer.java, no/NorwegianMinimalStemmer.java)
+# ---------------------------------------------------------------------------
+
+
+def norwegian_light_stem(w: str, bokmaal: bool = True,
+                         nynorsk: bool = False) -> str:
+    """NorwegianLightStemmer.java:85-183 — genitive -s, then ONE pass
+    over the hand-crafted ending tiers; Bokmaal/Nynorsk endings are
+    flag-gated exactly like the reference (factory default BOKMAAL)."""
+    n = len(w)
+    if n > 4 and w[-1] == "s":
+        n -= 1
+    e = lambda suf: n >= len(suf) and w[n - len(suf): n] == suf
+    if n > 7 and ((e("heter") and bokmaal) or (e("heten") and bokmaal)
+                  or (e("heita") and nynorsk)):
+        return w[: n - 5]
+    if n > 8 and nynorsk and (e("heiter") or e("leiken") or e("leikar")):
+        return w[: n - 6]
+    if n > 5 and (e("dom") or (e("het") and bokmaal)):
+        return w[: n - 3]
+    if n > 6 and nynorsk and (e("heit") or e("semd") or e("leik")):
+        return w[: n - 4]
+    if n > 7 and (e("elser") or e("elsen")):
+        return w[: n - 5]
+    if n > 6 and ((e("ende") and bokmaal) or (e("ande") and nynorsk)
+                  or e("else") or (e("este") and bokmaal)
+                  or (e("aste") and nynorsk) or (e("eren") and bokmaal)
+                  or (e("aren") and nynorsk)):
+        return w[: n - 4]
+    if n > 5 and ((e("ere") and bokmaal) or (e("are") and nynorsk)
+                  or (e("est") and bokmaal) or (e("ast") and nynorsk)
+                  or e("ene") or (e("ane") and nynorsk)):
+        return w[: n - 3]
+    if n > 4 and (e("er") or e("en") or e("et") or (e("ar") and nynorsk)
+                  or (e("st") and bokmaal) or e("te")):
+        return w[: n - 2]
+    if n > 3 and w[n - 1] in "aen":
+        return w[: n - 1]
+    return w[:n]
+
+
+def norwegian_minimal_stem(w: str, bokmaal: bool = True,
+                           nynorsk: bool = False) -> str:
+    """NorwegianMinimalStemmer.java:81-110 — known noun plurals +
+    genitive -s only."""
+    n = len(w)
+    if n > 4 and w[-1] == "s":
+        n -= 1
+    e = lambda suf: n >= len(suf) and w[n - len(suf): n] == suf
+    if n > 5 and (e("ene") or (e("ane") and nynorsk)):
+        return w[: n - 3]
+    if n > 4 and (e("er") or e("en") or e("et")
+                  or (e("ar") and nynorsk)):
+        return w[: n - 2]
+    if n > 3 and w[n - 1] in "ae":
+        return w[: n - 1]
+    return w[:n]
+
+
+# ---------------------------------------------------------------------------
+# Serbian (sr/SerbianNormalizationFilter.java — cyrillic + latin
+# diacritics -> "bald" latin)
+# ---------------------------------------------------------------------------
+
+_SR_NORM = str.maketrans({
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d",
+    "ђ": "dj", "đ": "dj",
+    "е": "e", "ж": "z", "з": "z", "ž": "z", "и": "i", "ј": "j",
+    "к": "k", "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj",
+    "о": "o", "п": "p", "р": "r", "с": "s", "т": "t",
+    "ћ": "c", "ц": "c", "ч": "c", "č": "c", "ć": "c",
+    "у": "u", "ф": "f", "х": "h", "џ": "dz", "ш": "s", "š": "s",
+})
+
+
+def serbian_normalize(w: str) -> str:
+    return w.translate(_SR_NORM)
+
+
 INTL_FILTERS = {
+    "norwegian_light_stem": norwegian_light_stem,
+    "norwegian_minimal_stem": norwegian_minimal_stem,
+    "serbian_normalize": serbian_normalize,
     "latvian_stem": latvian_stem,
     "greek_lowercase": greek_lowercase,
     "indonesian_stem": indonesian_stem,

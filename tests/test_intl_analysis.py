@@ -153,7 +153,8 @@ def test_registry_complete():
         "hindi_normalize", "hindi_stem", "sorani_normalize",
         "sorani_stem", "czech_stem", "bulgarian_stem",
         "bengali_normalize", "bengali_stem", "indonesian_stem",
-        "latvian_stem", "greek_lowercase",
+        "latvian_stem", "greek_lowercase", "norwegian_light_stem",
+        "norwegian_minimal_stem", "serbian_normalize",
     }
     for fn in INTL_FILTERS.values():
         assert fn("") == ""
@@ -435,3 +436,66 @@ def test_greek_lowercase():
 
 def test_case_folders_registry():
     assert set(CASE_FOLDERS) == {"turkish", "irish", "greek"}
+
+
+# --- Norwegian (reference vocabulary files nb/nn light+minimal) --------------
+
+import os as _os
+
+from lucene_spark.analysis_intl import (  # noqa: E402
+    norwegian_light_stem,
+    norwegian_minimal_stem,
+    serbian_normalize,
+)
+
+_NO_BASE = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+            "lucene/analysis/no")
+
+_NO_CASES = [
+    ("nb_light.txt", norwegian_light_stem, dict(bokmaal=True, nynorsk=False)),
+    ("nn_light.txt", norwegian_light_stem, dict(bokmaal=False, nynorsk=True)),
+    ("nb_minimal.txt", norwegian_minimal_stem,
+     dict(bokmaal=True, nynorsk=False)),
+    ("nn_minimal.txt", norwegian_minimal_stem,
+     dict(bokmaal=False, nynorsk=True)),
+]
+
+
+@pytest.mark.parametrize("fname,fn,kw", _NO_CASES,
+                         ids=[c[0] for c in _NO_CASES])
+def test_norwegian_vocabulary(fname, fn, kw):
+    path = _os.path.join(_NO_BASE, fname)
+    if not _os.path.exists(path):
+        pytest.skip("reference vocabulary not available")
+    total = 0
+    for line in open(path, encoding="utf-8"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) != 2:
+            continue
+        w, want = parts
+        got = fn(w, **kw)
+        assert got == want, f"{fname}: {w!r} -> {got!r}, want {want!r}"
+        total += 1
+    assert total > 50
+
+
+def test_norwegian_nynorsk_endings_gated():
+    # -ane is a Nynorsk-only ending; Bokmaal mode must not strip it
+    assert norwegian_minimal_stem("gutane", bokmaal=True,
+                                  nynorsk=False) == "gutan"
+    assert norwegian_minimal_stem("gutane", bokmaal=False,
+                                  nynorsk=True) == "gut"
+
+
+# --- Serbian -----------------------------------------------------------------
+
+
+def test_serbian_normalize():
+    assert (serbian_normalize("абвгдђежзијклљмнњопрстћуфхцчџш")
+            == "abvgddjezzijklljmnnjoprstcufhccdzs")
+    # latin diacritics fold too
+    assert serbian_normalize("đačka žaba čuči šušti ćup") \
+        == "djacka zaba cuci susti cup"
