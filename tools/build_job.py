@@ -22,7 +22,20 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--input", required=True,
+        help="parquet path, or a catalog table name with --input-format "
+        "iceberg/table (e.g. lake.code.files)",
+    )
+    ap.add_argument(
+        "--input-format", default="parquet",
+        choices=["parquet", "iceberg", "table"],
+        help="'iceberg' reads spark.read.format('iceberg').load(input) — "
+        "requires the iceberg-spark-runtime jar + catalog conf on the "
+        "submit command; 'table' reads spark.read.table(input) for any "
+        "catalog-registered source. Column contract either way: "
+        "(repo, path, commit, lang, content).",
+    )
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--text-col", default="content")
     ap.add_argument("--order-cols", default="repo,path,commit")
@@ -38,7 +51,16 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("lucene_spark_build").getOrCreate()
-    corpus = spark.read.parquet(args.input)
+    if args.input_format == "iceberg":
+        # predicate pushdown / column pruning / snapshot isolation come
+        # from the Iceberg DataSourceV2 reader; the build only ever
+        # scans (doc_id-order cols + text col), so hidden-partition
+        # pruning on the table spec applies untouched
+        corpus = spark.read.format("iceberg").load(args.input)
+    elif args.input_format == "table":
+        corpus = spark.read.table(args.input)
+    else:
+        corpus = spark.read.parquet(args.input)
 
     from lucene_spark.index import append_to_index, build_index
 
