@@ -176,3 +176,50 @@ def test_state_space_stays_small():
         m.matches(s)
     states = {st for (st, _c) in m._trans}
     assert len(states) < 64
+
+
+# --- seeded random fuzz vs Python re on the shared dialect -------------------
+
+
+def _gen_pattern(rng, depth=0):
+    """Random pattern over the dialect subset both paths evaluate."""
+    if depth > 3:
+        return rng.choice("abc0")
+    r = rng.random()
+    if r < 0.35:
+        return rng.choice("abc0.")
+    if r < 0.5:
+        return _gen_pattern(rng, depth + 1) + _gen_pattern(rng, depth + 1)
+    if r < 0.62:
+        return ("(" + _gen_pattern(rng, depth + 1) + "|"
+                + _gen_pattern(rng, depth + 1) + ")")
+    if r < 0.74:
+        return "(" + _gen_pattern(rng, depth + 1) + ")" + rng.choice("?*+")
+    if r < 0.84:
+        chars = "".join(sorted(set(rng.choice("abc0") for _ in range(2))))
+        neg = "^" if rng.random() < 0.3 else ""
+        return f"[{neg}{chars}]"
+    if r < 0.92:
+        lo = rng.randrange(3)
+        return "(%s){%d,%d}" % (_gen_pattern(rng, depth + 1), lo,
+                                lo + rng.randrange(3))
+    return '"' + rng.choice(["a.c", "ab", "*"]) + '"'
+
+
+def test_fuzz_vs_python_re():
+    import random
+
+    rng = random.Random(20260818)
+    strings = [s for s in _universe(3)]
+    tested = 0
+    for _ in range(300):
+        pat = _gen_pattern(rng)
+        try:
+            rx = re.compile(term_predicate_pattern(pat))
+        except Exception:
+            continue  # pattern hits an unsupported/edge construct
+        m = RegexMatcher(pat)
+        for s in strings:
+            assert m.matches(s) == bool(rx.match(s)), (pat, s)
+        tested += 1
+    assert tested > 200
