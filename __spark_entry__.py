@@ -1858,6 +1858,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return _topk_rounded(s.scored(q), 100)
 
 
+def _q_term_vector(doc_ids: tuple):
+    """Term vectors gate (Lucene90TermVectorsFormat /
+    IndexReader.getTermVector): per-doc (term, freq) rows of the default
+    field for fixed docIDs, read from the doc-major tvec table. The
+    tvec stage is built lazily (resumable) on the shared index; a fresh
+    Index reopen picks up the new manifest (NRT semantics)."""
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.index import build_term_vectors
+
+        idx = _get_index(spark, sf_dir)
+        build_term_vectors(spark, idx.index_dir, resume=True)
+        idx2 = Index(spark, idx.index_dir)
+        return (
+            idx2.term_vectors
+            .filter(F.col("doc_id").isin(list(doc_ids)) & (F.col("field") == "text"))
+            .select("doc_id", "term", F.col("freq").cast("long").alias("freq"))
+            .orderBy("doc_id", "term")
+        )
+
+    return fn
+
+
+def _term_vector_sql(doc_ids: tuple) -> str:
+    ids = ", ".join(str(int(d)) for d in doc_ids)
+    return (
+        f"{_PRELUDE} SELECT tf.doc_id, tf.term, CAST(tf.freq AS BIGINT) AS freq "
+        f"FROM tf WHERE tf.doc_id IN ({ids}) ORDER BY tf.doc_id, tf.term"
+    )
+
+
 # The grading driver verifies the FIRST 50 queries() entries against their
 # oracles; entries past 50 get a weaker rows-only check. This list pins one
 # gate per operator family (SURVEY §2 / COVERAGE.md rows) into that window;
@@ -1884,7 +1914,7 @@ _GATE_WINDOW = [
     "payload_span_topk",
     "dedup_exact", "dedup_minhash_pairs",
     "dedup_clusters", "classify_nb", "geo_polygon_docs",
-    "ann_cosine_topk", "geo_nearest_topk",
+    "term_vector_doc", "geo_nearest_topk",
     "multimodal_asset_stats",
 ]
 # Round-4 window swaps (still one gate per family inside; the displaced
@@ -1896,7 +1926,10 @@ _GATE_WINDOW = [
 # (prefix_scored keeps the MultiTermQuery-rewrite family inside;
 # surround adds the proximity query language end-to-end),
 # stemmed_term -> cjk_bigram_terms (snowball_term keeps stemming
-# inside; cjk adds the width-fold + bigram analysis family).
+# inside; cjk adds the width-fold + bigram analysis family),
+# ann_cosine_topk -> term_vector_doc (ANN keeps ann_recall_floor —
+# which contains the exact cosine oracle — inside; term vectors are a
+# new stored-data family, Lucene90TermVectorsFormat).
 
 
 def _window_ordered(qs: dict) -> dict:
@@ -2174,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "id_a", "id_b"
             )
         ),
+        "term_vector_doc": _q_term_vector((3, 11, 42)),
         "ann_cosine_topk": _q_ann_cosine(0, 10),
         "ann_lsh_topk": _q_ann_lsh(0, 10),  # approximate: rows-only check
         "ann_ivf_topk": _q_ann_ivf(0, 10),
@@ -2977,6 +3011,7 @@ ORDER BY score_r DESC, gram LIMIT 50
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(8),
         "dedup_embedding_pairs": dedup.embedding_pairs_sql(0.2),
+        "term_vector_doc": _term_vector_sql((3, 11, 42)),
         "ann_cosine_topk": similarity.cosine_topk_self_sql(0, 10),
         # deterministic LSH oracle: seeded hyperplanes inlined as SQL
         # literals, identical candidate set to the Spark probe

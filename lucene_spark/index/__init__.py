@@ -5,3 +5,7 @@ from lucene_spark.index.builder import (  # noqa: F401
     delete_docs,
 )
 from lucene_spark.index.reader import Index  # noqa: F401
+from lucene_spark.index.termvectors import (  # noqa: F401
+    build_term_vectors,
+    highlight_from_tvec,
+)

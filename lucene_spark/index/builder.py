@@ -719,6 +719,24 @@ def _stage_done(index_dir: str, stage: str) -> bool:
     return stage in manifest.get("stages", {})
 
 
+def _invalidate_stage(index_dir: str, stage: str, path_key: str) -> None:
+    """Drop a committed stage + its paths entry (used when an upstream
+    stage re-runs, making the derived table stale)."""
+    mf = os.path.join(index_dir, "manifest.json")
+    if not os.path.exists(mf):
+        return
+    with open(mf) as f:
+        manifest = json.load(f)
+    changed = manifest.get("stages", {}).pop(stage, None) is not None
+    changed |= manifest.get("paths", {}).pop(path_key, None) is not None
+    changed |= manifest.pop("with_term_vectors", None) is not None
+    if changed:
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, mf)
+
+
 def _update_manifest(index_dir: str, stage: str, info: dict, extra: dict | None = None):
     mf = os.path.join(index_dir, "manifest.json")
     manifest = {"stages": {}}
@@ -748,6 +766,7 @@ def build_index(
     salt_rows: int = 1 << 14,
     with_positions: bool = True,
     with_offsets: bool = False,
+    with_term_vectors: bool = False,
     corpus_parts: int | None = None,
     resume: bool = True,
     analyzer: dict | None = None,
@@ -853,6 +872,9 @@ def build_index(
         # dynamic-write sort.
         postings.write.mode("overwrite").parquet(postings_path)
         t1_post = time.time()
+        # a postings rebuild invalidates any previously committed
+        # term-vectors stage (its rows describe the OLD snapshot)
+        _invalidate_stage(index_dir, "stage4_tvec", "tvec")
         # docs table straight from the snapshot: dl was computed during
         # the stage0 write (same token regex as the analyzer; each
         # >255-char run contributes ceil(len/255) pieces,
@@ -981,6 +1003,12 @@ def build_index(
                 "total_elapsed_sec": time.time() - t0,
             },
         )
+
+    # ---- stage4 (opt-in): doc-major term vectors ----
+    if with_term_vectors:
+        from lucene_spark.index.termvectors import build_term_vectors
+
+        build_term_vectors(spark, index_dir, resume=resume)
 
     with open(os.path.join(index_dir, "manifest.json")) as f:
         return json.load(f)

@@ -1286,9 +1286,15 @@ class Searcher:
     def more_like_this(self, doc_id: int, max_terms: int = 10) -> P.BoolQ:
         """MoreLikeThis (queries/mlt/MoreLikeThis.java:147): extract the
         doc's top-`max_terms` terms by tf*idf and build an OR query over
-        them. One bucket-pruned postings pass for the doc's term freqs
-        via the corpus snapshot (we re-analyze the stored text — the
-        stored-fields path MLT uses)."""
+        them. Term freqs come from the stored term vectors when the
+        index has them (MoreLikeThis.retrieveTerms(int) prefers
+        getTermVector) — one doc_id-pruned read, no re-tokenize of a
+        possibly-huge stored doc; else we re-analyze the stored text
+        (the reference's stored-fields fallback)."""
+        if self.index.manifest.get("with_term_vectors"):
+            rows = self.index.term_vector(doc_id).select("term", "freq").collect()
+            return self._mlt_from_tf({r["term"]: int(r["freq"]) for r in rows},
+                                     max_terms)
         row = (
             self.index.corpus.filter(F.col("doc_id") == doc_id)
             .select(self.index.manifest["text_col"])
@@ -1310,6 +1316,12 @@ class Searcher:
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
+        return self._mlt_from_tf(tf, max_terms)
+
+    def _mlt_from_tf(self, tf: dict[str, int], max_terms: int) -> P.BoolQ:
+        """Shared MLT term selection: tf dict -> top tf*idf OR query."""
+        if not tf:
+            return P.BoolQ()
         stats = self.index.stats_for_terms(sorted(tf))
         n = self.index.doc_count
         scored = sorted(
@@ -1686,23 +1698,48 @@ class Searcher:
             return None
         if st == "empty":
             return self._empty_scored().limit(k)
+        # θ as a PLAN, not a collected value: the sample union (and the
+        # candidate-bounded verification when the shape requires it)
+        # reduces to a one-row {__theta} DataFrame that the pruned
+        # decode consumes via a broadcast cross join. The whole query is
+        # then ONE Spark action — no θ driver round-trips at all — which
+        # is what bounds sequential query scaling (the per-action floor:
+        # Catalyst analysis + py4j + scheduling do not parallelize with
+        # cores; BENCH_scaling query_scaling_efficiency). Round 3 had
+        # already fused sampling+verification (3 actions -> 2); this
+        # folds the remaining θ collect into the final plan (2 -> 1).
         sample_plan = self._wand_sample_plan(st, k)
         if self._wand_needs_verify(st):
-            # fuse sampling + verification into ONE action: the sample
-            # union feeds the candidate-bounded exact scorer as a
-            # broadcast semi-join sub-plan (was: collect ids, then a
-            # second isin-filtered job) — per-query driver round-trips
-            # drop from 3 to 2, which is what bounds sequential query
-            # scaling (BENCH_scaling query_scaling_efficiency)
-            verified = [
-                float(r["score"])
-                for r in self.scored(q, candidates=sample_plan).collect()
-            ]
-            theta = self._wand_theta(st, k, None, verified)
+            # exact totals for the sampled candidates (must/msm/filter/
+            # must_not shapes): the k-th best verified total ≤ true k-th
+            totals = self.scored(q, candidates=sample_plan).select(
+                F.col("score").alias("__tot")
+            )
         else:
-            samples = sample_plan.collect()
-            theta = self._wand_theta(st, k, samples, None)
-        return self._wand_pruned_plan(st, theta, k)
+            # pure disjunction: per-doc partial sums over the per-term
+            # top-k samples already lower-bound the true totals
+            totals = sample_plan.groupBy("doc_id").agg(
+                F.sum("score").alias("__tot")
+            )
+        theta_df = (
+            totals.orderBy(F.desc("__tot"))
+            .limit(k)
+            .agg(
+                F.when(F.count(F.lit(1)) >= k, F.min("__tot"))
+                .otherwise(F.lit(float("-inf")))
+                .alias("__t0")
+            )
+            # same soundness shave as _wand_theta: partial sums /
+            # reassociated float adds can overshoot stored totals by ulps
+            .select(
+                (
+                    F.col("__t0")
+                    - F.abs(F.col("__t0")) * F.lit(1e-9)
+                    - F.lit(1e-12)
+                ).alias("__theta")
+            )
+        )
+        return self._wand_pruned_plan(st, theta_df, k)
 
     def _wand_state(self, q: P.BoolQ, k: int):
         """Shape check + stats lookup for the WAND path. Returns None
@@ -1787,9 +1824,14 @@ class Searcher:
             theta -= 1e-9 * abs(theta) + 1e-12
         return float(theta)
 
-    def _wand_pruned_plan(self, st, theta: float, k: int) -> DataFrame:
+    def _wand_pruned_plan(self, st, theta, k: int) -> DataFrame:
         """Passes 2+3 (see _bool_topk_wand): distributive salt-level
-        cross-clause bounds, then the pruned decode scan + assembly."""
+        cross-clause bounds, then the pruned decode scan + assembly.
+
+        ``theta``: either a driver float (top_k_batch's batched θ passes)
+        or a one-row {__theta} DataFrame fused into the scan as a
+        broadcast cross join (single-query path — keeps the whole query
+        one Spark action)."""
         q = st["q"]
         weights = st["weights"]
         terms = st["terms"]
@@ -1878,10 +1920,23 @@ class Searcher:
         rows = self.index.postings_for_terms(terms).join(
             bounds, ["term", "salt"], "left"
         )
-        theta_f = float(theta)
+        theta_is_df = isinstance(theta, DataFrame)
+        if theta_is_df:
+            # one-row broadcast: every decode row carries __theta; the
+            # sample/verify subtree executes inside this same action
+            rows = rows.crossJoin(F.broadcast(theta))
+            theta_f = None
+        else:
+            theta_f = float(theta)
 
         def fn(iterator):
             for pdf in iterator:
+                if theta_is_df:
+                    if not len(pdf):
+                        continue
+                    th = float(pdf["__theta"].iat[0])
+                else:
+                    th = theta_f
                 parts = []
                 for row in pdf.itertuples(index=False):
                     t = row.term
@@ -1904,7 +1959,7 @@ class Searcher:
                             if len(blk["impacts"])
                             else own
                         )
-                        if bmax + others < theta_f:
+                        if bmax + others < th:
                             continue
                         d, f, nm = decode_block(blk)
                         if sim is not None:
