@@ -352,6 +352,13 @@ from lucene_spark.analysis_snowball import SNOWBALL_STEMMERS as _SNOWBALL  # noq
 
 _TOKEN_FILTERS.update(_SNOWBALL)
 
+# phonetic encoders, replace mode (analysis/phonetic PhoneticFilter with
+# inject=false; see analysis_phonetic.py — inject mode is the "phonetic"
+# analyzer key, handled like synonym injection)
+from lucene_spark.analysis_phonetic import PHONETIC_FILTERS as _PHONETIC  # noqa: E402
+
+_TOKEN_FILTERS.update(_PHONETIC)
+
 
 def _filter_map(vocab, filters: list[str]) -> dict[str, str]:
     """Apply the token-filter chain once per UNIQUE token (the hot-path
@@ -423,6 +430,11 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
     cjk = a.get("cjk", False)  # False | True | "unigrams"
     default_tok = ("unicode" if cjk
                    else "standard" if a.get("word_delimiter") else "uax29")
+    phonetic = a.get("phonetic")
+    if phonetic is not None:
+        from lucene_spark.analysis_phonetic import phonetic_emitter
+
+        phonetic = phonetic_emitter(phonetic)
     return (
         a.get("tokenizer", default_tok),
         bool(a.get("ascii_fold")),
@@ -433,6 +445,7 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
         bool(a.get("word_delimiter")),
         bool(a.get("shingles")),
         cjk,
+        phonetic,
     )
 
 
@@ -460,12 +473,15 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     Positions count stopword holes (StopFilter position increments);
     synonym-injected terms repeat the source position (posIncr=0)."""
     (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
-     shingles, cjk) = _norm_analyzer(analyzer, stopwords)
+     shingles, cjk, phonetic) = _norm_analyzer(analyzer, stopwords)
     if shingles and synonyms:
         raise ValueError("shingles + synonyms not supported in one chain")
     if cjk and (shingles or wd):
         raise ValueError("cjk composes with stop/fold/stem, not "
                          "shingles/word_delimiter")
+    if phonetic and (shingles or cjk):
+        raise ValueError("phonetic composes with stop/fold/stem/synonyms, "
+                         "not shingles/cjk")
     if not text:
         return [], []
     if wd:
@@ -507,6 +523,14 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     if filters:
         fmap = _filter_map(set(raw), filters)
         raw = [fmap[t] for t in raw]
+    if phonetic:
+        pmap = {t: phonetic(t) for t in set(raw)}
+        out_t, out_p = [], []
+        for t, p in zip(raw, positions):
+            for e in pmap[t]:
+                out_t.append(e)
+                out_p.append(p)  # injected codes are posIncr=0
+        raw, positions = out_t, out_p
     if cjk:
         raw, positions = cjk_bigrams(
             raw, positions, output_unigrams=(cjk == "unigrams"))
@@ -541,7 +565,7 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     norm = SmallFloat.intToByte4(dl) (BM25Similarity.java:137-148).
     """
     (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
-     shingles, cjk) = _norm_analyzer(analyzer, stopwords)
+     shingles, cjk, phonetic) = _norm_analyzer(analyzer, stopwords)
     if shingles and (synonyms or want_offsets):
         raise ValueError(
             "shingles compose with stop/stem/fold/wd chains, not with "
@@ -550,6 +574,9 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     if cjk and (shingles or wd or want_offsets):
         raise ValueError("cjk composes with stop/fold/stem, not "
                          "shingles/word_delimiter/offsets")
+    if phonetic and (shingles or cjk):
+        raise ValueError("phonetic composes with stop/fold/stem/synonyms, "
+                         "not shingles/cjk")
     filled = texts.fillna("")
     if wd:
         # vectorized: the split rules are plain regex substitutions on
@@ -607,6 +634,15 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
         for syns in synonyms.values():
             vocab.update(syns)
         fmap = _filter_map(vocab, filters)
+    pmap: dict[str, tuple] = {}
+    if phonetic:
+        # encode once per unique post-filter surface form per batch
+        pvocab = set()
+        for toks in all_terms:
+            pvocab.update(fmap.get(t, t) if filters else t for t in toks)
+        for syns in synonyms.values():
+            pvocab.update(fmap.get(s, s) if filters else s for s in syns)
+        pmap = {t: phonetic(t) for t in pvocab}
     for di, toks in enumerate(all_terms):
         starts = all_starts[di] if all_starts is not None else None
         if any(len(t) > MAX_TOKEN_LENGTH for t in toks):
@@ -619,7 +655,7 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
             toks = split
             if starts is not None:
                 starts = split_starts
-        if stopset or synonyms or filters:
+        if stopset or synonyms or filters or phonetic:
             terms, positions, offs, n_orig = [], [], [], 0
             for p, t in enumerate(toks):
                 if stopset and t in stopset:
@@ -630,11 +666,20 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
                 else:
                     emitted = (t,)
                 for e in emitted:
-                    terms.append(fmap.get(e, e) if filters else e)
-                    positions.append(p)
-                    if starts is not None:
-                        # injected/stemmed tokens keep the surface span
-                        offs.extend((starts[p], len(t)))
+                    fe = fmap.get(e, e) if filters else e
+                    if phonetic:
+                        pe = pmap.get(fe)
+                        if pe is None:
+                            pe = pmap[fe] = phonetic(fe)
+                    else:
+                        pe = (fe,)
+                    for o in pe:
+                        terms.append(o)
+                        positions.append(p)
+                        if starts is not None:
+                            # injected/stemmed/encoded tokens keep the
+                            # surface span
+                            offs.extend((starts[p], len(t)))
             if cjk:
                 terms, positions = cjk_bigrams(
                     terms, positions, output_unigrams=(cjk == "unigrams"))

@@ -337,10 +337,13 @@ def _make_dl_expr(analyzer: dict | None):
     )
 
     (tokenizer, fold, stopset, _syn, _ko, _filters, wd, _sh,
-     cjk) = _norm_analyzer(analyzer)
+     cjk, _phon) = _norm_analyzer(analyzer)
     if (fold or stopset or wd or cjk
             or tokenizer not in ("standard", "uax29")):
-        dl_conf = {**(analyzer or {}), "synonyms": {}, "filters": []}
+        # synonyms/filters/phonetic never change dl: injections are
+        # posIncr=0 overlaps (discounted), replaces are 1:1
+        dl_conf = {**(analyzer or {}), "synonyms": {}, "filters": [],
+                   "phonetic": None}
 
         def dl_expr_for(col: str):
             @F.pandas_udf(T.LongType())
