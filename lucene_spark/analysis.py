@@ -360,13 +360,84 @@ from lucene_spark.analysis_phonetic import PHONETIC_FILTERS as _PHONETIC  # noqa
 _TOKEN_FILTERS.update(_PHONETIC)
 
 
-def _filter_map(vocab, filters: list[str]) -> dict[str, str]:
+def ngram_emitter(conf: dict):
+    """NGramTokenFilter / EdgeNGramTokenFilter analog
+    (analysis/ngram/NGramTokenFilter.java:36, EdgeNGramTokenFilter.java:
+    35): emit every n-gram (or edge n-gram) of each token at the SOURCE
+    position (posIncr=0 overlaps since 7.4, offsets keep the whole-token
+    span) — dl/norms discount the grams exactly like synonym injections.
+    ``preserve_original`` keeps the surface token too (keepShortTerm /
+    preserveOriginal flag). Documented deviation: a token shorter than
+    ``min`` passes through unchanged instead of being dropped (keeps dl
+    identical to the SQL twin; the reference drops it unless
+    preserveOriginal).
+
+    conf: {"min": int, "max": int, "edge": bool, "preserve_original": bool}
+    """
+    mn = int(conf.get("min", 1))
+    mx = int(conf.get("max", 2))
+    edge = bool(conf.get("edge", False))
+    keep = bool(conf.get("preserve_original", False))
+    if mn < 1 or mx < mn:
+        raise ValueError(f"bad ngram range: min={mn}, max={mx}")
+
+    def emit(t: str) -> tuple:
+        if len(t) < mn:
+            return (t,)
+        out = [t] if keep else []
+        if edge:
+            out += [t[:ln] for ln in range(mn, min(mx, len(t)) + 1)]
+        else:
+            out += [
+                t[i : i + ln]
+                for ln in range(mn, mx + 1)
+                for i in range(len(t) - ln + 1)
+            ]
+        # keep=True can duplicate the full token (it is its own gram
+        # when len(t) <= mx) — the reference emits it once
+        if keep and len(t) <= mx:
+            out = [t] + [g for g in out[1:] if g != t]
+        return tuple(out)
+
+    return emit
+
+
+class _Filters(list):
+    """The normalized filter chain: a plain list of registry names plus
+    the optional keyword-marker/stemmer-override protection pair. Truthy
+    whenever there is ANY term-mapping work to do (filters or protect),
+    so the chain's `if filters:` routing stays a single check."""
+
+    def __init__(self, names, protect=None):
+        super().__init__(names)
+        self.protect = protect
+
+    def __bool__(self):  # noqa: D105
+        return len(self) > 0 or self.protect is not None
+
+
+def _filter_map(vocab, filters, protect=None) -> dict[str, str]:
     """Apply the token-filter chain once per UNIQUE token (the hot-path
     trick: factorize the batch vocabulary, stem each unique surface form
-    once, map the stream through the dict)."""
+    once, map the stream through the dict).
+
+    ``protect``: optional (keyword_set, overrides) pair —
+    KeywordMarkerFilter (analysis/miscellaneous/KeywordMarkerFilter.java:
+    keyword-marked tokens pass every stemmer untouched) and
+    StemmerOverrideFilter (StemmerOverrideFilter.java:46: the override
+    IS the output and sets the keyword flag, so later stemmers skip)."""
+    if protect is None:
+        protect = getattr(filters, "protect", None)
+    keyword_set, overrides = protect or (None, None)
     fns = [_TOKEN_FILTERS[f] for f in filters]
     out = {}
     for t in vocab:
+        if keyword_set and t in keyword_set:
+            out[t] = t
+            continue
+        if overrides and t in overrides:
+            out[t] = overrides[t]
+            continue
         v = t
         for fn in fns:
             v = fn(v)
@@ -430,22 +501,36 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
     cjk = a.get("cjk", False)  # False | True | "unigrams"
     default_tok = ("unicode" if cjk
                    else "standard" if a.get("word_delimiter") else "uax29")
-    phonetic = a.get("phonetic")
-    if phonetic is not None:
+    # one same-position token-expansion slot: phonetic codes OR n-grams
+    # (both emit extra terms at the source position, posIncr=0)
+    expand = a.get("phonetic")
+    if expand is not None:
         from lucene_spark.analysis_phonetic import phonetic_emitter
 
-        phonetic = phonetic_emitter(phonetic)
+        expand = phonetic_emitter(expand)
+    if a.get("token_ngrams"):
+        if expand is not None:
+            raise ValueError("phonetic and token_ngrams are mutually exclusive")
+        expand = ngram_emitter(a["token_ngrams"])
+    # KeywordMarkerFilter / StemmerOverrideFilter config: terms the
+    # stemmer chain must not touch, and explicit surface->stem overrides
+    protect = None
+    if a.get("keyword_marker") or a.get("stem_overrides"):
+        protect = (
+            frozenset(a.get("keyword_marker") or ()),
+            dict(a.get("stem_overrides") or {}),
+        )
     return (
         a.get("tokenizer", default_tok),
         bool(a.get("ascii_fold")),
         stopset,
         {k: list(v) for k, v in (a.get("synonyms") or {}).items()},
         bool(a.get("keep_orig", True)),
-        list(a.get("filters") or []),
+        _Filters(list(a.get("filters") or []), protect),
         bool(a.get("word_delimiter")),
         bool(a.get("shingles")),
         cjk,
-        phonetic,
+        expand,
     )
 
 
@@ -473,15 +558,15 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     Positions count stopword holes (StopFilter position increments);
     synonym-injected terms repeat the source position (posIncr=0)."""
     (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
-     shingles, cjk, phonetic) = _norm_analyzer(analyzer, stopwords)
+     shingles, cjk, expand) = _norm_analyzer(analyzer, stopwords)
     if shingles and synonyms:
         raise ValueError("shingles + synonyms not supported in one chain")
     if cjk and (shingles or wd):
         raise ValueError("cjk composes with stop/fold/stem, not "
                          "shingles/word_delimiter")
-    if phonetic and (shingles or cjk):
-        raise ValueError("phonetic composes with stop/fold/stem/synonyms, "
-                         "not shingles/cjk")
+    if expand and (shingles or cjk):
+        raise ValueError("phonetic/ngram expansion composes with stop/fold/"
+                         "stem/synonyms, not shingles/cjk")
     if not text:
         return [], []
     if wd:
@@ -523,8 +608,8 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     if filters:
         fmap = _filter_map(set(raw), filters)
         raw = [fmap[t] for t in raw]
-    if phonetic:
-        pmap = {t: phonetic(t) for t in set(raw)}
+    if expand:
+        pmap = {t: expand(t) for t in set(raw)}
         out_t, out_p = [], []
         for t, p in zip(raw, positions):
             for e in pmap[t]:
@@ -565,7 +650,7 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     norm = SmallFloat.intToByte4(dl) (BM25Similarity.java:137-148).
     """
     (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
-     shingles, cjk, phonetic) = _norm_analyzer(analyzer, stopwords)
+     shingles, cjk, expand) = _norm_analyzer(analyzer, stopwords)
     if shingles and (synonyms or want_offsets):
         raise ValueError(
             "shingles compose with stop/stem/fold/wd chains, not with "
@@ -574,9 +659,9 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     if cjk and (shingles or wd or want_offsets):
         raise ValueError("cjk composes with stop/fold/stem, not "
                          "shingles/word_delimiter/offsets")
-    if phonetic and (shingles or cjk):
-        raise ValueError("phonetic composes with stop/fold/stem/synonyms, "
-                         "not shingles/cjk")
+    if expand and (shingles or cjk):
+        raise ValueError("phonetic/ngram expansion composes with stop/fold/"
+                         "stem/synonyms, not shingles/cjk")
     filled = texts.fillna("")
     if wd:
         # vectorized: the split rules are plain regex substitutions on
@@ -635,14 +720,14 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
             vocab.update(syns)
         fmap = _filter_map(vocab, filters)
     pmap: dict[str, tuple] = {}
-    if phonetic:
+    if expand:
         # encode once per unique post-filter surface form per batch
         pvocab = set()
         for toks in all_terms:
             pvocab.update(fmap.get(t, t) if filters else t for t in toks)
         for syns in synonyms.values():
             pvocab.update(fmap.get(s, s) if filters else s for s in syns)
-        pmap = {t: phonetic(t) for t in pvocab}
+        pmap = {t: expand(t) for t in pvocab}
     for di, toks in enumerate(all_terms):
         starts = all_starts[di] if all_starts is not None else None
         if any(len(t) > MAX_TOKEN_LENGTH for t in toks):
@@ -655,7 +740,7 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
             toks = split
             if starts is not None:
                 starts = split_starts
-        if stopset or synonyms or filters or phonetic:
+        if stopset or synonyms or filters or expand:
             terms, positions, offs, n_orig = [], [], [], 0
             for p, t in enumerate(toks):
                 if stopset and t in stopset:
@@ -667,10 +752,10 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
                     emitted = (t,)
                 for e in emitted:
                     fe = fmap.get(e, e) if filters else e
-                    if phonetic:
+                    if expand:
                         pe = pmap.get(fe)
                         if pe is None:
-                            pe = pmap[fe] = phonetic(fe)
+                            pe = pmap[fe] = expand(fe)
                     else:
                         pe = (fe,)
                     for o in pe:

@@ -169,13 +169,18 @@ class Searcher:
                  query_cache=None, **sim_kwargs):
         assert scoring in ("lucene", "double")
         # IndexSearcher.setSimilarity analog: None = the default BM25
-        # (float32 bit-parity path); named similarities compute in
-        # float64 and require the oracle-checkable "double" mode.
+        # (float32 bit-parity path). Named similarities support both
+        # modes: "double" is the oracle-checkable float64 path;
+        # "lucene" applies the reference's float casts — SimilarityBase
+        # computes the model in double and the SimScorer casts the final
+        # value to float (SimilarityBase.java:218-225), so per-term
+        # float32 final casts + the existing float-cast sum combine ARE
+        # the reference float arithmetic (Classic overrides with TFIDF's
+        # per-step float computation).
         if similarity is not None:
             from lucene_spark import similarities as _sims
 
             self.sim = _sims.by_name(similarity, **sim_kwargs)
-            assert scoring == "double", "non-BM25 similarities score in float64"
         else:
             self.sim = None
         self.index = index
@@ -244,10 +249,20 @@ class Searcher:
     # decode UDFs
     # ------------------------------------------------------------------
 
+    def _sim_score(self):
+        """Bound scorer for the installed similarity honoring the scoring
+        mode: float64, or the reference's float32 final cast ("lucene").
+        Returns float64 arrays either way (DataFrame score columns are
+        double)."""
+        sim = self.sim
+        if self.scoring == "lucene":
+            return lambda f, qdl, w: sim.score_f32(f, qdl, w).astype(np.float64)
+        return sim.score
+
     def _score_arrays(self, freqs, norms, weight):
         if self.sim is not None:
             qdl = LENGTH_TABLE[np.asarray(norms, dtype=np.int64) & 0xFF]
-            return self.sim.score(freqs, qdl, weight)
+            return self._sim_score()(freqs, qdl, weight)
         if self.scoring == "lucene":
             return bm25.score(freqs, norms, np.float32(weight), self.index.cache_f32).astype(
                 np.float64
@@ -265,6 +280,7 @@ class Searcher:
         rows = self.index.postings_for_terms(list(terms_weights), field)
         scoring = self.scoring
         sim = self.sim
+        sim_score = self._sim_score() if sim is not None else None
         cache_f32 = self.index.cache_f32_for(field)
         avgdl_dbl = self.index.avgdl_dbl_for(field)
         prune = k is not None and len(terms_weights) == 1
@@ -280,7 +296,7 @@ class Searcher:
                 f = np.array([p["freq"] for p in impacts], dtype=np.float32)
                 nm = np.array([p["norm"] for p in impacts], dtype=np.int64)
                 if sim is not None:
-                    return float(np.max(sim.score(f, LENGTH_TABLE[nm & 0xFF], weight)))
+                    return float(np.max(sim_score(f, LENGTH_TABLE[nm & 0xFF], weight)))
                 if scoring == "lucene":
                     return float(np.max(bm25.score(f, nm, np.float32(weight), cache_f32)))
                 qdl = LENGTH_TABLE[nm & 0xFF]
@@ -297,7 +313,7 @@ class Searcher:
                         d, f, nm = decode_block(blk)
                         if sim is not None:
                             qdl = LENGTH_TABLE[nm.astype(np.int64) & 0xFF]
-                            s = sim.score(f, qdl, w)
+                            s = sim_score(f, qdl, w)
                         elif scoring == "lucene":
                             s = bm25.score(f, nm, np.float32(w), cache_f32).astype(np.float64)
                         else:
@@ -820,6 +836,7 @@ class Searcher:
         """(doc_id, freq, norm) -> (doc_id, score) via vectorized UDF."""
         scoring = self.scoring
         sim = self.sim
+        sim_score = self._sim_score() if sim is not None else None
         cache_f32 = self.index.cache_f32_for(field)
         avgdl_dbl = self.index.avgdl_dbl_for(field)
 
@@ -828,7 +845,7 @@ class Searcher:
             f = freq.to_numpy()
             nm = norm.to_numpy()
             if sim is not None:
-                s = sim.score(f, LENGTH_TABLE[nm.astype(np.int64) & 0xFF], weight)
+                s = sim_score(f, LENGTH_TABLE[nm.astype(np.int64) & 0xFF], weight)
             elif scoring == "lucene":
                 s = bm25.score(f, nm, np.float32(weight), cache_f32).astype(np.float64)
             else:
@@ -1842,6 +1859,7 @@ class Searcher:
         # ---- pass 2: salt-level upper bounds (metadata-only read) ----
         scoring = self.scoring
         sim = self.sim
+        sim_score = self._sim_score() if sim is not None else None
         cache_f32 = self.index.cache_f32
         avgdl_dbl = self.index.avgdl_dbl
 
@@ -1851,7 +1869,7 @@ class Searcher:
             if len(f) == 0:
                 return 0.0
             if sim is not None:
-                return float(np.max(sim.score(f, LENGTH_TABLE[nm & 0xFF], w)))
+                return float(np.max(sim_score(f, LENGTH_TABLE[nm & 0xFF], w)))
             if scoring == "lucene":
                 return float(np.max(bm25.score(f, nm, np.float32(w), cache_f32)))
             return float(
@@ -1964,7 +1982,7 @@ class Searcher:
                         d, f, nm = decode_block(blk)
                         if sim is not None:
                             qdl = LENGTH_TABLE[nm.astype(np.int64) & 0xFF]
-                            sc = sim.score(f, qdl, w)
+                            sc = sim_score(f, qdl, w)
                         elif scoring == "lucene":
                             sc = bm25.score(f, nm, np.float32(w), cache_f32).astype(
                                 np.float64

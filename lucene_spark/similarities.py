@@ -85,6 +85,16 @@ class Similarity:
     def score(self, freqs: np.ndarray, qdl: np.ndarray, params: tuple) -> np.ndarray:
         raise NotImplementedError
 
+    def score_f32(self, freqs: np.ndarray, qdl: np.ndarray, params: tuple) -> np.ndarray:
+        """Reference-cast scoring: SimilarityBase.score() computes the
+        model in DOUBLE and the SimScorer casts the final value to float
+        (SimilarityBase.java:218-225 returns double; Similarity.SimScorer
+        #score returns float) — so double math + one final float32 cast
+        IS the reference's float arithmetic for every SimilarityBase
+        subclass. ClassicSimilarity overrides (TFIDF computes per-step
+        in float, TFIDFSimilarity.java:497-503)."""
+        return self.score(freqs, qdl, params).astype(np.float32)
+
 
 class ClassicSimilarity(Similarity):
     """TFIDF. idf: ClassicSimilarity.java:62-64; lengthNorm 1/sqrt(dl):
@@ -106,6 +116,19 @@ class ClassicSimilarity(Similarity):
     def score(self, freqs, qdl, params):
         (qw,) = params
         return np.sqrt(np.asarray(freqs, dtype=np.float64)) * qw / np.sqrt(qdl)
+
+    def score_f32(self, freqs, qdl, params):
+        # TFIDFSimilarity computes in FLOAT per step: tf=(float)sqrt(freq)
+        # (TFIDFSimilarity.java:497), queryWeight float, lengthNorm =
+        # (float)(1/sqrt(dl)) (ClassicSimilarity.java:38-40), product in
+        # float — reproduce the same intermediate precision
+        (qw,) = params
+        tf = np.sqrt(np.asarray(freqs, dtype=np.float32)).astype(np.float32)
+        norm = (
+            np.float32(1.0)
+            / np.sqrt(np.asarray(qdl, dtype=np.float32)).astype(np.float32)
+        ).astype(np.float32)
+        return (tf * np.float32(qw) * norm).astype(np.float32)
 
 
 class BooleanSimilarity(Similarity):
