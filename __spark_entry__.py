@@ -1858,6 +1858,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return _topk_rounded(s.scored(q), 100)
 
 
+def _get_ngram_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Edge-ngram index (analysis/ngram EdgeNGramTokenFilter): grams of
+    length 2-4 stacked at the source position plus the original token —
+    so a short TermQ behaves as a prefix match, which the oracle can
+    express exactly (gram 'vec' exists in a doc iff some token of the
+    doc starts with 'vec')."""
+    key = os.path.normpath(sf_dir) + "|ng"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        keep_cols=["lang"], num_buckets=8, salt_rows=2048, resume=True,
+        analyzer={"token_ngrams": {"min": 2, "max": 4, "edge": True,
+                                   "preserve_original": True}},
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_edge_ngram_docs(gram: str):
+    def fn(spark, sf_dir):
+        s = Searcher(_get_ngram_index(spark, sf_dir), scoring="double")
+        return _docset_sorted(s.doc_set(TermQ(gram)))
+
+    return fn
+
+
+def _edge_ngram_docs_sql(gram: str) -> str:
+    # a len-L gram (min<=L<=max) is indexed for every token with that
+    # prefix; preserve_original covers exact tokens — so the doc set is
+    # exactly "has a token LIKE 'gram%'"
+    return (
+        f"{_PRELUDE} SELECT DISTINCT doc_id FROM terms "
+        f"WHERE term LIKE '{gram}%' ORDER BY doc_id"
+    )
+
+
 def _q_term_vector(doc_ids: tuple):
     """Term vectors gate (Lucene90TermVectorsFormat /
     IndexReader.getTermVector): per-doc (term, freq) rows of the default
@@ -1914,7 +1954,7 @@ _GATE_WINDOW = [
     "payload_span_topk",
     "dedup_exact", "dedup_minhash_pairs",
     "dedup_clusters", "classify_nb", "geo_polygon_docs",
-    "term_vector_doc", "geo_nearest_topk",
+    "term_vector_doc", "edge_ngram_prefix_docs",
     "multimodal_asset_stats",
 ]
 # Round-4 window swaps (still one gate per family inside; the displaced
@@ -1929,7 +1969,9 @@ _GATE_WINDOW = [
 # inside; cjk adds the width-fold + bigram analysis family),
 # ann_cosine_topk -> term_vector_doc (ANN keeps ann_recall_floor —
 # which contains the exact cosine oracle — inside; term vectors are a
-# new stored-data family, Lucene90TermVectorsFormat).
+# new stored-data family, Lucene90TermVectorsFormat),
+# geo_nearest_topk -> edge_ngram_prefix_docs (geo keeps geo_polygon_docs
+# inside; analysis/ngram is a new filter family round 4).
 
 
 def _window_ordered(qs: dict) -> dict:
@@ -2208,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "term_vector_doc": _q_term_vector((3, 11, 42)),
+        "edge_ngram_prefix_docs": _q_edge_ngram_docs("vec"),
         "ann_cosine_topk": _q_ann_cosine(0, 10),
         "ann_lsh_topk": _q_ann_lsh(0, 10),  # approximate: rows-only check
         "ann_ivf_topk": _q_ann_ivf(0, 10),
@@ -3012,6 +3055,7 @@ ORDER BY score_r DESC, gram LIMIT 50
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(8),
         "dedup_embedding_pairs": dedup.embedding_pairs_sql(0.2),
         "term_vector_doc": _term_vector_sql((3, 11, 42)),
+        "edge_ngram_prefix_docs": _edge_ngram_docs_sql("vec"),
         "ann_cosine_topk": similarity.cosine_topk_self_sql(0, 10),
         # deterministic LSH oracle: seeded hyperplanes inlined as SQL
         # literals, identical candidate set to the Spark probe

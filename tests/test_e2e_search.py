@@ -110,6 +110,13 @@ def test_bool_and(built):
     lambda: BoolQ(must=(TermQ("license"),), should=(TermQ("import"),)),
     lambda: BoolQ(should=(TermQ("the"), TermQ("import"), TermQ("return")),
                   min_should_match=2),
+    # filter / must_not shapes route through the fused θ verification
+    # (exact candidate-bounded totals) — WANDScorer with required /
+    # prohibited clauses
+    lambda: BoolQ(must=(TermQ("import"), TermQ("return")),
+                  must_not=(TermQ("var_17"),)),
+    lambda: BoolQ(should=(TermQ("import"), TermQ("return")),
+                  filter=(TermQ("license"),)),
 ])
 def test_bool_topk_wand_identical(built, qb):
     """Block-max WAND must not change boolean top-k results — the
