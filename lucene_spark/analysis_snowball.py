@@ -1243,6 +1243,642 @@ def snowball_russian_stem(w: str) -> str:
     return w
 
 
+
+
+# ---------------------------------------------------------------------------
+# Dutch — snowball dutch.sbl / DutchStemmer.java
+# (R2 continues from the UNADJUSTED R1 before the min-3 floor is applied —
+#  the floor only moves the R1 *test* position, not the R2 scan start)
+# ---------------------------------------------------------------------------
+
+_NL_V = "aeiouyè"
+
+_NL_MAP = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+def _nl_undouble(w):
+    if w.endswith(("kk", "dd", "tt")):
+        return w[:-1]
+    return w
+
+def snowball_dutch_stem(w):
+    w = w.translate(_NL_MAP)
+    # mark: initial y -> Y, y after vowel -> Y, i between vowels -> I
+    ch = list(w)
+    n = len(ch)
+    for j in range(n):
+        if ch[j] == "y" and (j == 0 or ch[j-1] in _NL_V):
+            ch[j] = "Y"
+        elif ch[j] == "i" and 0 < j < n-1 and ch[j-1] in _NL_V and ch[j+1] in _NL_V:
+            ch[j] = "I"
+    w = "".join(ch)
+    r1 = _r_after(w, 0, _NL_V)
+    r2 = _r_after(w, r1, _NL_V)   # from the UNADJUSTED r1
+    if r1 < 3: r1 = 3
+
+    def in_r1(i): return i >= r1
+    def in_r2(i): return i >= r2
+
+    # step 1
+    if w.endswith("heden"):
+        if in_r1(len(w)-5): w = w[:-5] + "heid"
+    elif w.endswith("ene") or w.endswith("en"):
+        k = 3 if w.endswith("ene") else 2
+        stem = w[:-k]
+        if in_r1(len(w)-k) and stem and stem[-1] not in _NL_V + "i" and not stem.endswith("gem"):
+            # wait: valid en-ending: non-vowel and not gem — check spec
+            w = _nl_undouble(stem)
+    elif w.endswith("se") or w.endswith("s"):
+        k = 2 if w.endswith("se") else 1
+        stem = w[:-k]
+        if in_r1(len(w)-k) and stem and stem[-1] not in _NL_V + "j":
+            w = stem
+    # step 2
+    e_found = False
+    if w.endswith("e") and in_r1(len(w)-1) and len(w) >= 2 and w[-2] not in _NL_V:
+        e_found = True
+        w = _nl_undouble(w[:-1])
+    # step 3a
+    if w.endswith("heid") and in_r2(len(w)-4) and (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if w.endswith("en"):
+            stem = w[:-2]
+            if in_r1(len(w)-2) and stem and stem[-1] not in _NL_V + "i" and not stem.endswith("gem"):
+                w = _nl_undouble(stem)
+    # step 3b
+    if w.endswith("end") or w.endswith("ing"):
+        if in_r2(len(w)-3):
+            w = w[:-3]
+            if w.endswith("ig") and in_r2(len(w)-2) and (len(w) < 3 or w[-3] != "e"):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+    elif w.endswith("ig"):
+        if in_r2(len(w)-2) and (len(w) < 3 or w[-3] != "e"):
+            w = w[:-2]
+    elif w.endswith("lijk"):
+        if in_r2(len(w)-4):
+            w = w[:-4]
+            if w.endswith("e") and in_r1(len(w)-1) and len(w) >= 2 and w[-2] not in _NL_V:
+                w = _nl_undouble(w[:-1])
+    elif w.endswith("baar"):
+        if in_r2(len(w)-4):
+            w = w[:-4]
+    elif w.endswith("bar"):
+        if in_r2(len(w)-3) and e_found:
+            w = w[:-3]
+    # step 4: undouble vowel  C v v d  (d != I, v in aa ee oo uu)
+    if len(w) >= 4:
+        c, v1, v2, d = w[-4], w[-3], w[-2], w[-1]
+        if (c not in _NL_V and d not in _NL_V and d != "I"
+                and v1 == v2 and v1 in "aeou"):
+            w = w[:-2] + w[-1]
+    return w.replace("I", "i").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# Romanian — snowball romanian.sbl / RomanianStemmer.java
+# (RV is the Spanish-style region; verb suffixes must lie entirely in RV,
+#  including the consonant/u lookback of the conditional group)
+# ---------------------------------------------------------------------------
+
+_RO_V = "aeiouăâî"   # a e i o u ă â î
+
+def _rv_spanish(w, vowels):
+    n = len(w)
+    if n < 2: return n
+    if w[1] not in vowels:            # X C ... -> after next vowel
+        i = 2
+        while i < n and w[i] not in vowels: i += 1
+        return i + 1 if i < n else n
+    if w[0] in vowels:                # V V ... -> after next consonant
+        i = 2
+        while i < n and w[i] in vowels: i += 1
+        return i + 1 if i < n else n
+    return 3 if n > 3 else n          # C V -> after third letter
+
+_RO_STEP0 = [
+    ("ul", 1), ("ului", 1),
+    ("aua", 2),
+    ("ea", 3), ("ele", 3), ("elor", 3),
+    ("iua", 4), ("iei", 4), ("ii", 4), ("ilor", 4), ("iilor", 4), ("iile", 4),
+    ("ile", 5),
+    ("atei", 6),
+    ("aţia", 7), ("aţie", 7),
+]
+_RO_COMBO = [
+    ("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+    ("abilităţi", "abil"),
+    ("ibilitate", "ibil"),
+    ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"),
+    ("ivităţi", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+    ("icităţi", "ic"), ("icator", "ic"), ("icatori", "ic"),
+    ("iciv", "ic"), ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"),
+    ("icivă", "ic"), ("ical", "ic"), ("icala", "ic"), ("icale", "ic"),
+    ("icali", "ic"), ("icală", "ic"),
+    ("ativ", "at"), ("ativa", "at"), ("ative", "at"), ("ativi", "at"),
+    ("ativă", "at"), ("aţiune", "at"), ("atoare", "at"),
+    ("ator", "at"), ("atori", "at"),
+    ("ătoare", "at"), ("ător", "at"), ("ători", "at"),
+    ("itiv", "it"), ("itiva", "it"), ("itive", "it"), ("itivi", "it"),
+    ("itivă", "it"), ("iţiune", "it"), ("itoare", "it"),
+    ("itor", "it"), ("itori", "it"),
+]
+_RO_STD = [
+    # case 1: delete
+    *[(s, 1) for s in (
+        "ica", "abila", "ibila", "oasa", "ata", "ita", "anta", "uta", "iva",
+        "ic", "ice", "abile", "ibile", "oase", "ate", "itate", "ite", "ante",
+        "ute", "ive", "ici", "abili", "ibili", "atori", "osi", "ati", "itati",
+        "iti", "anti", "uti", "ivi", "ităi", "oşi",
+        "ităţi", "abil", "ibil", "ator", "os", "at", "it", "ant",
+        "ut", "iv", "ică", "abilă", "ibilă", "oasă",
+        "ată", "ită", "antă", "ută", "ivă")],
+    ("iune", 2), ("iuni", 2),
+    ("ista", 3), ("isme", 3), ("iste", 3), ("isti", 3), ("işti", 3),
+    ("ism", 3), ("ist", 3), ("istă", 3),
+]
+# verb suffixes: 1 = delete if preceded (within RV) by consonant or 'u';
+# 2 = delete
+_RO_VERB = [
+    *[(s, 1) for s in (
+        "ea", "ia", "esc", "ăsc", "ind", "ând", "are", "ere",
+        "ire", "âre", "ase", "ise", "use", "âse",
+        "eşte", "ăşte", "eze", "ai", "eai", "iai",
+        "eşti", "ăşti", "ui", "ezi", "âi", "aşi",
+        "aseşi", "iseşi", "useşi", "âseşi",
+        "işi", "uşi", "âşi",
+        "eaţi", "iaţi", "arăţi",
+        "aserăţi", "iserăţi", "userăţi",
+        "âserăţi", "irăţi", "urăţi",
+        "ârăţi", "am", "eam", "iam", "asem", "isem", "usem",
+        "âsem", "arăm", "aserăm", "iserăm",
+        "userăm", "âserăm", "irăm", "urăm",
+        "ârăm", "au", "eau", "iau", "indu", "ându", "ez",
+        "ească", "ară", "aseră", "iseră",
+        "useră", "âseră", "iră", "ură",
+        "âră", "ează")],
+    *[(s, 2) for s in (
+        "se", "sese", "sei", "seşi", "seseşi", "aţi",
+        "eţi", "iţi", "âţi", "serăţi",
+        "seserăţi", "em", "sesem", "im", "âm", "ăm",
+        "serăm", "seserăm", "seră", "seseră")],
+]
+
+def snowball_romanian_stem(w):
+    # prelude: u/i after a vowel and before a vowel -> U/I
+    ch = list(w); n = len(ch)
+    for j in range(1, n - 1):
+        if ch[j] in "ui" and ch[j-1] in _RO_V and ch[j+1] in _RO_V:
+            ch[j] = ch[j].upper()
+    w = "".join(ch)
+    pv = _rv_spanish(w, _RO_V)
+    r1 = _r_after(w, 0, _RO_V)
+    r2 = _r_after(w, r1, _RO_V)
+
+    # step 0 (R1)
+    m = _longest_suffix(w, _RO_STEP0)
+    if m and len(w) - len(m[0]) >= r1:
+        suf, act = m
+        stem = w[:-len(suf)]
+        if act == 1: w = stem
+        elif act == 2: w = stem + "a"
+        elif act == 3: w = stem + "e"
+        elif act == 4: w = stem + "i"
+        elif act == 5:
+            if not stem.endswith("ab"): w = stem + "i"
+        elif act == 6: w = stem + "at"
+        elif act == 7: w = stem + "aţi"
+
+    # standard suffix: repeat combo (R1), then a_3 (R2)
+    removed = False
+    while True:
+        m = _longest_suffix(w, _RO_COMBO)
+        if m and len(w) - len(m[0]) >= r1:
+            w = w[:-len(m[0])] + m[1]
+            removed = True
+        else:
+            break
+    m = _longest_suffix(w, _RO_STD)
+    if m and len(w) - len(m[0]) >= r2:
+        suf, act = m
+        if act == 1:
+            w = w[:-len(suf)]; removed = True
+        elif act == 2:
+            if w[:-len(suf)].endswith("ţ"):
+                w = w[:-len(suf)-1] + "t"; removed = True
+        elif act == 3:
+            w = w[:-len(suf)] + "ist"; removed = True
+
+    # verb suffix (only if nothing removed above), entirely within RV
+    if not removed:
+        m = _longest_suffix(w, [(s, a) for s, a in _RO_VERB
+                         if len(w) - len(s) >= pv and w.endswith(s)])
+        if m:
+            suf, act = m
+            i = len(w) - len(suf)
+            if act == 2:
+                w = w[:i]
+            else:
+                if i - 1 >= pv and (w[i-1] not in _RO_V or w[i-1] == "u"):
+                    w = w[:i]
+                # note: 'u' is a vowel, so condition = consonant or u
+
+    # vowel suffix (RV)
+    m = _longest_suffix(w, [("a", 1), ("e", 1), ("ie", 1), ("i", 1), ("ă", 1)])
+    if m and len(w) - len(m[0]) >= pv:
+        w = w[:-len(m[0])]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Irish — snowball irish.sbl / IrishStemmer.java
+# (initial-mutation prefix strip, then noun/deriv/verb suffix passes)
+# ---------------------------------------------------------------------------
+
+_GA_V = "aeiouáéíóú"
+
+_GA_PREFIX = [
+    ("b'", ""), ("d'", ""), ("h-", ""), ("m'", ""), ("n-", ""), ("t-", ""),
+    ("bhf", "f"), ("d'fh", "f"), ("fh", "f"),
+    ("sh", "s"), ("ts", "s"),
+    ("bh", "b"), ("mb", "b"),
+    ("ch", "c"), ("gc", "c"),
+    ("dh", "d"), ("nd", "d"),
+    ("gh", "g"), ("ng", "g"),
+    ("bp", "p"), ("ph", "p"),
+    ("dt", "t"), ("th", "t"),
+    ("mh", "m"),
+]
+_GA_NOUN = [
+    *[(s, 1) for s in ("íochta", "aíochta", "abh", "eabh", "ibh", "aibh",
+                       "amh", "eamh", "imh", "aimh", "íocht", "aíocht")],
+    *[(s, 2) for s in ("ire", "aire", "irí", "airí")],
+]
+_GA_DERIV = [
+    *[(s, 1) for s in ("achta", "eachta", "ach", "each", "acht", "eacht",
+                       "achtúil", "eachtúil")],
+    *[(s, ("arc",)) for s in ("arcachta", "arcacht", "arcachtaí")],
+    *[(s, ("gin",)) for s in ("gineach", "gineas", "ginis")],
+    *[(s, ("graf",)) for s in ("grafaíochta", "grafaíoch", "grafaíocht",
+                               "grafaíochtaí")],
+    *[(s, ("paite",)) for s in ("patacha", "paite", "patach", "pataigh")],
+    *[(s, ("óid",)) for s in ("óideacha", "óideach", "óidigh")],
+]
+_GA_VERB = [
+    *[(s, 1) for s in ("imid", "aimid", "ímid", "aímid", "faidh", "fidh")],
+    *[(s, 2) for s in ("adh", "eadh", "áil", "ain", "tear", "tar")],
+]
+
+def snowball_irish_stem(w):
+    # initial mutation/morph prefix (longest match at word start)
+    best = None
+    for pre, rep in _GA_PREFIX:
+        if w.startswith(pre) and (best is None or len(pre) > len(best[0])):
+            best = (pre, rep)
+    if best:
+        w = best[1] + w[len(best[0]):]
+    # regions
+    n = len(w); i = 0
+    while i < n and w[i] not in _GA_V: i += 1
+    pv = i + 1 if i < n else n
+    r1 = _r_after(w, 0, _GA_V)
+    r2 = _r_after(w, r1, _GA_V)
+
+    m = _longest_suffix(w, _GA_NOUN)
+    if m:
+        suf, act = m; i = len(w) - len(suf)
+        if (act == 1 and i >= r1) or (act == 2 and i >= r2):
+            w = w[:i]
+    m = _longest_suffix(w, _GA_DERIV)
+    if m:
+        suf, act = m; i = len(w) - len(suf)
+        if act == 1:
+            if i >= r2: w = w[:i]
+        else:
+            w = w[:i] + act[0]
+    m = _longest_suffix(w, _GA_VERB)
+    if m:
+        suf, act = m; i = len(w) - len(suf)
+        if (act == 1 and i >= pv) or (act == 2 and i >= r1):
+            w = w[:i]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Hungarian — snowball hungarian.sbl / HungarianStemmer.java
+# (R1 honours initial digraphs cs/dzs/gy/ly/ny/sz/ty/zs; un-double removes
+#  the second-to-last char so ccs->cs, ssz->sz work unchanged)
+# ---------------------------------------------------------------------------
+
+_HU_V = "aeiouáéíóöőúüű"
+_HU_DIGRAPH = ("cs", "dzs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLE = ("bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk", "ll",
+              "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz", "tt", "tty",
+              "vv", "zz", "zzs")
+
+def _hu_r1(w):
+    n = len(w)
+    if not n: return n
+    if w[0] in _HU_V:
+        i = 0
+        while i < n and w[i] in _HU_V: i += 1   # first consonant
+        if i >= n: return n
+        for d in sorted(_HU_DIGRAPH, key=len, reverse=True):
+            if w.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    i = 0
+    while i < n and w[i] not in _HU_V: i += 1   # first vowel
+    return i + 1 if i < n else n
+
+def _ends_double(w):
+    return any(w.endswith(d) for d in _HU_DOUBLE)
+
+def _undouble(w):
+    return w[:-2] + w[-1] if len(w) >= 2 else w
+
+_HU_CASE = ("ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul",
+            "nál", "nél", "ból", "ról", "tól", "ül", "ből", "ről", "től",
+            "n", "an", "ban", "en", "ben", "képpen", "on", "ön", "képp",
+            "kor", "t", "at", "et", "ként", "anként", "enként", "onként",
+            "ot", "ért", "öt", "hez", "hoz", "höz", "vá", "vé")
+
+def snowball_hungarian_stem(w):
+    r1 = _hu_r1(w)
+
+    def in_r1(i): return i >= r1
+
+    def v_ending(w):
+        if w.endswith("á") and in_r1(len(w) - 1): return w[:-1] + "a"
+        if w.endswith("é") and in_r1(len(w) - 1): return w[:-1] + "e"
+        return w
+
+    # instrum: al/el in R1, preceded by double consonant -> delete + undouble
+    if w.endswith(("al", "el")) and in_r1(len(w) - 2) and _ends_double(w[:-2]):
+        w = _undouble(w[:-2])
+    # case
+    m = _longest_suffix(w, [(s, 1) for s in _HU_CASE])
+    if m and in_r1(len(w) - len(m[0])):
+        w = v_ending(w[:-len(m[0])])
+    # case_special: án->a, ánként->a, én->e (longest)
+    m = _longest_suffix(w, [("án", "a"), ("én", "e"), ("ánként", "a")])
+    if m and in_r1(len(w) - len(m[0])):
+        w = w[:-len(m[0])] + m[1]
+    # case_other: stul/astul/stül/estül -> delete; ástul->a; éstül->e
+    m = _longest_suffix(w, [("stul", ""), ("astul", ""), ("stül", ""),
+                     ("estül", ""), ("ástul", "a"), ("éstül", "e")])
+    if m and in_r1(len(w) - len(m[0])):
+        w = w[:-len(m[0])] + m[1]
+    # factive: final á/é in R1 preceded by double -> delete + undouble
+    if w and w[-1] in "áé" and in_r1(len(w) - 1) and _ends_double(w[:-1]):
+        w = _undouble(w[:-1])
+    # owned
+    m = _longest_suffix(w, [("éi", ""), ("áéi", "a"), ("ééi", "e"), ("é", ""),
+                     ("ké", ""), ("aké", ""), ("eké", ""), ("oké", ""),
+                     ("öké", ""), ("áké", "a"), ("éké", "e"), ("éé", "e")])
+    if m and in_r1(len(w) - len(m[0])):
+        w = w[:-len(m[0])] + m[1]
+    # sing_owner
+    m = _longest_suffix(w, [
+        *[(s, "") for s in ("a", "ja", "d", "ad", "ed", "od", "öd", "e",
+                            "je", "nk", "unk", "ünk", "uk", "juk", "ük",
+                            "jük", "m", "am", "em", "om", "o")],
+        *[(s, "a") for s in ("ád", "ánk", "ájuk", "ám", "á")],
+        *[(s, "e") for s in ("éd", "énk", "éjük", "ém", "é")]])
+    if m and in_r1(len(w) - len(m[0])):
+        w = w[:-len(m[0])] + m[1]
+    # plur_owner
+    m = _longest_suffix(w, [
+        *[(s, "") for s in ("id", "aid", "jaid", "eid", "jeid", "i", "ai",
+                            "jai", "ei", "jei", "itek", "eitek", "jeitek",
+                            "ik", "aik", "jaik", "eik", "jeik", "ink",
+                            "aink", "jaink", "eink", "jeink", "aitok",
+                            "jaitok", "im", "aim", "jaim", "eim", "jeim")],
+        *[(s, "a") for s in ("áid", "ái", "áik", "áink", "áitok", "áim")],
+        *[(s, "e") for s in ("éid", "éi", "éitek", "éik", "éink", "éim")]])
+    if m and in_r1(len(w) - len(m[0])):
+        w = w[:-len(m[0])] + m[1]
+    # plural
+    m = _longest_suffix(w, [("k", ""), ("ak", ""), ("ek", ""), ("ok", ""),
+                     ("ök", ""), ("ák", "a"), ("ék", "e")])
+    if m and in_r1(len(w) - len(m[0])):
+        w = w[:-len(m[0])] + m[1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Finnish — snowball finnish.sbl / FinnishStemmer.java
+# (case endings match entirely inside R1; den/seen/tten/siin carry
+#  in-among conditions that FALL BACK to shorter matches on failure,
+#  while the hAn-family vowel checks are post-commit and abort the rule)
+# ---------------------------------------------------------------------------
+
+_FI_V1 = "aeiouyäö"
+_FI_V2 = "aeiouäö"
+_FI_PARTICLE_END = _FI_V1 + "nt"
+_FI_AEI = "aeiä"
+_FI_C = "bcdfghjklmnpqrstvwxz"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+def snowball_finnish_stem(w):
+    p1 = _r_after(w, 0, _FI_V1)
+    p2 = _r_after(w, p1, _FI_V1)
+    ending_removed = False
+
+    def within_r1(suf, word):
+        return len(word) - len(suf) >= p1 and word.endswith(suf)
+
+    # --- particle etc (suffix within R1) ---
+    best = None
+    for suf, act in (("pa", 1), ("sti", 2), ("kaan", 1), ("han", 1),
+                     ("kin", 1), ("hän", 1), ("kään", 1), ("ko", 1),
+                     ("pä", 1), ("kö", 1)):
+        if within_r1(suf, w) and (best is None or len(suf) > len(best[0])):
+            best = (suf, act)
+    if best:
+        suf, act = best
+        stem = w[:-len(suf)]
+        if act == 1:
+            if stem and stem[-1] in _FI_PARTICLE_END:
+                w = stem
+        elif len(w) - len(suf) >= p2:
+            w = stem
+
+    # --- possessive (suffix within R1) ---
+    best = None
+    for suf, act in (("nsa", 3), ("mme", 3), ("nne", 3), ("ni", 2),
+                     ("si", 1), ("an", 4), ("en", 6), ("än", 5),
+                     ("nsä", 3)):
+        if within_r1(suf, w) and (best is None or len(suf) > len(best[0])):
+            best = (suf, act)
+    if best:
+        suf, act = best
+        stem = w[:-len(suf)]
+        if act == 1:
+            if not stem.endswith("k"):
+                w = stem
+        elif act == 2:
+            w = stem[:-3] + "ksi" if stem.endswith("kse") else stem
+        elif act == 3:
+            w = stem
+        elif act == 4:
+            if stem.endswith(("lla", "na", "ssa", "ta", "lta", "sta")):
+                w = stem
+        elif act == 5:
+            if stem.endswith(("llä", "nä", "ssä", "tä", "ltä", "stä")):
+                w = stem
+        elif act == 6:
+            if stem.endswith(("lle", "ine")):
+                w = stem
+
+    # --- case ending (suffix within R1) ---
+    # in-among conditions (fallback to shorter match on failure); the
+    # lookback itself must also lie within R1
+    def cond_vi(stem):     # preceded by i preceded by V2, all >= p1
+        return (len(stem) >= 2 and len(stem) - 2 >= p1
+                and stem[-1] == "i" and stem[-2] in _FI_V2)
+
+    def cond_long(stem):   # preceded by a long vowel, both chars >= p1
+        return len(stem) - 2 >= p1 and stem.endswith(_FI_LONG)
+
+    _CASE = [
+        ("a", 8), ("lla", 0), ("na", 0), ("ssa", 0), ("ta", 0), ("lta", 0),
+        ("sta", 0), ("tta", 2), ("lle", 0), ("ine", 0), ("ksi", 0),
+        ("n", 7), ("han", 1), ("den", cond_vi), ("seen", cond_long),
+        ("hen", 12), ("tten", cond_vi), ("hin", 13), ("siin", cond_vi),
+        ("hon", 14), ("hän", 15), ("hön", 16), ("ä", 8), ("llä", 0),
+        ("nä", 0), ("ssä", 0), ("tä", 0), ("ltä", 0), ("stä", 0),
+        ("ttä", 2),
+    ]
+    cands = sorted((c for c in _CASE if within_r1(c[0], w)),
+                   key=lambda c: -len(c[0]))
+    chosen = None
+    for suf, act in cands:
+        if callable(act):
+            if act(w[:-len(suf)]):
+                chosen = (suf, -1)
+                break
+            continue          # in-among condition failed: fallback
+        chosen = (suf, act)
+        break
+    if chosen:
+        suf, act = chosen
+        stem = w[:-len(suf)]
+        ok = True
+        extra = 0
+        if act in (1, 12, 13, 14, 15, 16):
+            vow = {1: "a", 12: "e", 13: "i", 14: "o", 15: "ä", 16: "ö"}[act]
+            ok = stem.endswith(vow)
+        elif act == 2:
+            ok = stem.endswith("e")
+        elif act == 7:
+            # n: if preceded by long vowel or "ie", delete one extra char
+            if stem.endswith(_FI_LONG) or stem.endswith("ie"):
+                if len(stem) - 1 >= p1:
+                    extra = 1
+        elif act == 8:
+            ok = (len(stem) >= 2 and stem[-1] in _FI_V1
+                  and stem[-2] in _FI_C)
+        if ok:
+            w = stem[:-extra] if extra else stem
+            ending_removed = True
+
+    # --- other endings (suffix within R2) ---
+    best = None
+    for suf, act in (("eja", 0), ("mma", 1), ("imma", 0), ("mpa", 1),
+                     ("impa", 0), ("mmi", 1), ("immi", 0), ("mpi", 1),
+                     ("impi", 0), ("ejä", 0), ("mmä", 1), ("immä", 0),
+                     ("mpä", 1), ("impä", 0)):
+        if len(w) - len(suf) >= p2 and w.endswith(suf) and (
+                best is None or len(suf) > len(best[0])):
+            best = (suf, act)
+    if best:
+        suf, act = best
+        stem = w[:-len(suf)]
+        if act == 0 or not stem.endswith("po"):
+            w = stem
+
+    # --- i/t plural ---
+    if ending_removed:
+        if w and w[-1] in "ij" and len(w) - 1 >= p1:
+            w = w[:-1]
+    else:
+        if (w.endswith("t") and len(w) - 1 >= p1
+                and len(w) >= 2 and len(w) - 2 >= p1 and w[-2] in _FI_V1):
+            w = w[:-1]
+            best = None
+            for suf, act in (("mma", 1), ("imma", 0)):
+                if len(w) - len(suf) >= p2 and w.endswith(suf) and (
+                        best is None or len(suf) > len(best[0])):
+                    best = (suf, act)
+            if best:
+                suf, act = best
+                stem = w[:-len(suf)]
+                if act == 0 or not stem.endswith("po"):
+                    w = stem
+
+    # --- tidy (each op independent; lookbacks within R1 for the first 4)
+    if len(w) - 2 >= p1 and w.endswith(_FI_LONG):
+        w = w[:-1]
+    if (w and len(w) - 1 >= p1 and w[-1] in _FI_AEI
+            and len(w) >= 2 and len(w) - 2 >= p1 and w[-2] in _FI_C):
+        w = w[:-1]
+    if len(w) - 1 >= p1 and w.endswith(("oj", "uj")):
+        w = w[:-1]
+    if len(w) - 1 >= p1 and w.endswith("jo"):
+        w = w[:-1]
+    # final consonant undouble (unlimited scan)
+    i = len(w) - 1
+    while i >= 0 and w[i] in _FI_V1:
+        i -= 1
+    if i >= 1 and w[i] in _FI_C and w[i-1] == w[i]:
+        w = w[:i] + w[i+1:]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Nepali — snowball nepali.sbl / NepaliStemmer.java
+# (category-1 postposition strip, then a loop of optional category-2
+#  removal + category-3 removal until no category-3 suffix remains;
+#  suffix tables vendored from the published algorithm)
+# ---------------------------------------------------------------------------
+
+A0 = [('लाइ', 1), ('लाई', 1), ('सँग', 1), ('संग', 1), ('मार्फत', 1), ('रत', 1), ('का', 2), ('मा', 1), ('द्वारा', 1), ('कि', 2), ('पछि', 1), ('की', 2), ('ले', 1), ('कै', 2), ('सँगै', 1), ('मै', 1), ('को', 2)]
+A1 = [('ँ', -1), ('ं', -1), ('ै', -1)]
+A2 = [('ँ', 1), ('ं', 1), ('ै', 2)]
+A3 = [('थिए', 1), ('छ', 1), ('इछ', 1), ('एछ', 1), ('िछ', 1), ('ेछ', 1), ('नेछ', 1), ('हुनेछ', 1), ('इन्छ', 1), ('िन्छ', 1), ('हुन्छ', 1), ('एका', 1), ('इएका', 1), ('िएका', 1), ('ेका', 1), ('नेका', 1), ('दा', 1), ('इदा', 1), ('िदा', 1), ('देखि', 1), ('माथि', 1), ('एकी', 1), ('इएकी', 1), ('िएकी', 1), ('ेकी', 1), ('देखी', 1), ('थी', 1), ('दी', 1), ('छु', 1), ('एछु', 1), ('ेछु', 1), ('नेछु', 1), ('नु', 1), ('हरु', 1), ('हरू', 1), ('छे', 1), ('थे', 1), ('ने', 1), ('एकै', 1), ('ेकै', 1), ('नेकै', 1), ('दै', 1), ('इदै', 1), ('िदै', 1), ('एको', 1), ('इएको', 1), ('िएको', 1), ('ेको', 1), ('नेको', 1), ('दो', 1), ('इदो', 1), ('िदो', 1), ('यो', 1), ('इयो', 1), ('भयो', 1), ('ियो', 1), ('थियो', 1), ('दियो', 1), ('थ्यो', 1), ('छौ', 1), ('इछौ', 1), ('एछौ', 1), ('िछौ', 1), ('ेछौ', 1), ('नेछौ', 1), ('यौ', 1), ('थियौ', 1), ('छ्यौ', 1), ('थ्यौ', 1), ('छन्', 1), ('इछन्', 1), ('एछन्', 1), ('िछन्', 1), ('ेछन्', 1), ('नेछन्', 1), ('लान्', 1), ('छिन्', 1), ('थिन्', 1), ('पर्', 1), ('इस्', 1), ('थिइस्', 1), ('छस्', 1), ('इछस्', 1), ('एछस्', 1), ('िछस्', 1), ('ेछस्', 1), ('नेछस्', 1), ('िस्', 1), ('थिस्', 1), ('छेस्', 1), ('होस्', 1)]
+
+
+def snowball_nepali_stem(w):
+    # category 1: postpositions
+    m = _longest_suffix(w, A0)
+    if m:
+        suf, act = m
+        stem = w[:-len(suf)]
+        if act == 1:
+            w = stem
+        elif act == 2 and not (stem.endswith("ए") or stem.endswith("े")):
+            w = stem
+    # loop: optional category-2 removal, then category-3 removal
+    while True:
+        m2 = _longest_suffix(w, A2)
+        if m2:
+            suf, act = m2
+            stem = w[:-len(suf)]
+            if act == 1 and (stem.endswith("यौ") or stem.endswith("छौ")
+                             or stem.endswith("नौ") or stem.endswith("थे")):
+                w = stem
+            elif act == 2 and stem.endswith("त्र"):
+                w = stem
+        m3 = _longest_suffix(w, A3)
+        if not m3:
+            break
+        w = w[:-len(m3[0])]
+    return w
+
+
 SNOWBALL_STEMMERS = {
     "snowball_english_stem": snowball_english_stem,
     "snowball_german_stem": snowball_german_stem,
@@ -1254,4 +1890,10 @@ SNOWBALL_STEMMERS = {
     "snowball_norwegian_stem": snowball_norwegian_stem,
     "snowball_swedish_stem": snowball_swedish_stem,
     "snowball_russian_stem": snowball_russian_stem,
+    "snowball_dutch_stem": snowball_dutch_stem,
+    "snowball_romanian_stem": snowball_romanian_stem,
+    "snowball_irish_stem": snowball_irish_stem,
+    "snowball_hungarian_stem": snowball_hungarian_stem,
+    "snowball_finnish_stem": snowball_finnish_stem,
+    "snowball_nepali_stem": snowball_nepali_stem,
 }

@@ -31,6 +31,12 @@ _CASES = [
     ("norwegian", S.snowball_norwegian_stem),
     ("swedish", S.snowball_swedish_stem),
     ("russian", S.snowball_russian_stem),
+    ("dutch", S.snowball_dutch_stem),
+    ("romanian", S.snowball_romanian_stem),
+    ("irish", S.snowball_irish_stem),
+    ("hungarian", S.snowball_hungarian_stem),
+    ("finnish", S.snowball_finnish_stem),
+    ("nepali", S.snowball_nepali_stem),
 ]
 
 
