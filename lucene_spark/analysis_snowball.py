@@ -1879,6 +1879,344 @@ def snowball_nepali_stem(w):
     return w
 
 
+
+
+# ---------------------------------------------------------------------------
+# Turkish — snowball turkish.sbl / TurkishStemmer.java
+# (suffix-chain state machines; vowel harmony = "some earlier vowel in the
+#  harmony group of the word's last vowel"; snowball try() restores the
+#  cursor but never the buffer, so an lAr slice whose required ki-chain
+#  then fails stays removed — C6 even falls through to the possessive
+#  alternatives on the mutated buffer; the reference's C4 lArI branch
+#  matches without slicing, replicated as-is)
+# ---------------------------------------------------------------------------
+
+_TR_V = "aeiouöüı"
+_TR_U = "iuüı"
+_TR_HARMONY = {"a": "aouı", "e": "eiöü", "ı": "aı", "i": "ei",
+               "o": "ou", "ö": "öü", "u": "ou", "ü": "öü"}
+
+def _tr_harmony(s):
+    i = len(s) - 1
+    while i >= 0 and s[i] not in _TR_V:
+        i -= 1
+    if i < 0:
+        return False
+    grp = _TR_HARMONY[s[i]]
+    return any(ch in grp for ch in s[:i])
+
+def _among(w, c, sufs):
+    best = None
+    s = w[:c]
+    for suf in sufs:
+        if s.endswith(suf) and (best is None or len(suf) > len(best)):
+            best = suf
+    return c - len(best) if best else None
+
+def _opt_cons(w, c, ch):
+    # optional n/s/y consonant before position c
+    if c >= 1 and w[c-1] == ch:
+        return c - 1 if c >= 2 and w[c-2] in _TR_V else None
+    if c >= 2 and w[c-2] in _TR_V:
+        return c
+    return None
+
+def _opt_U(w, c):
+    # optional U vowel (i/u/ü/ı) before position c, after a consonant
+    if c >= 1 and w[c-1] in _TR_U:
+        return c - 1 if c >= 2 and w[c-2] not in _TR_V else None
+    if c >= 2 and w[c-2] not in _TR_V:
+        return c
+    return None
+
+def _harmonic(sufs, opt=None):
+    def mark(w, c):
+        if not _tr_harmony(w[:c]):
+            return None
+        c2 = _among(w, c, sufs)
+        if c2 is None:
+            return None
+        return _opt_cons(w, c2, opt) if opt else c2
+    return mark
+
+def _plain(sufs, opt=None):
+    def mark(w, c):
+        c2 = _among(w, c, sufs)
+        if c2 is None:
+            return None
+        return _opt_cons(w, c2, opt) if opt else c2
+    return mark
+
+def _m_possessives(w, c):
+    c2 = _among(w, c, ("m", "n", "miz", "niz", "muz", "nuz",
+                       "müz", "nüz", "mız", "nız"))
+    return _opt_U(w, c2) if c2 is not None else None
+
+def _m_sU(w, c):
+    if _tr_harmony(w[:c]) and c >= 1 and w[c-1] in _TR_U:
+        return _opt_cons(w, c - 1, "s")
+    return None
+
+def _m_yU(w, c):
+    if _tr_harmony(w[:c]) and c >= 1 and w[c-1] in _TR_U:
+        return _opt_cons(w, c - 1, "y")
+    return None
+
+def _m_yken(w, c):
+    return _opt_cons(w, c - 3, "y") if w[:c].endswith("ken") else None
+
+def _m_ki(w, c):
+    return c - 2 if w[:c].endswith("ki") else None
+
+_m_lArI = _plain(("leri", "ları"))
+_m_nU = _harmonic(("ni", "nu", "nü", "nı"))
+_m_nUn = _harmonic(("in", "un", "ün", "ın"), "n")
+_m_yA = _harmonic(("a", "e"), "y")
+_m_nA = _harmonic(("na", "ne"))
+_m_DA = _harmonic(("da", "ta", "de", "te"))
+_m_ndA = _harmonic(("nda", "nde"))
+_m_DAn = _harmonic(("dan", "tan", "den", "ten"))
+_m_ndAn = _harmonic(("ndan", "nden"))
+_m_ylA = _harmonic(("la", "le"), "y")
+_m_ncA = _harmonic(("ca", "ce"), "n")
+_m_yUm = _harmonic(("im", "um", "üm", "ım"), "y")
+_m_sUn = _harmonic(("sin", "sun", "sün", "sın"))
+_m_yUz = _harmonic(("iz", "uz", "üz", "ız"), "y")
+_m_sUnUz = _plain(("siniz", "sunuz", "sünüz", "sınız"))
+_m_lAr = _harmonic(("lar", "ler"))
+_m_nUz = _harmonic(("niz", "nuz", "nüz", "nız"))
+_m_DUr = _harmonic(("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır"))
+_m_cAsInA = _plain(("casına", "cesine"))
+_m_yDU = _harmonic(tuple(d + v + t for d in "dt" for v in "iuüı"
+                         for t in ("", "k", "m", "n")), "y")
+_m_ysA = _plain(("sa", "se", "sak", "sek", "sam", "sem", "san", "sen"), "y")
+_m_ymUs = _harmonic(("miş", "muş", "müş", "mış"), "y")
+
+def _first(w, c, *marks):
+    for m in marks:
+        r = m(w, c)
+        if r is not None:
+            return r
+    return None
+
+def _try_lar_chain(w):
+    """try([mark_lAr] delete stem_suffix_chain_before_ki): the lAr slice
+    is permanent even when the required chain then fails (snowball's
+    try() restores the cursor, never the buffer)."""
+    r = _m_lAr(w, len(w))
+    if r is not None:
+        w = w[:r]
+        w2 = _chain_ki(w)
+        if w2 is not None:
+            return w2
+    return w
+
+def _chain_ki(w):
+    """stem_suffix_chain_before_ki at the end of w; None if no match."""
+    c = _m_ki(w, len(w))
+    if c is None:
+        return None
+    r = _m_DA(w, c)
+    if r is not None:                       # B1: DAki
+        w = w[:r]
+        r2 = _m_lAr(w, len(w))
+        if r2 is not None:
+            w = w[:r2]
+            w2 = _chain_ki(w)
+            return w2 if w2 is not None else w
+        r2 = _m_possessives(w, len(w))
+        if r2 is not None:
+            w = w[:r2]
+            w = _try_lar_chain(w)
+        return w
+    r = _m_nUn(w, c)
+    if r is not None:                       # B2: nUn + ki
+        w = w[:r]
+        r2 = _m_lArI(w, len(w))
+        if r2 is not None:
+            return w[:r2]
+        r2 = _first(w, len(w), _m_possessives, _m_sU)
+        if r2 is not None:
+            return _try_lar_chain(w[:r2])
+        w2 = _chain_ki(w)
+        return w2 if w2 is not None else w
+    r = _m_ndA(w, c)
+    if r is not None:                       # B3: ndA + ki (no slice yet)
+        r2 = _m_lArI(w, r)
+        if r2 is not None:
+            return w[:r2]
+        r2 = _m_sU(w, r)
+        if r2 is not None:
+            return _try_lar_chain(w[:r2])
+        w2 = _chain_ki(w[:r])               # chain at the pre-ndA cursor;
+        if w2 is not None:                  # the ndAki tail stays in place
+            return w2 + w[r:]
+        return None                         # B3 failed entirely
+    return None
+
+def _nominal_verb(w):
+    c = len(w)
+    r = _first(w, c, _m_ymUs, _m_yDU, _m_ysA, _m_yken)
+    if r is not None:
+        return w[:r], True
+    r = _m_cAsInA(w, c)
+    if r is not None:
+        r2 = _first(w, r, _m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz)
+        r3 = _m_ymUs(w, r2 if r2 is not None else r)
+        if r3 is not None:
+            return w[:r3], True
+    r = _m_lAr(w, c)
+    if r is not None:
+        w = w[:r]
+        r2 = _first(w, len(w), _m_DUr, _m_yDU, _m_ysA, _m_ymUs)
+        if r2 is not None:
+            w = w[:r2]
+        return w, False
+    r = _m_nUz(w, c)
+    if r is not None:
+        r2 = _first(w, r, _m_yDU, _m_ysA)
+        if r2 is not None:
+            return w[:r2], True
+    r = _first(w, c, _m_sUnUz, _m_yUz, _m_sUn, _m_yUm)
+    if r is not None:
+        w = w[:r]
+        r2 = _m_ymUs(w, len(w))
+        if r2 is not None:
+            w = w[:r2]
+        return w, True
+    r = _m_DUr(w, c)
+    if r is not None:
+        w = w[:r]
+        r2 = _first(w, len(w), _m_sUnUz, _m_lAr, _m_yUm, _m_sUn, _m_yUz)
+        r3 = _m_ymUs(w, r2 if r2 is not None else len(w))
+        if r3 is not None:
+            w = w[:r3]
+        return w, True
+    return w, True
+
+def _noun_suffixes(w):
+    c = len(w)
+    r = _m_lAr(w, c)                        # C1
+    if r is not None:
+        w = w[:r]
+        w2 = _chain_ki(w)
+        return w2 if w2 is not None else w
+    r = _m_ncA(w, c)                        # C2
+    if r is not None:
+        w = w[:r]
+        r2 = _m_lArI(w, len(w))
+        if r2 is not None:
+            return w[:r2]
+        r2 = _first(w, len(w), _m_possessives, _m_sU)
+        if r2 is not None:
+            return _try_lar_chain(w[:r2])
+        r2 = _m_lAr(w, len(w))
+        if r2 is not None:
+            w2 = _chain_ki(w[:r2])
+            if w2 is not None:
+                return w2
+            return w[:r2]                   # lAr slice permanent
+        return w
+    r = _first(w, c, _m_ndA, _m_nA)         # C3 (no slice until inner hit)
+    if r is not None:
+        r2 = _m_lArI(w, r)
+        if r2 is not None:
+            return w[:r2]
+        r2 = _m_sU(w, r)
+        if r2 is not None:
+            return _try_lar_chain(w[:r2])
+        w2 = _chain_ki(w[:r])
+        if w2 is not None:
+            return w2 + w[r:]
+        # C3 failed; fall through
+    r = _first(w, c, _m_ndAn, _m_nU)        # C4 (no slice until inner hit)
+    if r is not None:
+        r2 = _m_sU(w, r)
+        if r2 is not None:
+            return _try_lar_chain(w[:r2])
+        if _m_lArI(w, r) is not None:
+            return w                        # reference slices nothing here
+        # C4 failed; fall through
+    r = _m_DAn(w, c)                        # C5
+    if r is not None:
+        w = w[:r]
+        r2 = _m_possessives(w, len(w))
+        if r2 is not None:
+            return _try_lar_chain(w[:r2])
+        r2 = _m_lAr(w, len(w))
+        if r2 is not None:
+            w = w[:r2]
+            w2 = _chain_ki(w)
+            return w2 if w2 is not None else w
+        w2 = _chain_ki(w)
+        return w2 if w2 is not None else w
+    r = _first(w, c, _m_nUn, _m_ylA)        # C6
+    if r is not None:
+        w = w[:r]
+        r2 = _m_lAr(w, len(w))
+        if r2 is not None:
+            w = w[:r2]                      # lAr slice permanent
+            w2 = _chain_ki(w)
+            if w2 is not None:
+                return w2
+            # required chain failed: fall through to the next
+            # alternatives ON THE MUTATED BUFFER (cursor-only restore)
+        r2 = _first(w, len(w), _m_possessives, _m_sU)
+        if r2 is not None:
+            return _try_lar_chain(w[:r2])
+        w2 = _chain_ki(w)
+        return w2 if w2 is not None else w
+    r = _m_lArI(w, c)                       # C7
+    if r is not None:
+        return w[:r]
+    w2 = _chain_ki(w)                       # C8
+    if w2 is not None:
+        return w2
+    r = _first(w, c, _m_DA, _m_yU, _m_yA)   # C9
+    if r is not None:
+        w = w[:r]
+        r2 = _m_possessives(w, len(w))
+        if r2 is not None:
+            w = w[:r2]
+            r3 = _m_lAr(w, len(w))
+            if r3 is not None:
+                w = w[:r3]
+            w2 = _chain_ki(w)
+            return w2 if w2 is not None else w
+        r2 = _m_lAr(w, len(w))
+        if r2 is not None:
+            w = w[:r2]
+            w2 = _chain_ki(w)
+            return w2 if w2 is not None else w
+        return w
+    r = _first(w, c, _m_possessives, _m_sU)  # C10
+    if r is not None:
+        return _try_lar_chain(w[:r])
+    return w
+
+def snowball_turkish_stem(w):
+    if sum(1 for ch in w if ch in _TR_V) < 2:
+        return w
+    w, cont = _nominal_verb(w)
+    if not cont:
+        return w
+    w = _noun_suffixes(w)
+    if w in ("ad", "soyad"):
+        return w
+    if w.endswith(("d", "g")):
+        i = len(w) - 1
+        while i >= 0 and w[i] not in _TR_V:
+            i -= 1
+        if i >= 0:
+            v = w[i]
+            w += ("ı" if v in "aı" else "i" if v in "ei"
+                  else "u" if v in "ou" else "ü")
+    tail = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+    if w and w[-1] in tail:
+        w = w[:-1] + tail[w[-1]]
+    return w
+
+
 SNOWBALL_STEMMERS = {
     "snowball_english_stem": snowball_english_stem,
     "snowball_german_stem": snowball_german_stem,
@@ -1896,4 +2234,5 @@ SNOWBALL_STEMMERS = {
     "snowball_hungarian_stem": snowball_hungarian_stem,
     "snowball_finnish_stem": snowball_finnish_stem,
     "snowball_nepali_stem": snowball_nepali_stem,
+    "snowball_turkish_stem": snowball_turkish_stem,
 }

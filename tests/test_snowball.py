@@ -37,6 +37,7 @@ _CASES = [
     ("hungarian", S.snowball_hungarian_stem),
     ("finnish", S.snowball_finnish_stem),
     ("nepali", S.snowball_nepali_stem),
+    ("turkish", S.snowball_turkish_stem),
 ]
 
 
