@@ -254,15 +254,45 @@ _DE_POST = str.maketrans({"ä": "a", "ö": "o", "ü": "u",
                           "U": "u", "Y": "y"})
 
 
-def snowball_german_stem(w: str) -> str:
-    # prelude: ss for ß; u/y between vowels marked as consonants U/Y
-    w = w.replace("ß", "ss")
+def _de_mark_uy(w: str) -> str:
     chars = list(w)
     for i in range(1, len(chars) - 1):
         if chars[i] in "uy" and chars[i - 1] in _DE_V and chars[i + 1] in _DE_V:
             chars[i] = chars[i].upper()
-    w = "".join(chars)
+    return "".join(chars)
 
+
+def snowball_german_stem(w: str) -> str:
+    # prelude: ss for ß; u/y between vowels marked as consonants U/Y
+    w = _de_mark_uy(w.replace("ß", "ss"))
+    return _de_stem_suffixes(w)
+
+
+def snowball_german2_stem(w: str) -> str:
+    """german2 variant (German2Stemmer.java): identical suffix machine,
+    but the prelude marks U/Y FIRST (so a u between vowels never folds)
+    and then folds ß->ss, ae->ä, oe->ö, ue->ü with qu protecting a
+    following ue."""
+    w = _de_mark_uy(w)
+    out, i = [], 0
+    while i < len(w):
+        two = w[i:i + 2]
+        if w[i] == "ß":
+            out.append("ss"); i += 1
+        elif two == "ae":
+            out.append("ä"); i += 2
+        elif two == "oe":
+            out.append("ö"); i += 2
+        elif two == "ue":
+            out.append("ü"); i += 2
+        elif two == "qu":
+            out.append("qu"); i += 2
+        else:
+            out.append(w[i]); i += 1
+    return _de_stem_suffixes("".join(out))
+
+
+def _de_stem_suffixes(w: str) -> str:
     r1 = _r_after(w, 0, _DE_V)
     r2 = _r_after(w, r1, _DE_V)  # from the UNCLAMPED r1 (mark_regions order)
     r1 = max(r1, min(3, len(w)))  # region before R1 is at least 3 chars
@@ -2217,9 +2247,537 @@ def snowball_turkish_stem(w):
     return w
 
 
+
+
+# ---------------------------------------------------------------------------
+# Porter (snowball variant) — porter.sbl / PorterStemmer.java
+# (the original 1980 algorithm with snowball's Y-marking prelude; differs
+#  from porter2/english above and from the classic PorterStemmer in
+#  analysis.py in the y handling and R-region tests)
+# ---------------------------------------------------------------------------
+
+_PORTER_V = "aeiouy"
+_PORTER_VWXY = "aeiouwxyY"
+
+def _sb_shortv(s):
+    # backward C-V-X at end of s, X not in v_WXY
+    return (len(s) >= 3 and s[-1] not in _PORTER_VWXY
+            and s[-2] in _PORTER_V and s[-3] not in _PORTER_V)
+
+_S2 = [("anci", "ance"), ("enci", "ence"), ("abli", "able"), ("eli", "e"),
+       ("alli", "al"), ("ousli", "ous"), ("entli", "ent"), ("aliti", "al"),
+       ("biliti", "ble"), ("iviti", "ive"), ("tional", "tion"),
+       ("ational", "ate"), ("alism", "al"), ("ation", "ate"),
+       ("ization", "ize"), ("izer", "ize"), ("ator", "ate"),
+       ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous")]
+_S3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+       ("ical", "ic"), ("ful", ""), ("ness", "")]
+_S4 = ("ic", "ance", "ence", "able", "ible", "ate", "ive", "ize", "iti",
+       "al", "ism", "ion", "er", "ous", "ant", "ent", "ment", "ement", "ou")
+
+def snowball_porter_stem(w):
+    # prelude: initial y -> Y; every y following a vowel -> Y
+    y_found = False
+    ch = list(w)
+    if ch and ch[0] == "y":
+        ch[0] = "Y"; y_found = True
+    for j in range(1, len(ch)):
+        if ch[j] == "y" and ch[j-1] in _PORTER_V:
+            ch[j] = "Y"; y_found = True
+    w = "".join(ch)
+    p1 = _r_after(w, 0, _PORTER_V)
+    p2 = _r_after(w, p1, _PORTER_V)
+
+    # 1a
+    m = _longest_suffix(w, [("s", 3), ("ies", 2), ("sses", 1), ("ss", 0)])
+    if m:
+        suf, act = m
+        if act == 1: w = w[:-4] + "ss"
+        elif act == 2: w = w[:-3] + "i"
+        elif act == 3: w = w[:-1]
+    # 1b
+    m = _longest_suffix(w, [("ed", 2), ("eed", 1), ("ing", 2)])
+    if m:
+        suf, act = m
+        if act == 1:
+            if len(w) - 3 >= p1:
+                w = w[:-3] + "ee"
+        else:
+            stem = w[:-len(suf)]
+            if any(c in _PORTER_V for c in stem):
+                w = stem
+                if w.endswith(("bl", "at", "iz")):
+                    w += "e"
+                elif (len(w) >= 2 and w[-1] == w[-2]
+                      and w[-2:] in ("bb", "dd", "ff", "gg", "mm", "nn",
+                                     "pp", "rr", "tt")):
+                    w = w[:-1]
+                elif len(w) == p1 and _sb_shortv(w):
+                    w += "e"
+    # 1c: y/Y at end with a vowel somewhere before -> i
+    if w and w[-1] in "yY" and any(c in _PORTER_V for c in w[:-1]):
+        w = w[:-1] + "i"
+    # 2
+    m = _longest_suffix(w, _S2)
+    if m and len(w) - len(m[0]) >= p1:
+        w = w[:-len(m[0])] + m[1]
+    # 3
+    m = _longest_suffix(w, _S3)
+    if m and len(w) - len(m[0]) >= p1:
+        w = w[:-len(m[0])] + m[1]
+    # 4
+    m = _longest_suffix(w, [(s, 1) for s in _S4])
+    if m and len(w) - len(m[0]) >= p2:
+        suf = m[0]
+        if suf != "ion" or w[:-3].endswith(("s", "t")):
+            w = w[:-len(suf)]
+    # 5a
+    if w.endswith("e"):
+        if len(w) - 1 >= p2 or (len(w) - 1 >= p1 and not _sb_shortv(w[:-1])):
+            w = w[:-1]
+    # 5b
+    if w.endswith("ll") and len(w) - 1 >= p2:
+        w = w[:-1]
+    if y_found:
+        w = w.replace("Y", "y")
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Lovins — lovins.sbl / LovinsStemmer.java
+# (294 endings with conditions A..CC vendored from the published 1968
+#  algorithm, longest-match-with-fallback, undoubling, 34 respell rules)
+# ---------------------------------------------------------------------------
+
+_LOVINS_ENDINGS = [("s'", 'A'), ('a', 'A'), ('ia', 'A'), ('ata', 'A'), ('ic', 'A'), ('aic', 'A'), ('allic', 'BB'), ('aric', 'A'), ('atic', 'B'), ('itic', 'H'), ('antic', 'C'), ('istic', 'A'), ('alistic', 'B'), ('aristic', 'A'), ('ivistic', 'A'), ('ed', 'E'), ('anced', 'B'), ('enced', 'A'), ('ished', 'A'), ('ied', 'A'), ('ened', 'E'), ('ioned', 'A'), ('ated', 'I'), ('ented', 'C'), ('ized', 'F'), ('arized', 'A'), ('oid', 'A'), ('aroid', 'A'), ('hood', 'A'), ('ehood', 'A'), ('ihood', 'A'), ('elihood', 'E'), ('ward', 'A'), ('e', 'A'), ('ae', 'A'), ('ance', 'B'), ('icance', 'A'), ('ence', 'A'), ('ide', 'L'), ('icide', 'A'), ('otide', 'A'), ('age', 'B'), ('able', 'A'), ('atable', 'A'), ('izable', 'E'), ('arizable', 'A'), ('ible', 'A'), ('encible', 'A'), ('ene', 'E'), ('ine', 'M'), ('idine', 'I'), ('one', 'R'), ('ature', 'E'), ('eature', 'Z'), ('ese', 'A'), ('wise', 'A'), ('ate', 'A'), ('entiate', 'A'), ('inate', 'A'), ('ionate', 'D'), ('ite', 'AA'), ('ive', 'A'), ('ative', 'A'), ('ize', 'F'), ('alize', 'A'), ('icalize', 'A'), ('ialize', 'A'), ('entialize', 'A'), ('ionalize', 'A'), ('arize', 'A'), ('ing', 'N'), ('ancing', 'B'), ('encing', 'A'), ('aging', 'B'), ('ening', 'E'), ('ioning', 'A'), ('ating', 'I'), ('enting', 'C'), ('ying', 'B'), ('izing', 'F'), ('arizing', 'A'), ('ish', 'C'), ('yish', 'A'), ('i', 'A'), ('al', 'BB'), ('ical', 'A'), ('aical', 'A'), ('istical', 'A'), ('oidal', 'A'), ('eal', 'Y'), ('ial', 'A'), ('ancial', 'A'), ('arial', 'A'), ('ential', 'A'), ('ional', 'A'), ('ational', 'B'), ('izational', 'A'), ('ental', 'A'), ('ful', 'A'), ('eful', 'A'), ('iful', 'A'), ('yl', 'R'), ('ism', 'B'), ('icism', 'A'), ('oidism', 'A'), ('alism', 'B'), ('icalism', 'A'), ('ionalism', 'A'), ('inism', 'J'), ('ativism', 'A'), ('um', 'U'), ('ium', 'A'), ('ian', 'A'), ('ician', 'A'), ('en', 'F'), ('ogen', 'A'), ('on', 'S'), ('ion', 'Q'), ('ation', 'B'), ('ication', 'G'), ('entiation', 'A'), ('ination', 'A'), ('isation', 'A'), ('arisation', 'A'), ('entation', 'A'), ('ization', 'F'), ('arization', 'A'), ('action', 'G'), ('o', 'A'), ('ar', 'X'), ('ear', 'Y'), ('ier', 'A'), ('ariser', 'A'), ('izer', 'F'), ('arizer', 'A'), ('or', 'T'), ('ator', 'A'), ('s', 'W'), ("'s", 'A'), ('as', 'B'), ('ics', 'A'), ('istics', 'A'), ('es', 'E'), ('ances', 'B'), ('ences', 'A'), ('ides', 'L'), ('oides', 'A'), ('ages', 'B'), ('ies', 'P'), ('acies', 'A'), ('ancies', 'A'), ('encies', 'A'), ('aries', 'A'), ('ities', 'A'), ('alities', 'A'), ('ivities', 'A'), ('ines', 'M'), ('nesses', 'A'), ('ates', 'A'), ('atives', 'A'), ('ings', 'N'), ('is', 'A'), ('als', 'BB'), ('ials', 'A'), ('entials', 'A'), ('ionals', 'A'), ('isms', 'B'), ('ians', 'A'), ('icians', 'A'), ('ions', 'B'), ('ations', 'B'), ('arisations', 'A'), ('entations', 'A'), ('izations', 'A'), ('arizations', 'A'), ('ars', 'O'), ('iers', 'A'), ('izers', 'F'), ('ators', 'A'), ('less', 'A'), ('eless', 'A'), ('ness', 'A'), ('eness', 'E'), ('ableness', 'A'), ('eableness', 'E'), ('ibleness', 'A'), ('ateness', 'A'), ('iteness', 'A'), ('iveness', 'A'), ('ativeness', 'A'), ('ingness', 'A'), ('ishness', 'A'), ('iness', 'A'), ('ariness', 'E'), ('alness', 'A'), ('icalness', 'A'), ('antialness', 'A'), ('entialness', 'A'), ('ionalness', 'A'), ('fulness', 'A'), ('lessness', 'A'), ('ousness', 'A'), ('eousness', 'A'), ('iousness', 'A'), ('itousness', 'A'), ('entness', 'A'), ('ants', 'B'), ('ists', 'A'), ('icists', 'A'), ('us', 'V'), ('ous', 'A'), ('eous', 'A'), ('aceous', 'A'), ('antaneous', 'A'), ('ious', 'A'), ('acious', 'B'), ('itous', 'A'), ('ant', 'B'), ('icant', 'A'), ('ent', 'C'), ('ement', 'A'), ('izement', 'A'), ('ist', 'A'), ('icist', 'A'), ('alist', 'A'), ('icalist', 'A'), ('ialist', 'A'), ('ionist', 'A'), ('entist', 'A'), ('y', 'B'), ('acy', 'A'), ('ancy', 'B'), ('ency', 'A'), ('ly', 'B'), ('ealy', 'Y'), ('ably', 'A'), ('ibly', 'A'), ('edly', 'E'), ('iedly', 'A'), ('ely', 'E'), ('ately', 'A'), ('ively', 'A'), ('atively', 'A'), ('ingly', 'B'), ('atingly', 'A'), ('ily', 'A'), ('lily', 'A'), ('arily', 'A'), ('ally', 'B'), ('ically', 'A'), ('aically', 'A'), ('allically', 'C'), ('istically', 'A'), ('alistically', 'B'), ('oidally', 'A'), ('ially', 'A'), ('entially', 'A'), ('ionally', 'A'), ('ationally', 'B'), ('izationally', 'B'), ('entally', 'A'), ('fully', 'A'), ('efully', 'A'), ('ifully', 'A'), ('enly', 'E'), ('arly', 'K'), ('early', 'Y'), ('lessly', 'A'), ('ously', 'A'), ('eously', 'A'), ('iously', 'A'), ('ently', 'A'), ('ary', 'F'), ('ery', 'E'), ('icianry', 'A'), ('atory', 'A'), ('ity', 'A'), ('acity', 'A'), ('icity', 'A'), ('eity', 'A'), ('ality', 'A'), ('icality', 'A'), ('iality', 'A'), ('antiality', 'A'), ('entiality', 'A'), ('ionality', 'A'), ('elity', 'A'), ('ability', 'A'), ('izability', 'A'), ('arizability', 'A'), ('ibility', 'A'), ('inity', 'CC'), ('arity', 'B'), ('ivity', 'A')]
+_LOVINS_RESPELL = [('uad', 18), ('vad', 19), ('cid', 20), ('lid', 21), ('erid', 22), ('pand', 23), ('end', 24), ('ond', 25), ('lud', 26), ('rud', 27), ('ul', 9), ('her', 28), ('metr', 7), ('istr', 6), ('urs', 5), ('uct', 2), ('et', 32), ('mit', 29), ('ent', 30), ('umpt', 3), ('rpt', 4), ('ert', 31), ('yt', 33), ('iev', 1), ('olv', 8), ('ax', 14), ('ex', 15), ('bex', 10), ('dex', 11), ('pex', 12), ('tex', 13), ('ix', 16), ('lux', 17), ('yz', 33)]
+
+def _c_A(s): return len(s) >= 2
+def _c_B(s): return len(s) >= 3
+def _c_C(s): return len(s) >= 4
+def _c_D(s): return len(s) >= 5
+def _c_E(s): return len(s) >= 2 and not s.endswith("e")
+def _c_F(s): return len(s) >= 3 and not s.endswith("e")
+def _c_G(s): return len(s) >= 3 and s.endswith("f")
+def _c_H(s): return len(s) >= 2 and (s.endswith("t") or s.endswith("ll"))
+def _c_I(s): return len(s) >= 2 and s[-1] not in "oe"
+def _c_J(s): return len(s) >= 2 and s[-1] not in "ae"
+def _c_K(s): return len(s) >= 3 and (s[-1] in "li"
+                                     or (s.endswith("e") and len(s) >= 3
+                                         and s[-3] == "u"))
+def _c_L(s):
+    if len(s) < 2 or s[-1] in "ux":
+        return False
+    return not (s[-1] == "s" and not s[:-1].endswith("o"))
+def _c_M(s): return len(s) >= 2 and s[-1] not in "acem"
+def _c_N(s):
+    if len(s) < 3: return False
+    if s[-3] == "s": return len(s) >= 4
+    return True
+def _c_O(s): return len(s) >= 2 and s[-1] in "li"
+def _c_P(s): return len(s) >= 2 and not s.endswith("c")
+def _c_Q(s): return len(s) >= 3 and s[-1] not in "ln"
+def _c_R(s): return len(s) >= 2 and s[-1] in "nr"
+def _c_S(s): return len(s) >= 2 and (s.endswith("dr")
+                                     or (s.endswith("t")
+                                         and not s.endswith("tt")))
+def _c_T(s): return len(s) >= 2 and (s.endswith("s")
+                                     or (s.endswith("t")
+                                         and not s.endswith("ot")))
+def _c_U(s): return len(s) >= 2 and s[-1] in "lmnr"
+def _c_V(s): return len(s) >= 2 and s.endswith("c")
+def _c_W(s): return len(s) >= 2 and s[-1] not in "su"
+def _c_X(s): return len(s) >= 2 and (s[-1] in "li"
+                                     or (s.endswith("e") and len(s) >= 3
+                                         and s[-3] == "u"))
+def _c_Y(s): return len(s) >= 2 and s.endswith("in")
+def _c_Z(s): return len(s) >= 2 and not s.endswith("f")
+def _c_AA(s): return len(s) >= 2 and (
+    s[-1] in "dflt" or s.endswith(("ph", "th", "er", "or", "es")))
+def _c_BB(s): return (len(s) >= 3 and not s.endswith("met")
+                      and not s.endswith("ryst"))
+def _c_CC(s): return len(s) >= 2 and s.endswith("l")
+
+_LOVINS_CONDS = {k[3:]: v for k, v in list(globals().items())
+                 if k.startswith("_c_")}
+
+_RESPELL_SUB = {
+    1: "ief", 2: "uc", 3: "um", 4: "rb", 5: "ur", 6: "ister", 7: "meter",
+    8: "olut", 9: "l", 10: "bic", 11: "dic", 12: "pic", 13: "tic",
+    14: "ac", 15: "ec", 16: "ic", 17: "luc", 18: "uas", 19: "vas",
+    20: "cis", 21: "lis", 22: "eris", 23: "pans", 24: "ens", 25: "ons",
+    26: "lus", 27: "rus", 28: "hes", 29: "mis", 30: "ens", 31: "ers",
+    32: "es", 33: "ys",
+}
+_RESPELL_GUARD = {9: "aio", 24: "s", 28: "pt", 30: "m", 32: "n"}
+
+def snowball_lovins_stem(w):
+    # endings: longest suffix whose condition passes (among fallback)
+    cands = sorted((e for e in _LOVINS_ENDINGS if w.endswith(e[0])),
+                   key=lambda e: -len(e[0]))
+    for suf, cond in cands:
+        stem = w[:-len(suf)]
+        if _LOVINS_CONDS[cond](stem):
+            w = stem
+            break
+    # undouble
+    if len(w) >= 2 and w[-1] == w[-2] and w[-2:] in (
+            "bb", "dd", "gg", "ll", "mm", "nn", "pp", "rr", "ss", "tt"):
+        w = w[:-1]
+    # respell (longest match; guards are post-commit: failure = no change)
+    best = None
+    for suf, act in _LOVINS_RESPELL:
+        if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+            best = (suf, act)
+    if best:
+        suf, act = best
+        stem = w[:-len(suf)]
+        guard = _RESPELL_GUARD.get(act)
+        if not (guard and stem and stem[-1] in guard):
+            w = stem + _RESPELL_SUB[act]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Kraaij-Pohlmann — kp.sbl / KpStemmer.java (Dutch variant)
+# (measure-based regions counting "ij" as one vowel unit, short-vowel
+#  lengthening after suffix removal, ge- prefix/infix loss, final
+#  devoicing undo v->f z->s, condition fallthrough within each among)
+# ---------------------------------------------------------------------------
+
+def _kp_longest(w, sufs):
+    best = None
+    for s in sufs:
+        if w.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    return best
+
+
+_KP_V = "aeiouy"
+_KP_VWX = "aeiouwxy"
+_KP_AOU = "aou"
+_KP_AIOU = "aiou"
+
+def _kp_V(w, c):
+    return (c >= 1 and w[c-1] in _KP_V) or w[:c].endswith("ij")
+
+def _kp_VX(w, c):
+    return c >= 1 and _kp_V(w, c - 1)
+
+def _kp_C(w, c):
+    return (not w[:c].endswith("ij")) and c >= 1 and w[c-1] not in _KP_V
+
+def _kp_measure(w):
+    n = len(w); i = 0; p1 = p2 = n
+    while i < n and w[i] not in _KP_V: i += 1
+    cnt = 0
+    while i < n:
+        if w.startswith("ij", i): i += 2; cnt += 1
+        elif w[i] in _KP_V: i += 1; cnt += 1
+        else: break
+    if cnt and i < n and w[i] not in _KP_V:
+        i += 1; p1 = i
+        while i < n and w[i] not in _KP_V: i += 1
+        cnt = 0
+        while i < n:
+            if w.startswith("ij", i): i += 2; cnt += 1
+            elif w[i] in _KP_V: i += 1; cnt += 1
+            else: break
+        if cnt and i < n and w[i] not in _KP_V:
+            p2 = i + 1
+    return p1, p2
+
+def _kp_lengthen(w):
+    """Double the vowel before a final consonant (not w/x/y) when it is a
+    short open syllable: a/o/u preceded by a non-vowel or at the start;
+    or e likewise, unless the context shows it is not stressed."""
+    n = len(w)
+    if n < 2 or w[-1] in _KP_VWX:
+        return w
+    v = w[-2]
+    if v in _KP_AOU:
+        if n == 2 or w[-3] not in _KP_V:
+            return w[:-1] + v + w[-1]
+        return w
+    if v == "e":
+        if n > 2 and w[-3] in _KP_V:
+            return w
+        # after consuming the non-vowel before e (position n-3):
+        if n >= 4 and w[-4] in _KP_AIOU:
+            return w
+        if n >= 6 and w[-5] in _KP_AIOU and w[-6] not in _KP_V:
+            return w
+        return w[:-1] + "e" + w[-1]
+    return w
+
+def _kp_step1(w, p1, p2):
+    suf = _kp_longest(w, ("nde", "en", "s", "'s", "es", "ies", "aus"))
+    if not suf:
+        return w, False
+    c = len(w) - len(suf)
+    if suf == "'s":
+        return w[:c], True
+    if suf == "s":
+        if c >= p1 and not (c >= 1 and w[c-1] == "t" and c - 1 >= p1) \
+                and _kp_C(w, c):
+            return w[:c], True
+        return w, False
+    if suf == "ies":
+        if c >= p1:
+            return w[:c] + "ie", True
+        return w, False
+    if suf == "es":
+        s = w[:c]
+        if s.endswith("ar") and c - 2 >= p1 and _kp_C(w, c - 2):
+            return _kp_lengthen(w[:c-2]), True
+        if s.endswith("er") and c - 2 >= p1 and _kp_C(w, c - 2):
+            return w[:c-2], True
+        if c >= p1 and _kp_C(w, c):
+            return w[:c] + "e", True
+        return w, False
+    if suf == "aus":
+        if c >= p1 and _kp_V(w, c):
+            return w[:c] + "au", True
+        return w, False
+    if suf == "en":
+        s = w[:c]
+        if s.endswith("hed") and c - 3 >= p1:
+            return w[:c-3] + "heid", True
+        if s.endswith("nd"):
+            return w[:c], True
+        if s.endswith("d") and c - 1 >= p1 and _kp_C(w, c - 1):
+            return w[:c-1], True
+        if (s.endswith("i") or s.endswith("j")) and _kp_V(w, c - 1):
+            return w[:c], True
+        if c >= p1 and _kp_C(w, c):
+            return _kp_lengthen(w[:c]), True
+        return w, False
+    # nde
+    return w[:c] + "nd", True
+
+def _kp_step2(w, p1, p2):
+    suf = _kp_longest(w, ("de", "ge", "ische", "je", "lijke", "le", "ene",
+                       "re", "se", "te", "ieve"))
+    if not suf:
+        return w, False
+    c = len(w) - len(suf)
+    R1 = c >= p1
+    if suf == "je":
+        s = w[:c]
+        if s.endswith("'t"):
+            return w[:c-2], True
+        if s.endswith("et") and c - 2 >= p1 and _kp_C(w, c - 2):
+            return w[:c-2], True
+        if s.endswith("rnt"):
+            return w[:c-3] + "rn", True
+        if s.endswith("t") and c - 1 >= p1 and _kp_VX(w, c - 1):
+            return w[:c-1], True
+        if s.endswith("ink"):
+            return w[:c-3] + "ing", True
+        if s.endswith("mp"):
+            return w[:c-2] + "m", True
+        if s.endswith("'") and c - 1 >= p1:
+            return w[:c-1], True
+        if R1 and _kp_C(w, c):
+            return w[:c], True
+        return w, False
+    if not R1:
+        return w, False
+    if suf == "ge":
+        return w[:c] + "g", True
+    if suf == "lijke":
+        return w[:c] + "lijk", True
+    if suf == "ische":
+        return w[:c] + "isch", True
+    if suf == "de":
+        if _kp_C(w, c):
+            return w[:c], True
+        return w, False
+    if suf == "te":
+        return w[:c] + "t", True
+    if suf == "se":
+        return w[:c] + "s", True
+    if suf == "re":
+        return w[:c] + "r", True
+    if suf == "le":
+        return _kp_lengthen(w[:c] + "l"), True
+    if suf == "ene":
+        if _kp_C(w, c):
+            return _kp_lengthen(w[:c] + "en"), True
+        return w, False
+    # ieve
+    if _kp_C(w, c):
+        return w[:c] + "ief", True
+    return w, False
+
+def _kp_step3(w, p1, p2):
+    suf = _kp_longest(w, ("heid", "fie", "gie", "atie", "isme", "ing", "arij",
+                       "erij", "sel", "rder", "ster", "iteit", "dst", "tst"))
+    if not suf:
+        return w, False
+    c = len(w) - len(suf)
+    if suf == "rder":
+        return w[:c] + "r", True
+    if suf in ("fie", "gie"):
+        if c >= p2:
+            return _kp_lengthen(w[:c] + suf[0]), True
+        return w, False
+    if c < p1:
+        return w, False
+    if suf == "atie":
+        return w[:c] + "eer", True
+    if suf in ("isme", "ing", "erij", "iteit"):
+        return _kp_lengthen(w[:c]), True
+    if suf in ("heid", "sel", "ster"):
+        return w[:c], True
+    if suf == "arij":
+        if _kp_C(w, c):
+            return w[:c] + "aar", True
+        return w, False
+    if suf == "dst":
+        if _kp_C(w, c):
+            return w[:c] + "d", True
+        return w, False
+    # tst
+    if _kp_C(w, c):
+        return w[:c] + "t", True
+    return w, False
+
+def _kp_step4(w, p1, p2):
+    suf = _kp_longest(w, ("end", "atief", "erig", "achtig", "ioneel", "baar",
+                       "laar", "naar", "raar", "eriger", "achtiger",
+                       "lijker", "tant", "erigst", "achtigst", "lijkst"))
+    if suf:
+        c = len(w) - len(suf)
+        if c >= p1:
+            if suf == "ioneel":
+                return w[:c] + "ie", True
+            if suf == "atief":
+                return w[:c] + "eer", True
+            if suf in ("achtig", "baar", "achtiger", "achtigst"):
+                return w[:c], True
+            if suf == "naar":
+                if _kp_V(w, c):
+                    return w[:c] + "n", True
+            elif suf == "laar":
+                if _kp_V(w, c):
+                    return w[:c] + "l", True
+            elif suf == "raar":
+                if _kp_V(w, c):
+                    return w[:c] + "r", True
+            elif suf == "tant":
+                return w[:c] + "teer", True
+            elif suf in ("lijker", "lijkst"):
+                return w[:c] + "lijk", True
+            elif suf in ("end", "erig", "eriger", "erigst"):
+                if _kp_C(w, c):
+                    return _kp_lengthen(w[:c]), True
+    suf = _kp_longest(w, ("ig", "iger", "igst"))
+    if suf:
+        c = len(w) - len(suf)
+        if c >= p1 and _kp_C(w, c):
+            return _kp_lengthen(w[:c]), True
+    return w, False
+
+def _kp_step7(w):
+    if w.endswith("kt"): return w[:-2] + "k", True
+    if w.endswith("ft"): return w[:-2] + "f", True
+    if w.endswith("pt"): return w[:-2] + "p", True
+    return w, False
+
+_KP_DOUBLES = ("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll", "mm",
+               "nn", "pp", "qq", "rr", "ss", "tt", "vv", "ww", "xx", "zz")
+
+def _kp_step6(w):
+    if len(w) >= 2 and w[-2:] in _KP_DOUBLES:
+        return w[:-1], True
+    if w.endswith("v"):
+        return w[:-1] + "f", True
+    if w.endswith("z"):
+        return w[:-1] + "s", True
+    return w, False
+
+def _kp_step1c(w, p1):
+    if w.endswith("d") and len(w) - 1 >= p1 and _kp_C(w, len(w) - 1):
+        c = len(w) - 1
+        if not (c >= 1 and w[c-1] == "n" and c - 1 >= p1):
+            return w[:c]
+    elif w.endswith("t") and len(w) - 1 >= p1 and _kp_C(w, len(w) - 1):
+        c = len(w) - 1
+        if not (c >= 1 and w[c-1] == "h" and c - 1 >= p1):
+            return w[:c]
+    return w
+
+def _kp_lose_prefix(w):
+    if not w.startswith("ge") or len(w) < 5:
+        return w, False
+    rest = w[2:]
+    i = 0
+    while i < len(rest) and rest[i] not in _KP_V: i += 1
+    if i >= len(rest):
+        return w, False
+    j = i
+    while j < len(rest) and rest[j] in _KP_V: j += 1
+    if j >= len(rest):
+        return w, False
+    return rest, True
+
+def _kp_lose_infix(w):
+    k = w.find("ge", 1)
+    if k < 0:
+        return w, False
+    end = k + 2
+    if end + 3 > len(w):
+        return w, False
+    rest = w[end:]
+    i = 0
+    while i < len(rest) and rest[i] not in _KP_V: i += 1
+    if i >= len(rest):
+        return w, False
+    j = i
+    while j < len(rest) and rest[j] in _KP_V: j += 1
+    if j >= len(rest):
+        return w, False
+    return w[:k] + w[end:], True
+
+def snowball_kp_stem(w):
+    y_found = False
+    ch = list(w)
+    if ch and ch[0] == "y":
+        ch[0] = "Y"; y_found = True
+    for j in range(1, len(ch)):
+        if ch[j] == "y" and ch[j-1] in _KP_V:
+            ch[j] = "Y"; y_found = True
+    w = "".join(ch)
+    p1, p2 = _kp_measure(w)
+    stemmed = False
+    for step in (_kp_step1, _kp_step2, _kp_step3, _kp_step4):
+        w, did = step(w, p1, p2)
+        stemmed = stemmed or did
+    w2, ge_removed = _kp_lose_prefix(w)
+    if ge_removed:
+        w = w2
+        p1, p2 = _kp_measure(w)
+        w = _kp_step1c(w, p1)
+    w2, ge2 = _kp_lose_infix(w)
+    if ge2:
+        w = w2
+        p1, p2 = _kp_measure(w)
+        w = _kp_step1c(w, p1)
+    w, did7 = _kp_step7(w)
+    stemmed = stemmed or did7
+    if stemmed or ge_removed or ge2:
+        w, _ = _kp_step6(w)
+    if y_found:
+        w = w.replace("Y", "y")
+    return w
+
+
+
 SNOWBALL_STEMMERS = {
     "snowball_english_stem": snowball_english_stem,
     "snowball_german_stem": snowball_german_stem,
+    "snowball_german2_stem": snowball_german2_stem,
     "snowball_french_stem": snowball_french_stem,
     "snowball_spanish_stem": snowball_spanish_stem,
     "snowball_italian_stem": snowball_italian_stem,
@@ -2235,4 +2793,7 @@ SNOWBALL_STEMMERS = {
     "snowball_finnish_stem": snowball_finnish_stem,
     "snowball_nepali_stem": snowball_nepali_stem,
     "snowball_turkish_stem": snowball_turkish_stem,
+    "snowball_porter_stem": snowball_porter_stem,
+    "snowball_lovins_stem": snowball_lovins_stem,
+    "snowball_kp_stem": snowball_kp_stem,
 }

@@ -38,6 +38,11 @@ _CASES = [
     ("finnish", S.snowball_finnish_stem),
     ("nepali", S.snowball_nepali_stem),
     ("turkish", S.snowball_turkish_stem),
+    # algorithm variants with their own reference vocabularies
+    ("german2", S.snowball_german2_stem),
+    ("porter", S.snowball_porter_stem),
+    ("lovins", S.snowball_lovins_stem),
+    ("kp", S.snowball_kp_stem),
 ]
 
 
