@@ -359,6 +359,12 @@ from lucene_spark.analysis_phonetic import PHONETIC_FILTERS as _PHONETIC  # noqa
 
 _TOKEN_FILTERS.update(_PHONETIC)
 
+# analysis/icu analogs: nfkc_cf normalizer + UTR#30 folding (see
+# analysis_icu.py — stdlib unicodedata, no binary .nrm data)
+from lucene_spark.analysis_icu import ICU_FILTERS as _ICU  # noqa: E402
+
+_TOKEN_FILTERS.update(_ICU)
+
 
 def ngram_emitter(conf: dict):
     """NGramTokenFilter / EdgeNGramTokenFilter analog

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucene_spark.index.reader import Index
+from lucene_spark.search.distances import STRING_DISTANCES
 from lucene_spark.search.executor import _edit_distance
 
 
@@ -38,11 +39,20 @@ def suggest_similar(
     min_df: int = 1,
     more_popular: bool = False,
     field: str | None = None,
+    distance: str = "internal",
 ) -> DataFrame:
     """-> DataFrame(suggestion, df, score), best first.
 
     ``more_popular``: only suggest terms with df strictly above the
-    query term's own df (SuggestMode.SUGGEST_MORE_POPULAR)."""
+    query term's own df (SuggestMode.SUGGEST_MORE_POPULAR).
+
+    ``distance``: scoring metric (DirectSpellChecker.setDistance) —
+    ``internal`` (default, FuzzyTermsEnum 1-ed/min formula) or a
+    `search.distances.STRING_DISTANCES` key (levenshtein,
+    jaro_winkler, ngram, lucene_levenshtein). As in the reference,
+    candidate GENERATION is always the max_edits fuzzy bound; the
+    pluggable distance only rescores the survivors, and ``accuracy``
+    thresholds that score."""
     term = term.lower()
     k = int(max_edits)
     stats = index.term_stats
@@ -65,6 +75,8 @@ def suggest_similar(
         own_df = own[term][0] if term in own else 0
         cand = cand.filter(F.col("df") > own_df)
 
+    dist_fn = None if distance == "internal" else STRING_DISTANCES[distance]
+
     @F.pandas_udf(T.IntegerType())
     def ed_udf(terms: pd.Series) -> pd.Series:
         return pd.Series(
@@ -72,11 +84,19 @@ def suggest_similar(
         )
 
     cand = cand.withColumn("ed", ed_udf("term")).filter(F.col("ed") <= k)
-    score = (
-        F.lit(1.0)
-        - F.col("ed")
-        / F.least(F.length("term"), F.lit(len(term))).cast("double")
-    )
+    if dist_fn is None:
+        score = (
+            F.lit(1.0)
+            - F.col("ed")
+            / F.least(F.length("term"), F.lit(len(term))).cast("double")
+        )
+    else:
+
+        @F.pandas_udf(T.DoubleType())
+        def dist_udf(terms: pd.Series) -> pd.Series:
+            return pd.Series([float(dist_fn(term, t)) for t in terms])
+
+        score = dist_udf("term")
     return (
         cand.withColumn("score", score)
         .filter(F.col("score") >= float(accuracy))
