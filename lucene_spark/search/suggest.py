@@ -128,6 +128,153 @@ class InfixSuggester:
         ).limit(n)
 
 
+class BlendedInfixSuggester(InfixSuggester):
+    """BlendedInfixSuggester analog (suggest/analyzing/
+    BlendedInfixSuggester.java:48): infix lookup whose weight is
+    re-ponderated by the POSITION of the first matched token in the
+    suggestion text. Reference semantics reproduced exactly:
+
+    - fetch ``num * num_factor`` candidates by raw weight first
+      (BlendedInfixSuggester.java:198), blend, then trim to ``num`` —
+      blending only promotes within that over-fetched pool;
+    - coefficient = 1 when the suggestion text starts with the raw
+      query string; otherwise per blender type over the first matched
+      position p (java:75-80): ``linear`` 1 - 0.10*p, ``reciprocal``
+      1/(p+1), ``exponential_reciprocal`` 1/(p+1)^exponent;
+    - weight quirks (java:263-268): weight 0 becomes 1, then weights in
+      (-10, 10) are scaled by 10 (1/LINEAR_COEF) so the long-cast
+      blended score keeps resolution; score = long(weight*coefficient);
+    - final order: blended score desc, text desc (the reference's
+      TreeSet descendingSet over (value, key) ascending).
+
+    Spark shape: the subclass keeps a (key, token, first_pos) table
+    (same single analysis pass, min-position per token); a lookup is
+    the parent's semi-join chain for candidate keys, a
+    TakeOrderedAndProject for the weight pool, and one broadcast-sized
+    join to attach min matched position — no extra scans."""
+
+    LINEAR_COEF = 0.10
+    BLENDERS = ("linear", "reciprocal", "exponential_reciprocal")
+
+    def __init__(
+        self,
+        entries: DataFrame,
+        key_col: str = "key",
+        text_col: str = "text",
+        weight_col: str = "weight",
+        contexts_col: str | None = None,
+        analyzer: dict | None = None,
+        blender_type: str = "linear",
+        num_factor: int = 10,
+        exponent: float = 2.0,
+    ):
+        if blender_type not in self.BLENDERS:
+            raise ValueError(f"unknown blender_type {blender_type!r}")
+        super().__init__(
+            entries,
+            key_col=key_col,
+            text_col=text_col,
+            weight_col=weight_col,
+            contexts_col=contexts_col,
+            analyzer=analyzer,
+        )
+        self.text_col = text_col
+        self.blender_type = blender_type
+        self.num_factor = int(num_factor)
+        self.exponent = float(exponent)
+        an = analyzer
+
+        @F.pandas_udf(
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("token", T.StringType()),
+                        T.StructField("pos", T.IntegerType()),
+                    ]
+                )
+            )
+        )
+        def tok_pos(texts: pd.Series) -> pd.Series:
+            def first_positions(t):
+                terms, positions = tokenize(t or "", analyzer=an)
+                first: dict[str, int] = {}
+                for term, p in zip(terms, positions):
+                    if term not in first:
+                        first[term] = p
+                return [
+                    {"token": term, "pos": p} for term, p in first.items()
+                ]
+
+            return texts.map(first_positions)
+
+        self.token_pos = entries.select(
+            F.col(key_col).alias("key"),
+            F.explode(tok_pos(F.col(text_col))).alias("tp"),
+        ).select("key", "tp.token", "tp.pos")
+        self._pos_built = None
+
+    def build(self) -> "BlendedInfixSuggester":
+        super().build()
+        if self._pos_built is None:
+            self._pos_built = self.token_pos.persist()
+            self._pos_built.count()
+        return self
+
+    def _coefficient(self, pos_col):
+        if self.blender_type == "linear":
+            return F.lit(1.0) - F.lit(self.LINEAR_COEF) * pos_col
+        if self.blender_type == "reciprocal":
+            return F.lit(1.0) / (pos_col + F.lit(1.0))
+        return F.lit(1.0) / F.pow(pos_col + F.lit(1.0), F.lit(self.exponent))
+
+    def lookup(
+        self,
+        query: str,
+        n: int = 10,
+        contexts: list[str] | None = None,
+        all_terms_required: bool = True,
+    ) -> DataFrame:
+        """DataFrame(key, text, weight, score) — ``score`` is the
+        blended long, ordered score desc / text desc."""
+        pool = super().lookup(
+            query,
+            n=n * self.num_factor,
+            contexts=contexts,
+            all_terms_required=all_terms_required,
+        )
+        qtoks, _ = tokenize(query, analyzer=self.analyzer)
+        tp = self._pos_built if self._pos_built is not None else self.token_pos
+        if qtoks:
+            pred = F.col("token").startswith(qtoks[-1])
+            for t in qtoks[:-1]:
+                pred = pred | (F.col("token") == t)
+            pos = (
+                tp.filter(pred)
+                .groupBy("key")
+                .agg(F.min("pos").alias("first_pos"))
+            )
+            pool = pool.join(
+                F.broadcast(pos.withColumnRenamed("key", self.key_col)),
+                self.key_col,
+                "left",
+            )
+        else:
+            pool = pool.withColumn("first_pos", F.lit(0))
+        w = F.col(self.weight_col).cast("double")
+        w = F.when(w == 0, F.lit(1.0)).otherwise(w)
+        inv = 1.0 / self.LINEAR_COEF
+        w = F.when((w < inv) & (w > -inv), w * inv).otherwise(w)
+        coef = F.when(
+            F.col(self.text_col).startswith(query), F.lit(1.0)
+        ).otherwise(self._coefficient(F.coalesce(F.col("first_pos"), F.lit(0))))
+        return (
+            pool.withColumn("score", (w * coef).cast("long"))
+            .orderBy(F.desc("score"), F.desc(self.text_col))
+            .limit(n)
+            .select(self.key_col, self.text_col, self.weight_col, "score")
+        )
+
+
 class AnalyzingSuggester:
     """AnalyzingSuggester analog (suggest/analyzing/
     AnalyzingSuggester.java:118-230): completion matches the ANALYZED
