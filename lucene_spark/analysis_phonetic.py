@@ -866,6 +866,8 @@ def _replace(encode):
     return fn
 
 
+from lucene_spark.analysis_dm import dm_encode, dm_soundex  # noqa: E402
+
 PHONETIC_ENCODERS = {
     "soundex": soundex,
     "refined_soundex": refined_soundex,
@@ -873,6 +875,9 @@ PHONETIC_ENCODERS = {
     "double_metaphone": lambda t: double_metaphone(t)[0],
     "nysiis": nysiis,
     "caverphone2": caverphone2,
+    # non-branching single code (commons-codec encode()); the branching
+    # multi-code path is the "daitch_mokotoff" phonetic_emitter below
+    "daitch_mokotoff": dm_encode,
 }
 
 PHONETIC_FILTERS = {
@@ -902,6 +907,18 @@ def phonetic_emitter(conf):
                 return (t,)
             return tuple(([t] if inject else []) + codes)
         return emit
+    if name == "daitch_mokotoff":
+        # DaitchMokotoffSoundexFilter.java: ALL branching codes emitted,
+        # first replaces (inject=false) / original kept first
+        # (inject=true), rest stack at posIncr=0; zero-length terms pass
+        def emit_dm(t: str) -> tuple:
+            if not t:
+                return (t,)
+            codes = [c for c in dm_soundex(t) if c and c != t]
+            if not codes:
+                return (t,)
+            return tuple(([t] if inject else []) + codes)
+        return emit_dm
     if name == "metaphone":
         enc0 = lambda t: metaphone(t, mcl)  # noqa: E731
     else:

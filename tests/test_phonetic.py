@@ -68,8 +68,13 @@ def test_double_metaphone_reference_vectors():
 
 def test_non_encodable_passthrough():
     # TestDoubleMetaphoneFilter.testNonConvertableStrings: tokens with
-    # no letters pass through unchanged in the filter
+    # no letters pass through unchanged in the filter. Daitch-Mokotoff
+    # is exempt: its dedicated reference filter has no non-encodable
+    # passthrough — commons-codec encodes rule-less input to "000000"
+    # (covered in test_dm_soundex.py).
     for name, fn in PHONETIC_FILTERS.items():
+        if name == "phonetic_daitch_mokotoff":
+            continue
         assert fn("12345") == "12345", name
         assert fn("#$%@#^%&") == "#$%@#^%&", name
 
