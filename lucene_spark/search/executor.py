@@ -517,6 +517,8 @@ class Searcher:
             return self._interval_scored(q, candidates=candidates)
         if isinstance(q, P.PayloadScoreQ):
             return self._payload_scored(q, candidates=candidates)
+        if isinstance(q, P.SpanPayloadCheckQ):
+            return self._payload_check_scored(q, candidates=candidates)
         if isinstance(q, P.FeatureQ):
             feat = F.col(q.col).cast("double")
             if q.fn == "saturation":
@@ -1268,6 +1270,94 @@ class Searcher:
             )
         )
         return scored
+
+    def _payload_check_scored(
+        self, q: P.SpanPayloadCheckQ, candidates: list[int] | None = None
+    ) -> DataFrame:
+        """SpanPayloadCheckQuery (queries/payloads/
+        SpanPayloadCheckQuery.java:44,206-237): a span is accepted iff
+        the payloads at its positions, in ascending position order,
+        compare true one-for-one (and same count) against
+        ``q.payloads`` under ``q.op``; docs score like the span over
+        accepted intervals only (sloppyFreq = sum 1/(1+gaps)).
+        Comparisons run in float32 (this engine's payload type)."""
+        from lucene_spark.search import intervals as IV
+
+        source = P.span_source(q.span)
+        terms = IV.leaf_keys(source)
+        uniq = list(dict.fromkeys(terms))
+        stats = self._stats_for_keys(uniq)
+        req_slots = []
+        for slot in IV.required_terms(source):
+            present = tuple(t for t in dict.fromkeys(slot) if t in stats)
+            if not present:
+                return self._empty_scored()
+            req_slots.append(present)
+        present_terms = [t for t in terms if t in stats]
+        uniq = [t for t in uniq if t in stats]
+        w = self._combined_weight(
+            [stats[t][0] for t in present_terms], q.boost
+        )
+        surv = self._slot_conjunction_docs(req_slots, stats)
+        pos = self._position_rows_keyed(uniq, with_payloads=True)
+        if candidates is not None:
+            pos = self._cand(pos, candidates)
+        pos = pos.join(surv, "doc_id", "left_semi")
+        grouped = pos.groupBy("doc_id").agg(
+            F.collect_list(
+                F.struct("idx", "positions", "payloads")
+            ).alias("plists"),
+            F.first("norm").alias("norm"),
+        )
+        uniq_l = list(uniq)
+        refs = list(q.payloads)
+        op = q.op
+        if op not in ("eq", "gt", "gte", "lt", "lte"):
+            raise ValueError(f"unknown payload match op {op!r}")
+
+        @F.pandas_udf(T.DoubleType())
+        def check_freq(plists: pd.Series) -> pd.Series:
+            import operator
+
+            cmp = {
+                "eq": operator.eq, "gt": operator.gt, "gte": operator.ge,
+                "lt": operator.lt, "lte": operator.le,
+            }[op]
+            out = np.zeros(len(plists), dtype=np.float64)
+            for r, entries in enumerate(plists):
+                pos_by_term, pay_by_term = {}, {}
+                for e in entries:
+                    t = uniq_l[e["idx"]]
+                    pos_by_term[t] = np.asarray(e["positions"], dtype=np.int64)
+                    pay_by_term[t] = np.asarray(e["payloads"], dtype=np.float64)
+                ivs = IV.evaluate(source, pos_by_term)
+                if not ivs:
+                    continue
+                k = IV._gap_k(source)
+                freq = 0.0
+                for s0, s1 in ivs:
+                    seq = []
+                    for t, ps in pos_by_term.items():
+                        m = (ps >= s0) & (ps <= s1)
+                        if m.any():
+                            seq.extend(zip(ps[m], pay_by_term[t][m]))
+                    seq.sort()
+                    if len(seq) != len(refs):
+                        continue
+                    ok = all(
+                        ref is not None
+                        and cmp(np.float32(v), np.float32(ref))
+                        for (_, v), ref in zip(seq, refs)
+                    )
+                    if ok:
+                        freq += 1.0 / (1.0 + max(0, (s1 - s0) - (k - 1)))
+                out[r] = freq
+            return pd.Series(out)
+
+        matched = grouped.withColumn("freq", check_freq("plists")).filter(
+            F.col("freq") > 0.0
+        )
+        return self._score_freq_df(matched.select("doc_id", "freq", "norm"), w)
 
     def _rewrite_common_terms(self, q: P.CommonTermsQ):
         """CommonTermsQuery plan rewrite (CommonTermsQuery.java:136-190):

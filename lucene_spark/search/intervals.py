@@ -42,7 +42,7 @@ def _children(src) -> list:
         return [src.small, src.big]
     if isinstance(src, P.IntervalNotWithin):
         return [src.minuend, src.subtrahend]
-    if isinstance(src, P.IntervalFirst):
+    if isinstance(src, (P.IntervalFirst, P.IntervalPositionRange)):
         return [src.source]
     if isinstance(src, P.IntervalNotOverlapping):
         return [src.minuend, src.subtrahend]
@@ -114,7 +114,7 @@ def required_terms(src) -> list[list]:
         return required_terms(src.small)
     if isinstance(src, P.IntervalNotWithin):
         return required_terms(src.minuend)
-    if isinstance(src, P.IntervalFirst):
+    if isinstance(src, (P.IntervalFirst, P.IntervalPositionRange)):
         return required_terms(src.source)
     if isinstance(src, P.IntervalNotOverlapping):
         return required_terms(src.minuend)
@@ -185,6 +185,13 @@ def evaluate(src, pos_by_term: dict) -> list[tuple[int, int]]:
         # i.e. inclusive interval end < end
         return [
             iv for iv in evaluate(src.source, pos_by_term) if iv[1] < src.end
+        ]
+    if isinstance(src, P.IntervalPositionRange):
+        # SpanPositionRangeQuery.java:44: start >= range start AND
+        # end <= range end (same exclusive-end convention as above)
+        return [
+            iv for iv in evaluate(src.source, pos_by_term)
+            if iv[0] >= src.start and iv[1] < src.end
         ]
     if isinstance(src, P.IntervalNotOverlapping):
         minuend = evaluate(src.minuend, pos_by_term)
@@ -260,7 +267,7 @@ def _gap_k(src) -> int:
     if isinstance(src, (P.IntervalNotContaining, P.IntervalNotWithin,
                         P.IntervalNotOverlapping)):
         return _gap_k(src.minuend)
-    if isinstance(src, P.IntervalFirst):
+    if isinstance(src, (P.IntervalFirst, P.IntervalPositionRange)):
         return _gap_k(src.source)
     if isinstance(src, P.IntervalOr):
         # result intervals each come from one alternative; use the

@@ -372,6 +372,18 @@ class IntervalFirst:
 
 
 @dataclass(frozen=True)
+class IntervalPositionRange:
+    """SpanPositionRangeQuery.java:39 analog: intervals of ``source``
+    whose span start >= ``start`` AND span end <= ``end`` (exclusive
+    span ends: endPosition() <= end <=> inclusive iv_end < end).
+    IntervalFirst is the start=0 special case."""
+
+    source: object
+    start: int
+    end: int
+
+
+@dataclass(frozen=True)
 class IntervalNotOverlapping:
     """SpanNotQuery.java:49 analog: intervals of ``minuend`` that do not
     overlap any ``subtrahend`` interval expanded by ``pre`` positions
@@ -437,6 +449,17 @@ class SpanFirstQ:
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQ:
+    """spans/SpanPositionRangeQuery.java — match spans whose start
+    position >= ``start`` and end position <= ``end``."""
+
+    match: object
+    start: int
+    end: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanContainingQ:
     """spans/SpanContainingQuery.java — spans of big containing little."""
 
@@ -474,6 +497,25 @@ class FieldMaskingSpanQ:
 
 
 @dataclass(frozen=True)
+class SpanPayloadCheckQ:
+    """queries/payloads/SpanPayloadCheckQuery.java — keep only the
+    spans whose ordered per-position payload sequence compares true,
+    one-for-one and same length, against ``payloads``; docs score like
+    the underlying span over the ACCEPTED spans only (sloppyFreq).
+    ``op`` applies element-wise (MatchOperation EQ/GT/GTE/LT/LTE,
+    reference semantics: payload OP reference-entry). A ``None`` entry
+    accepts a missing payload (never the case on a payload-built
+    index; kept for API parity). f32 payloads (this engine's payload
+    type); positions inside each interval are collected in ascending
+    position order (the reference's collector walks the match path)."""
+
+    span: object
+    payloads: tuple
+    op: str = "eq"  # eq | gt | gte | lt | lte
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PayloadScoreQ:
     """queries/payloads/PayloadScoreQuery.java — scores docs by a
     PayloadFunction (min/max/avg/sum) over the payloads of matched span
@@ -493,7 +535,7 @@ class PayloadScoreQ:
 
 _SPAN_NODES = (
     SpanTermQ, SpanNearQ, SpanOrQ, SpanNotQ, SpanFirstQ,
-    SpanContainingQ, SpanWithinQ, FieldMaskingSpanQ,
+    SpanPositionRangeQ, SpanContainingQ, SpanWithinQ, FieldMaskingSpanQ,
 )
 
 
@@ -518,6 +560,8 @@ def span_source(q):
         )
     if isinstance(q, SpanFirstQ):
         return IntervalFirst(span_source(q.match), q.end)
+    if isinstance(q, SpanPositionRangeQ):
+        return IntervalPositionRange(span_source(q.match), q.start, q.end)
     if isinstance(q, SpanContainingQ):
         return IntervalContaining(span_source(q.big), span_source(q.little))
     if isinstance(q, SpanWithinQ):

@@ -63,6 +63,27 @@ def test_span_first_semantics():
     assert IV.evaluate(src, _pos(a=[0, 2, 3, 9])) == [(0, 0), (2, 2)]
 
 
+def test_span_position_range_semantics():
+    # SpanPositionRangeQuery: start >= 2 and exclusive end <= 6
+    # (a term at position 5 has span end 6 and survives end=6)
+    src = P.span_source(
+        P.SpanPositionRangeQ(P.SpanTermQ("a"), start=2, end=6)
+    )
+    assert IV.evaluate(src, _pos(a=[0, 2, 5, 6, 9])) == [(2, 2), (5, 5)]
+    # multi-position spans: BOTH endpoints must sit inside the range
+    near = P.SpanNearQ((P.SpanTermQ("a"), P.SpanTermQ("b")), 0, True)
+    src2 = P.span_source(P.SpanPositionRangeQ(near, start=1, end=4))
+    pos = _pos(a=[0, 1, 3, 8], b=[1, 2, 4, 9])
+    # candidate spans (0,1) startswith 0 -> out; (1,2) in; (3,4) end 5
+    # exceeds end=4 -> out; (8,9) out
+    assert IV.evaluate(src2, pos) == [(1, 2)]
+    # start=0 degenerates to SpanFirst
+    src3 = P.span_source(P.SpanPositionRangeQ(P.SpanTermQ("a"), 0, 3))
+    first = P.span_source(P.SpanFirstQ(P.SpanTermQ("a"), end=3))
+    p = _pos(a=[0, 2, 3, 9])
+    assert IV.evaluate(src3, p) == IV.evaluate(first, p)
+
+
 def test_span_containing_within():
     big = P.SpanNearQ((P.SpanTermQ("a"), P.SpanTermQ("c")), 5, True)
     little = P.SpanTermQ("b")
