@@ -998,6 +998,24 @@ def _q_group_top_per_lang(term: str):
     return fn
 
 
+def _q_diversified(term: str, k: int, max_per_key: int):
+    def fn(spark, sf_dir):
+        from lucene_spark.search.diversify import diversified_top_k
+
+        s = _searcher(spark, sf_dir)
+        scored = (
+            s.scored(TermQ(term))
+            .withColumn("score", F.round("score", 4))
+            .join(s.index.docs.select("doc_id", "lang"), "doc_id")
+        )
+        out = diversified_top_k(scored, "lang", k, max_per_key)
+        return out.select(
+            "doc_id", "lang", F.col("score").alias("score_r")
+        )
+
+    return fn
+
+
 def _q_total_hits(terms: tuple):
     def fn(spark, sf_dir):
         s = _searcher(spark, sf_dir)
@@ -1455,6 +1473,26 @@ def _taxo_oracle_prelude(term: str) -> str:
         "tx AS (SELECT node, parent, depth, count(*) AS cnt "
         "FROM ex GROUP BY node, parent, depth)"
     )
+
+
+def _q_facet_taxonomy_sum(term: str, value_col: str):
+    """Association facets (facet/taxonomy/TaxonomyFacetSumValueSource /
+    IntAssociations SUM): per-node sum of a per-doc value over every
+    path ancestor of each matching doc."""
+
+    def fn(spark, sf_dir):
+        from lucene_spark import facets
+
+        s = _searcher(spark, sf_dir)
+        out = facets.taxonomy_sum_values(
+            s.doc_set(TermQ(term)), _taxo_docs(s), value_col
+        )
+        return out.select(
+            "node", "parent", F.col("depth").cast("long").alias("depth"),
+            F.round("total", 4).alias("total_r"),
+        ).orderBy("node")
+
+    return fn
 
 
 def _q_join_parent(term: str, mode: str = "max"):
@@ -2052,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetools_day_counts": _q_datetools_day_counts("20240105", "20240112"),
         "facet_range_nchars": _q_facet_range("vector"),
         "facet_taxonomy_path": _q_facet_taxonomy("vector"),
+        "facet_taxonomy_sum": _q_facet_taxonomy_sum("vector", "n_chars"),
         "facet_taxonomy_children": _q_facet_taxonomy_children("vector", 2),
         "join_parent_max": _q_join_parent("merge"),
         "join_parent_avg": _q_join_parent("merge", "avg"),
@@ -2166,6 +2205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest_topk": _q_geo_nearest(10),
         "facet_lang_counts": _q_facet_lang("vector"),
         "group_top_per_lang": _q_group_top_per_lang("merge"),
+        # DiversifiedTopDocsCollector (misc): top-k, <=2 hits per lang
+        "diversified_topk": _q_diversified("merge", 10, 2),
         "total_hits": _q_total_hits(("merge", "sort", "hash")),
         "sort_by_field": _q_sort_field("vector", 10),
         "sort_after_page2": _q_sort_after("vector", 10),
@@ -2735,6 +2776,18 @@ ORDER BY score_r DESC, gram LIMIT 50
             f"{_PRELUDE}{_taxo_oracle_prelude('vector')} "
             "SELECT node, parent, depth, cnt FROM tx ORDER BY node"
         ),
+        "facet_taxonomy_sum": (
+            f"{_PRELUDE}"
+            ", m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector'), "
+            "pd AS (SELECT d.doc_id, d.n_chars AS v, d.source AS l1, d.lang AS l2, "
+            "CASE WHEN d.n_chars < 1000 THEN 'short' ELSE 'long' END AS l3 "
+            "FROM m JOIN documents d USING (doc_id)), "
+            "ex AS (SELECT l1 AS node, '' AS parent, CAST(1 AS BIGINT) AS depth, v FROM pd "
+            "UNION ALL SELECT l1 || '/' || l2, l1, 2, v FROM pd "
+            "UNION ALL SELECT l1 || '/' || l2 || '/' || l3, l1 || '/' || l2, 3, v FROM pd) "
+            "SELECT node, parent, depth, round(sum(CAST(v AS DOUBLE)), 4) AS total_r "
+            "FROM ex GROUP BY node, parent, depth ORDER BY node"
+        ),
         "facet_taxonomy_children": (
             f"{_PRELUDE}{_taxo_oracle_prelude('vector')} "
             "SELECT parent, node, cnt, rnk FROM ("
@@ -3019,6 +3072,15 @@ ORDER BY score_r DESC, gram LIMIT 50
             f"row_number() OVER (PARTITION BY d.lang "
             f"ORDER BY round(s.score, 4) DESC, s.doc_id) AS rn "
             f"FROM scored s JOIN documents d USING (doc_id)) WHERE rn = 1"
+        ),
+        "diversified_topk": (
+            f"{_PRELUDE}, scored AS ({_term_scored_sql('merge')}) "
+            f"SELECT doc_id, lang, score_r FROM ("
+            f"SELECT s.doc_id, d.lang, round(s.score, 4) AS score_r, "
+            f"row_number() OVER (PARTITION BY d.lang "
+            f"ORDER BY round(s.score, 4) DESC, s.doc_id) AS rn "
+            f"FROM scored s JOIN documents d USING (doc_id)) "
+            f"WHERE rn <= 2 ORDER BY score_r DESC, doc_id LIMIT 10"
         ),
         "total_hits": (
             f"{_PRELUDE} SELECT count(*) AS total FROM ("

@@ -68,6 +68,47 @@ def taxonomy_counts(
     )
 
 
+def taxonomy_sum_values(
+    matches: DataFrame,
+    docs: DataFrame,
+    value_col: str,
+    path_col: str = "path",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Association facets analog (facet/taxonomy/
+    TaxonomyFacetSumValueSource.java, TaxonomyFacetIntAssociations /
+    FloatAssociations with AssociationAggregationFunction.SUM): every
+    matching doc contributes its per-doc association value to EVERY
+    ancestor of its taxonomy path; per-node aggregate = SUM.
+
+    Returns (node, parent, depth, total). Same one-shuffle shape as
+    ``taxonomy_counts`` (explode bounded by path depth, map-side
+    partial agg); the value rides the same projection, so adding the
+    aggregation costs no extra scan or shuffle."""
+    path = F.col(path_col)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(path)),
+        lambda i: F.slice(path, F.lit(1), i),
+    )
+    joined = matches.select(doc_id_col).join(
+        docs.select(doc_id_col, path_col, value_col), doc_id_col
+    )
+    exploded = joined.select(
+        F.explode(prefixes).alias("node_arr"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    sums = exploded.groupBy("node_arr").agg(F.sum("_v").alias("total"))
+    depth = F.size("node_arr")
+    return sums.select(
+        F.array_join("node_arr", SEP).alias("node"),
+        F.array_join(F.slice("node_arr", F.lit(1), depth - 1), SEP).alias(
+            "parent"
+        ),
+        depth.alias("depth"),
+        "total",
+    )
+
+
 def taxonomy_top_children(
     matches: DataFrame,
     docs: DataFrame,
