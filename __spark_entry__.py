@@ -43,12 +43,15 @@ from lucene_spark.search import complexphrase as _complexphrase
 from lucene_spark.search import surround as _surround
 from lucene_spark.search import xmlparser as _xmlparser
 from lucene_spark.pipeline import hnsw as _hnsw
+from lucene_spark.expressions import compile_expression
 from lucene_spark.search.fuzzysuggest import FuzzySuggester
 from lucene_spark.search.wordbreak import WordBreakSpellChecker
 from lucene_spark.search import (
     BlendedTermQ,
     BoolQ,
+    CombinedFieldQ,
     CommonTermsQ,
+    CoveringQ,
     DisMaxQ,
     FeatureQ,
     FieldFilter,
@@ -74,6 +77,16 @@ _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 _INDEXES: dict[str, Index] = {}
 
 K1, B = 1.2, 0.75
+
+# expressions-module gate source (expressions/js): arithmetic, a
+# function call, max(), a comparison-driven ternary and the _score
+# binding, all in one expression — compiled per dialect at gate-build
+# time so the Spark query and the DuckDB oracle share ONE source
+_EXPR_JS = (
+    "_score * ln(1.0 + n_chars)"
+    " + sqrt(max(n_chars, 100)) / 10"
+    " + (n_chars > 500 ? 0.5 : 0.25)"
+)
 
 
 def _get_index(spark: SparkSession, sf_dir: str) -> Index:
@@ -1495,6 +1508,23 @@ def _q_facet_taxonomy_sum(term: str, value_col: str):
     return fn
 
 
+def _q_facet_long_values(term: str, value_expr: str, topn: int):
+    """LongValueFacetCounts.getTopChildrenSortByCount (facet/
+    LongValueFacetCounts.java:297-342): per-distinct-long-value doc
+    counts, ordered count desc then value asc."""
+
+    def fn(spark, sf_dir):
+        from lucene_spark import facets
+
+        s = _searcher(spark, sf_dir)
+        out = facets.long_value_counts(
+            s.doc_set(TermQ(term)), s.index.docs, value_expr, topn
+        )
+        return out.select("value", F.col("cnt").cast("long").alias("cnt"))
+
+    return fn
+
+
 def _q_join_parent(term: str, mode: str = "max"):
     """ToParentBlockJoinQuery score modes (join/.../ScoreMode.java:
     Max / Avg / Total / Min) — parent score aggregates child scores."""
@@ -1605,6 +1635,48 @@ SELECT doc_id, round(mx + {tiebreak} * (sm - mx), 4) AS score_r FROM agg
 ORDER BY round(mx + {tiebreak} * (sm - mx), 4) DESC, doc_id LIMIT {k}"""
 
 
+
+
+def _combined_field_sql(term: str, wt: float, wh: float, k: int) -> str:
+    """CombinedFieldQuery / BM25F oracle (CombinedFieldQuery.java:292-333,
+    MultiNormsLeafSimScorer): pseudo df = max over fields, pseudo
+    docCount = max, pseudo sumTtf = Σ w_f * sumTtf_f, per-doc freq =
+    Σ w_f * tf_f, per-doc dl = requantize(round(Σ w_f * qdl_f))."""
+    w = (
+        f"ln(1 + (gc.doc_count - dmx.df + 0.5) / (dmx.df + 0.5))"
+    )
+    inv = (
+        f"(1.0 / ({K1} * ((1 - {B}) + {B} * cq.qdl"
+        f" / (gc.sum_ttf / gc.doc_count))))"
+    )
+    requant = (
+        "CASE WHEN rdl < 32 THEN rdl ELSE 24 + (((rdl-24) >> "
+        "(CAST(floor(log2(rdl-24)) AS INTEGER)-3)) << "
+        "(CAST(floor(log2(rdl-24)) AS INTEGER)-3)) END"
+    )
+    return f"""{_PRELUDE}{_HEAD},
+dmx AS (SELECT greatest(
+    coalesce((SELECT df FROM dfs WHERE term = '{term}'), 0),
+    coalesce((SELECT df FROM dfsh WHERE term = '{term}'), 0)) AS df),
+gc AS (SELECT greatest(g.doc_count, gh.doc_count) AS doc_count,
+       ({wt} * g.sum_ttf + {wh} * gh.sum_ttf) AS sum_ttf FROM g, gh),
+cfreq AS (
+  SELECT doc_id, sum(wf) AS freq FROM (
+    SELECT doc_id, {wt} * freq AS wf FROM tf WHERE term = '{term}'
+    UNION ALL
+    SELECT doc_id, {wh} * freq FROM tfh2 WHERE term = '{term}')
+  GROUP BY doc_id),
+cnorm AS (
+  SELECT q.doc_id,
+    CAST(floor({wt} * q.qdl + {wh} * qh.qdl + 0.5) AS BIGINT) AS rdl
+  FROM qdls q JOIN qdlsh qh USING (doc_id)),
+cq AS (SELECT doc_id, {requant} AS qdl FROM cnorm),
+scored AS (
+  SELECT c.doc_id,
+    ({w}) - ({w}) / (1 + c.freq * {inv}) AS score
+  FROM cfreq c JOIN cq USING (doc_id), gc, dmx)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"""
 
 
 def _fuzzy_topk_sql(term: str, max_edits: int, k: int, max_expansions: int = 50) -> str:
@@ -1972,7 +2044,7 @@ def _term_vector_sql(doc_ids: tuple) -> str:
 # near-duplicate variants of already-covered families follow after.
 _GATE_WINDOW = [
     "term_topk", "bool_or_wand_topk", "bool_filter_lang",
-    "phrase_topk", "phrase_sloppy_topk", "multiphrase_topk",
+    "phrase_topk", "covering_topk", "multiphrase_topk",
     "complex_phrase_topk", "common_terms_topk", "mlt_topk",
     "fuzzy_topk", "match_msm_topk", "regexp_docs",
     "prefix_scored_topk", "surround_parsed_topk",
@@ -1980,14 +2052,14 @@ _GATE_WINDOW = [
     "span_near_topk",
     "feature_boost_topk", "function_score_topk",
     "blended_cross_field_topk", "parsed_field_query_topk",
-    "sort_by_field", "sort_after_page2",
+    "sort_by_field", "expression_score_topk",
     "total_hits", "rescore_topk",
-    "ann_recall_floor", "facet_taxonomy_path", "drill_sideways",
+    "ann_recall_floor", "facet_taxonomy_path", "facet_taxonomy_sum",
     "group_top_per_lang",
     "join_parent_max", "suggest_prefix", "spell_suggest",
     "sim_zoo_topk",
-    "uax29_term_topk", "cjk_bigram_terms", "synonym_index_topk",
-    "wd_subword_topk", "shingle_bigram_topk",
+    "uax29_term_topk", "cjk_bigram_terms", "facet_long_values",
+    "wd_subword_topk", "diversified_topk",
     "text_token_counts", "suggest_fuzzy",
     "payload_span_topk",
     "dedup_exact", "dedup_minhash_pairs",
@@ -2010,6 +2082,17 @@ _GATE_WINDOW = [
 # new stored-data family, Lucene90TermVectorsFormat),
 # geo_nearest_topk -> edge_ngram_prefix_docs (geo keeps geo_polygon_docs
 # inside; analysis/ngram is a new filter family round 4).
+# Late-round-4 swaps for the five newest operator families (same rule):
+# phrase_sloppy -> covering_topk (phrase family keeps phrase + multi;
+# CoveringQuery's per-doc dynamic msm is a new family),
+# sort_after_page2 -> expression_score_topk (TopFieldCollector keeps
+# sort_by_field inside; the expressions JS compiler is a new module),
+# drill_sideways -> facet_taxonomy_sum (facets keep taxonomy_path;
+# association facets are a new aggregate family),
+# synonym_index_topk -> facet_long_values (query-time SynonymQuery
+# stays inside; LongValueFacetCounts is new),
+# shingle_bigram_topk -> diversified_topk (DiversifiedTopDocsCollector
+# is a new collector family).
 
 
 def _window_ordered(qs: dict) -> dict:
@@ -2066,6 +2149,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blended_cross_field_topk": _q_bool(
             lambda: BlendedTermQ(("data",), tiebreak=0.1, fields=("text", "head")), 20
         ),
+        # CombinedFieldQuery / BM25F (sandbox): text + head merged into
+        # one pseudo-field, head weighted 2x
+        "combined_field_topk": _q_bool(
+            lambda: CombinedFieldQ(
+                ("data",), (("text", 1.0), ("head", 2.0))
+            ),
+            20,
+        ),
         "rescore_topk": _q_rescore("data", ("data", "line"), 20, 2.0),
         "suggest_prefix": _q_suggest("s", 10),
         "suggest_infix": _q_suggest_infix("data vect", 10),
@@ -2091,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_range_nchars": _q_facet_range("vector"),
         "facet_taxonomy_path": _q_facet_taxonomy("vector"),
         "facet_taxonomy_sum": _q_facet_taxonomy_sum("vector", "n_chars"),
+        "facet_long_values": _q_facet_long_values("vector", "n_chars % 97", 15),
         "facet_taxonomy_children": _q_facet_taxonomy_children("vector", 2),
         "join_parent_max": _q_join_parent("merge"),
         "join_parent_avg": _q_join_parent("merge", "avg"),
@@ -2144,6 +2236,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_topk": _q_bool(
             lambda: FunctionScoreQ(
                 TermQ("merge"), "ln(1.0 + n_chars)", mode="multiply"
+            ),
+            20,
+        ),
+        # CoveringQuery (sandbox): per-doc dynamic minimumNumberMatch
+        # from a LongValuesSource (docs needing 2 of 3 terms when
+        # n_chars is odd, 1 otherwise)
+        "covering_topk": _q_bool(
+            lambda: CoveringQ(
+                (TermQ("merge"), TermQ("sort"), TermQ("hash")),
+                "1 + n_chars % 2",
+            ),
+            20,
+        ),
+        # expressions module (expressions/js/JavascriptCompiler.java):
+        # ONE Lucene-JS source compiled to the Spark dialect here and to
+        # the DuckDB dialect in oracle_sql() — end-to-end dialect parity
+        "expression_score_topk": _q_bool(
+            lambda: FunctionScoreQ(
+                TermQ("merge"),
+                compile_expression(_EXPR_JS, "spark", {"_score": "score"}),
+                mode="replace",
             ),
             20,
         ),
@@ -2662,6 +2775,7 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
         "classify_knn": _knn_oracle_sql(_KNN_TEXT, _KNN_K, _KNN_MT),
         "rescore_topk": rescore_sql,
         "field_term_topk": _head_term_topk_sql("data", 10),
+        "combined_field_topk": _combined_field_sql("data", 1.0, 2.0, 20),
         "fuzzy_topk": _fuzzy_topk_sql("merge", 2, 20),
         "parsed_field_query_topk": _parsed_field_query_sql(20),
         "blended_cross_field_topk": _blended_cross_field_sql("data", 0.1, 20),
@@ -2788,6 +2902,14 @@ ORDER BY score_r DESC, gram LIMIT 50
             "SELECT node, parent, depth, round(sum(CAST(v AS DOUBLE)), 4) AS total_r "
             "FROM ex GROUP BY node, parent, depth ORDER BY node"
         ),
+        "facet_long_values": (
+            f"{_PRELUDE}"
+            ", m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector')"
+            ", v AS (SELECT CAST(d.n_chars % 97 AS BIGINT) AS value,"
+            " count(*) AS cnt FROM m JOIN documents d USING (doc_id)"
+            " GROUP BY 1) "
+            "SELECT value, cnt FROM v ORDER BY cnt DESC, value LIMIT 15"
+        ),
         "facet_taxonomy_children": (
             f"{_PRELUDE}{_taxo_oracle_prelude('vector')} "
             "SELECT parent, node, cnt, rnk FROM ("
@@ -2849,6 +2971,27 @@ ORDER BY score_r DESC, gram LIMIT 50
         "function_score_topk": _topk_sql(
             f"SELECT a.doc_id, a.score * ln(1.0 + d.n_chars) AS score "
             f"FROM ({_term_scored_sql('merge')}) a "
+            f"JOIN documents d USING (doc_id)",
+            20,
+        ),
+        "covering_topk": _topk_sql(
+            f"SELECT u.doc_id, sum(u.score) AS score "
+            f"FROM (SELECT * FROM ({_term_scored_sql('merge')}) "
+            f"UNION ALL SELECT * FROM ({_term_scored_sql('sort')}) "
+            f"UNION ALL SELECT * FROM ({_term_scored_sql('hash')})) u "
+            f"JOIN documents d USING (doc_id) "
+            f"GROUP BY u.doc_id, d.n_chars "
+            f"HAVING count(*) >= greatest(1, 1 + d.n_chars % 2)",
+            20,
+        ),
+        "expression_score_topk": _topk_sql(
+            f"SELECT a.doc_id, "
+            + compile_expression(
+                _EXPR_JS,
+                "duckdb",
+                {"_score": "a.score", "n_chars": "d.n_chars"},
+            )
+            + f" AS score FROM ({_term_scored_sql('merge')}) a "
             f"JOIN documents d USING (doc_id)",
             20,
         ),

@@ -365,6 +365,25 @@ from lucene_spark.analysis_icu import ICU_FILTERS as _ICU  # noqa: E402
 
 _TOKEN_FILTERS.update(_ICU)
 
+# misc zoo: elision, apostrophe, decimal digits, scandinavian
+# normalize/fold, german normalize, capitalization (analysis_misc.py)
+from lucene_spark.analysis_misc import (  # noqa: E402
+    MISC_FILTERS as _MISC,
+    dynamic_filter as _dynamic_filter,
+)
+
+_TOKEN_FILTERS.update(_MISC)
+
+
+def _resolve_filter(name: str):
+    """Registry lookup + parametrized names (``truncate_<n>``)."""
+    fn = _TOKEN_FILTERS.get(name)
+    if fn is None:
+        fn = _dynamic_filter(name)
+    if fn is None:
+        raise KeyError(f"unknown token filter {name!r}")
+    return fn
+
 
 def ngram_emitter(conf: dict):
     """NGramTokenFilter / EdgeNGramTokenFilter analog
@@ -435,7 +454,7 @@ def _filter_map(vocab, filters, protect=None) -> dict[str, str]:
     if protect is None:
         protect = getattr(filters, "protect", None)
     keyword_set, overrides = protect or (None, None)
-    fns = [_TOKEN_FILTERS[f] for f in filters]
+    fns = [_resolve_filter(f) for f in filters]
     out = {}
     for t in vocab:
         if keyword_set and t in keyword_set:
@@ -487,14 +506,47 @@ def word_delimit_sql(col: str) -> str:
     return s
 
 
+class _DropSet:
+    """StopFilter ∪ LengthFilter drop predicate. ``t in dropset`` means
+    DROP (position hole; FilteringTokenFilter keeps posIncr holes for
+    both filters). LengthFilter (analysis/miscellaneous/
+    LengthFilter.java:30-48): keep tokens with min <= len <= max."""
+
+    __slots__ = ("stop", "mn", "mx")
+
+    def __init__(self, stop, mn: int, mx: int):
+        if mn < 0:
+            raise ValueError(f"minimum length must be >= 0: {mn}")
+        if mn > mx:
+            raise ValueError(f"maximum must be >= minimum: {mn} > {mx}")
+        self.stop, self.mn, self.mx = stop, mn, mx
+
+    def __contains__(self, t) -> bool:
+        if self.stop is not None and t in self.stop:
+            return True
+        return not (self.mn <= len(t) <= self.mx)
+
+    def __bool__(self) -> bool:  # always an active predicate
+        return True
+
+
 def _norm_analyzer(analyzer: dict | None, stopwords=None):
     """Normalize the analyzer config + legacy stopwords arg into
-    (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd, shingles,
-    cjk)."""
+    (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
+    shingles, cjk, expand, fp). ``stopset`` may be a `_DropSet`
+    (stopwords ∪ LengthFilter); ``shingles`` is None | "all" |
+    frozenset(common words); ``fp`` is the FingerprintFilter config."""
     a = analyzer or {}
     stopset = stopwords if stopwords is not None else (
         frozenset(a["stopwords"]) if a.get("stopwords") else None
     )
+    if a.get("length"):
+        # LengthFilter config {"min": int, "max": int} — composes with
+        # the stopset into one drop predicate (both leave holes)
+        ln = a["length"]
+        stopset = _DropSet(
+            stopset, int(ln.get("min", 0)), int(ln.get("max", 1 << 30))
+        )
     # DEFAULT = "uax29": the MidNumLet/MidLetter join rules keep
     # "don't" / "3.14" / "foo.bar" single tokens like the reference
     # StandardTokenizer (JFlex UAX#29, StandardTokenizer.java:38).
@@ -526,6 +578,20 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
             frozenset(a.get("keyword_marker") or ()),
             dict(a.get("stem_overrides") or {}),
         )
+    # shingle slot: "all" = ShingleFilter bigrams; a frozenset =
+    # CommonGramsFilter (bigram only when either member is common)
+    if a.get("shingles") and a.get("common_grams"):
+        raise ValueError("shingles and common_grams are mutually exclusive")
+    shingles = (
+        "all"
+        if a.get("shingles")
+        else (frozenset(a["common_grams"]) if a.get("common_grams") else None)
+    )
+    # FingerprintFilter config: True or {"separator": str, "max_size": int}
+    fp = a.get("fingerprint")
+    if fp is True:
+        fp = {}
+    cf = _char_filter_fns(a["char_filters"]) if a.get("char_filters") else None
     return (
         a.get("tokenizer", default_tok),
         bool(a.get("ascii_fold")),
@@ -534,13 +600,69 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
         bool(a.get("keep_orig", True)),
         _Filters(list(a.get("filters") or []), protect),
         bool(a.get("word_delimiter")),
-        bool(a.get("shingles")),
+        shingles,
         cjk,
         expand,
+        fp,
+        cf,
     )
 
 
-def _add_shingles(terms: list, positions: list, sep: str = "_"):
+def _char_filter_fns(specs: list) -> list:
+    """CharFilter chain configs -> (compiled_regex, replacement) pairs,
+    applied to the raw text BEFORE the tokenizer (the reference wraps
+    the Reader):
+
+    - ``{"type": "pattern_replace", "pattern": .., "replacement": ..}``
+      = PatternReplaceCharFilter (analysis/pattern/
+      PatternReplaceCharFilter.java:41) — regex substitution over the
+      whole input (Python regex dialect, backrefs ``\\1``).
+    - ``{"type": "mapping", "map": {src: dst, ..}}`` = MappingCharFilter
+      (analysis/charfilter/MappingCharFilter.java + NormalizeCharMap):
+      greedy longest-match-at-position, expressed as an alternation
+      regex with keys sorted longest-first (re picks the first matching
+      alternative, so longest wins like the reference's FST walk).
+
+    Offset correction is NOT maintained (length-changing char filters
+    reject ``want_offsets``, like the other length-changing chains)."""
+    out = []
+    for spec in specs:
+        typ = spec.get("type", "pattern_replace")
+        if typ == "pattern_replace":
+            out.append(
+                (re.compile(spec["pattern"]), spec.get("replacement", ""))
+            )
+        elif typ == "mapping":
+            m = dict(spec["map"])
+            if not m or any(not k for k in m):
+                raise ValueError("mapping char filter needs non-empty keys")
+            keys = sorted(m, key=len, reverse=True)
+            rx = re.compile("|".join(re.escape(k) for k in keys))
+            out.append((rx, lambda mt, _m=m: _m[mt.group(0)]))
+        else:
+            raise ValueError(f"unknown char filter type {typ!r}")
+    return out
+
+
+def _fingerprint_terms(terms: list, fp: dict) -> list:
+    """FingerprintFilter analog (analysis/miscellaneous/
+    FingerprintFilter.java:33-141): the whole stream collapses to ONE
+    token = sorted, de-duplicated terms joined by ``separator``; if the
+    joined size exceeds ``max_size`` the output is EMPTY (the reference
+    emits nothing, line 132-135)."""
+    sep = fp.get("separator", " ")
+    max_size = int(fp.get("max_size", 1024))
+    uniq = sorted(set(terms))
+    if not uniq:
+        return []
+    joined = sep.join(uniq)
+    if len(joined) > max_size:
+        return []
+    return [joined]
+
+
+def _add_shingles(terms: list, positions: list, sep: str = "_",
+                  common=None):
     """ShingleFilter analog (analysis/common/.../shingle/ShingleFilter
     .java, minShingleSize=maxShingleSize=2, outputUnigrams=true):
     adjacent-token bigrams appended after the unigram stream, each at
@@ -548,10 +670,20 @@ def _add_shingles(terms: list, positions: list, sep: str = "_"):
     like synonym injections). Adjacency means positions differ by
     exactly 1, so a stopword hole breaks the shingle (the reference
     inserts a filler token; we emit no shingle across the hole —
-    documented deviation, fillers never match real terms anyway)."""
+    documented deviation, fillers never match real terms anyway).
+
+    ``common`` switches to CommonGramsFilter semantics
+    (analysis/commongrams/CommonGramsFilter.java:52-168): the bigram is
+    emitted only when EITHER member is a common word (isCommon() ||
+    lastWasCommon, line 113), same '_' separator, same posIncr=0
+    overlap at the first member's position."""
     sh_t, sh_p = [], []
     for i in range(len(terms) - 1):
-        if positions[i + 1] == positions[i] + 1:
+        if positions[i + 1] == positions[i] + 1 and (
+            common is None
+            or terms[i] in common
+            or terms[i + 1] in common
+        ):
             sh_t.append(terms[i] + sep + terms[i + 1])
             sh_p.append(positions[i])
     return terms + sh_t, positions + sh_p
@@ -564,7 +696,7 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     Positions count stopword holes (StopFilter position increments);
     synonym-injected terms repeat the source position (posIncr=0)."""
     (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
-     shingles, cjk, expand) = _norm_analyzer(analyzer, stopwords)
+     shingles, cjk, expand, fp, cf) = _norm_analyzer(analyzer, stopwords)
     if shingles and synonyms:
         raise ValueError("shingles + synonyms not supported in one chain")
     if cjk and (shingles or wd):
@@ -573,8 +705,16 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     if expand and (shingles or cjk):
         raise ValueError("phonetic/ngram expansion composes with stop/fold/"
                          "stem/synonyms, not shingles/cjk")
+    if fp is not None and (synonyms or shingles or cjk or expand):
+        raise ValueError("fingerprint composes with stop/fold/stem chains, "
+                         "not synonyms/shingles/cjk/expansion")
     if not text:
         return [], []
+    if cf:
+        # CharFilters wrap the Reader: they run before the tokenizer
+        # and before any case handling
+        for rx, rep in cf:
+            text = rx.sub(rep, text)
     if wd:
         text = word_delimit(text)
     if cjk:
@@ -626,7 +766,13 @@ def tokenize(text: str, stopwords: frozenset | None = None,
         raw, positions = cjk_bigrams(
             raw, positions, output_unigrams=(cjk == "unigrams"))
     if shingles:
-        raw, positions = _add_shingles(raw, positions)
+        raw, positions = _add_shingles(
+            raw, positions,
+            common=None if shingles == "all" else shingles,
+        )
+    if fp is not None:
+        raw = _fingerprint_terms(raw, fp)
+        positions = [0] * len(raw)
     return raw, positions
 
 
@@ -656,7 +802,10 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     norm = SmallFloat.intToByte4(dl) (BM25Similarity.java:137-148).
     """
     (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
-     shingles, cjk, expand) = _norm_analyzer(analyzer, stopwords)
+     shingles, cjk, expand, fp, cf) = _norm_analyzer(analyzer, stopwords)
+    if cf and want_offsets:
+        raise ValueError("char filters rewrite the text; offsets are not "
+                         "offset-corrected")
     if shingles and (synonyms or want_offsets):
         raise ValueError(
             "shingles compose with stop/stem/fold/wd chains, not with "
@@ -668,7 +817,15 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     if expand and (shingles or cjk):
         raise ValueError("phonetic/ngram expansion composes with stop/fold/"
                          "stem/synonyms, not shingles/cjk")
+    if fp is not None and (synonyms or shingles or cjk or expand
+                           or want_offsets):
+        raise ValueError("fingerprint composes with stop/fold/stem chains, "
+                         "not synonyms/shingles/cjk/expansion/offsets")
     filled = texts.fillna("")
+    if cf:
+        # vectorized CharFilter chain (regex substitution per filter)
+        for rx, rep in cf:
+            filled = filled.str.replace(rx, rep, regex=True)
     if wd:
         # vectorized: the split rules are plain regex substitutions on
         # the case-intact text, chained with pandas .str.replace
@@ -779,7 +936,14 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
                 # discounted like synonym injections)
                 n_orig = (positions[-1] + 1) if positions else 0
             if shingles:
-                terms, positions = _add_shingles(terms, positions)
+                terms, positions = _add_shingles(
+                    terms, positions,
+                    common=None if shingles == "all" else shingles,
+                )
+            if fp is not None:
+                terms = _fingerprint_terms(terms, fp)
+                positions = [0] * len(terms)
+                n_orig = len(terms)
             out_terms.append(terms)
             out_pos.append(positions)
             # discountOverlaps=true (the reference default): injected
@@ -795,7 +959,14 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
                     terms, positions, output_unigrams=(cjk == "unigrams"))
                 dl_val = (positions[-1] + 1) if positions else 0
             if shingles:
-                terms, positions = _add_shingles(terms, positions)
+                terms, positions = _add_shingles(
+                    terms, positions,
+                    common=None if shingles == "all" else shingles,
+                )
+            if fp is not None:
+                terms = _fingerprint_terms(terms, fp)
+                positions = [0] * len(terms)
+                dl_val = len(terms)
             out_terms.append(terms)
             out_pos.append(positions)
             out_dl.append(dl_val)

@@ -109,6 +109,37 @@ def taxonomy_sum_values(
     )
 
 
+def long_value_counts(
+    matches: DataFrame,
+    docs: DataFrame,
+    value_expr: str,
+    topn: int | None = None,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """LongValueFacetCounts (facet/LongValueFacetCounts.java:49,279-342):
+    count of matching docs per distinct value of a long value source.
+    ``getTopChildrenSortByCount`` ordering: count desc, ties by value
+    ascending (line 302); ``getAllChildrenSortByValue`` when ``topn`` is
+    None. Docs with a NULL value don't count (missing doc values).
+
+    Spark shape: ONE map-side-combined shuffle on the value; top-N is
+    TakeOrderedAndProject — no global sort."""
+    joined = matches.select(doc_id_col).join(
+        docs.select(
+            doc_id_col, F.expr(value_expr).cast("long").alias("value")
+        ),
+        doc_id_col,
+    )
+    counts = (
+        joined.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if topn is not None:
+        return counts.orderBy(F.desc("cnt"), F.asc("value")).limit(topn)
+    return counts.orderBy("value")
+
+
 def taxonomy_top_children(
     matches: DataFrame,
     docs: DataFrame,

@@ -337,8 +337,8 @@ def _make_dl_expr(analyzer: dict | None):
     )
 
     (tokenizer, fold, stopset, _syn, _ko, _filters, wd, _sh,
-     cjk, _phon) = _norm_analyzer(analyzer)
-    if (fold or stopset or wd or cjk
+     cjk, _phon, fp, cf) = _norm_analyzer(analyzer)
+    if (fold or stopset or wd or cjk or fp is not None or cf
             or tokenizer not in ("standard", "uax29")):
         # synonyms/filters/phonetic never change dl: injections are
         # posIncr=0 overlaps (discounted), replaces are 1:1

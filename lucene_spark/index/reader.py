@@ -76,6 +76,13 @@ class Index:
     def resolve_field(self, field: str | None) -> str:
         return self.default_field if field is None else field
 
+    def norm_col_for(self, field: str | None) -> str:
+        """Docs-table norm column for a field (builder naming: the
+        default field keeps the bare ``norm``, extras get
+        ``norm__<field>``)."""
+        f = self.resolve_field(field)
+        return "norm" if f == self.default_field else f"norm__{f}"
+
     def doc_count_for(self, field: str | None) -> int:
         fs = self._field_stats.get(self.resolve_field(field))
         return int(fs["doc_count"]) if fs else 0

@@ -564,6 +564,10 @@ class Searcher:
             return self._bool_scored(q, k=k, candidates=candidates)
         if isinstance(q, P.DisMaxQ):
             return self._dismax_scored(q, candidates=candidates)
+        if isinstance(q, P.CoveringQ):
+            return self._covering_scored(q, candidates=candidates)
+        if isinstance(q, P.CombinedFieldQ):
+            return self._cand(self._combined_field_scored(q), candidates)
         if isinstance(q, P.ConstScoreQ):
             return self._cand(
                 self.doc_set(q.inner).withColumn("score", F.lit(float(q.boost))), candidates
@@ -764,6 +768,91 @@ class Searcher:
         else:
             expr = F.col("mx") + F.lit(float(q.tiebreak)) * (F.col("sm") - F.col("mx"))
         return agg.select("doc_id", expr.alias("score"))
+
+    def _combined_field_scored(self, q: P.CombinedFieldQ) -> DataFrame:
+        """CombinedFieldQuery / BM25F (see plans.CombinedFieldQ for the
+        reference's stats-merging rules). Spark shape: per-field freq
+        rows union + ONE groupBy summing the weighted tf; the combined
+        norm comes from the docs table's per-field norm columns (every
+        weighted field contributes its length whether or not it matched
+        the term, like MultiFieldNormValues), joined only onto the
+        already-aggregated match set."""
+        fields = [(f, float(w)) for f, w in q.fields]
+        if any(w < 1.0 for _f, w in fields):
+            raise ValueError("field weight must be >= 1 "
+                             "(CombinedFieldQuery.Builder.addField)")
+        terms = list(dict.fromkeys(q.terms))
+        per_field_stats = {
+            f: self.index.stats_for_terms(terms, f) for f, _w in fields
+        }
+        df_max = max(
+            [0] + [v[0] for st in per_field_stats.values()
+                   for v in st.values()]
+        )
+        if df_max == 0:
+            return self._empty_scored()
+        doc_count = max(self.index.doc_count_for(f) for f, _w in fields)
+        sum_ttf = sum(w * self.index.sum_ttf_for(f) for f, w in fields)
+        if self.scoring == "lucene":
+            weight = float(np.float32(q.boost) * bm25.idf(df_max, doc_count))
+            avgdl = float(
+                bm25.avg_field_length(int(sum_ttf), doc_count)
+            )
+            cache = bm25.norm_cache(np.float32(avgdl))
+        else:
+            weight = q.boost * bm25.idf_double(df_max, doc_count)
+            avgdl = sum_ttf / float(doc_count)
+            cache = None
+        # weighted per-(field, term) freq rows -> one groupBy sum
+        u = None
+        for f, w in fields:
+            present = [t for t in terms if t in per_field_stats[f]]
+            if not present:
+                continue
+            rows = self._freq_rows(present, f).select(
+                "doc_id",
+                (F.col("freq").cast("double") * F.lit(w)).alias("wfreq"),
+            )
+            u = rows if u is None else u.unionByName(rows)
+        agg = u.groupBy("doc_id").agg(F.sum("wfreq").alias("freq"))
+        # combined pseudo-norm from the docs table's per-field norms
+        norm_cols = [
+            (self.index.norm_col_for(f), w) for f, w in fields
+        ]
+        docs = self.index.docs.select(
+            "doc_id", *[c for c, _w in norm_cols]
+        )
+        joined = agg.join(docs, "doc_id")
+        col_names = [c for c, _w in norm_cols]
+        col_weights = [w for _c, w in norm_cols]
+        scoring = self.scoring
+
+        @F.pandas_udf(T.DoubleType())
+        def cf_score(freq: pd.Series, *norms: pd.Series) -> pd.Series:
+            from lucene_spark.smallfloat import int_to_byte4
+
+            total = np.zeros(len(freq), dtype=np.float32)
+            for w, ns in zip(col_weights, norms):
+                total += np.float32(w) * LENGTH_TABLE[
+                    ns.to_numpy().astype(np.int64) & 0xFF
+                ].astype(np.float32)
+            # Math.round(float) = floor(x + 0.5)
+            nb = int_to_byte4(
+                np.floor(total.astype(np.float64) + 0.5).astype(np.int64)
+            )
+            f = freq.to_numpy()
+            if scoring == "lucene":
+                s = bm25.score(
+                    f.astype(np.float32), nb, np.float32(weight), cache
+                ).astype(np.float64)
+            else:
+                qdl = LENGTH_TABLE[nb.astype(np.int64) & 0xFF]
+                s = bm25.score_double(f, qdl, weight, avgdl)
+            return pd.Series(s)
+
+        return joined.select(
+            "doc_id", cf_score("freq", *col_names).alias("score")
+        )
 
     def _fuzzy_expansions(self, q: P.FuzzyQ) -> list[tuple]:
         """FuzzyTermsEnum + TopTermsRewrite: (term, df, boost) for the top
@@ -1140,6 +1229,41 @@ class Searcher:
         else:
             expr = F.col("mx") + F.lit(float(q.tiebreak)) * (F.col("sm") - F.col("mx"))
         return agg.select("doc_id", expr.alias("score"))
+
+    def _covering_scored(
+        self, q: P.CoveringQ, candidates: list[int] | None = None
+    ) -> DataFrame:
+        """CoveringQuery (sandbox/search/CoveringQuery.java:54-108,
+        CoveringScorer.java:138,168,211-216): matches when the number of
+        matching sub-queries >= max(1, per-doc minimumNumberMatch value);
+        score = Σ matching clause scores; docs with no value never match.
+
+        Spark shape: scored-union + ONE groupBy (the clause count rides
+        the same aggregation as the score sum) + the doc-values join —
+        no per-clause shuffles, msm filter before the join would be
+        wrong (the threshold is per-doc), but the join is on the
+        already-aggregated (small) match set, not the corpus."""
+        u = None
+        for c in q.queries:
+            s = self.scored(c, candidates=candidates)
+            u = s if u is None else u.unionByName(s)
+        if u is None:
+            return self._empty_scored()
+        agg = u.groupBy("doc_id").agg(
+            self._sum_as_float(F.col("score")).alias("score"),
+            F.count(F.lit(1)).alias("_n_match"),
+        )
+        vals = self.index.docs.select(
+            "doc_id", F.expr(q.min_match_col).cast("long").alias("_mm")
+        )
+        return (
+            agg.join(vals, "doc_id")
+            .filter(
+                F.col("_mm").isNotNull()
+                & (F.col("_n_match") >= F.greatest(F.lit(1), F.col("_mm")))
+            )
+            .select("doc_id", "score")
+        )
 
     def _interval_scored(self, q: P.IntervalQ, candidates: list[int] | None = None) -> DataFrame:
         """IntervalQuery (intervals/IntervalQuery.java:59): two-phase like

@@ -129,6 +129,41 @@ class DisMaxQ:
 
 
 @dataclass(frozen=True)
+class CombinedFieldQ:
+    """sandbox/search/CombinedFieldQuery.java:91-446 (BM25F): score the
+    given terms as ONE pseudo-term over ONE pseudo-field merging
+    ``fields`` = ((field, weight>=1), ...):
+
+    - pseudo term stats: df = max over every (term, field) pair
+      (line 302); BM25 ignores the summed ttf;
+    - pseudo collection stats: docCount = max over fields, sumTtf =
+      Σ weight_f * sumTtf_f (lines 319-333);
+    - per-doc freq = Σ weight_f * tf(term, field, doc) over all pairs
+      (CombinedFieldScorer/WeightedDisiWrapper, lines 427-428);
+    - per-doc norm = SmallFloat.intToByte4(round(Σ weight_f *
+      LENGTH_TABLE[norm_f])) over ALL weighted fields, matched or not
+      (MultiNormsLeafSimScorer.MultiFieldNormValues)."""
+
+    terms: tuple
+    fields: tuple  # ((field, weight), ...)
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class CoveringQ:
+    """sandbox/search/CoveringQuery.java:54-108 — a dynamic-msm
+    disjunction: doc matches when >= max(1, per-doc long value) of the
+    ``queries`` match; score = Σ matching clause scores
+    (CoveringScorer.java:138,211-216). ``min_match_col`` is the
+    LongValuesSource analog: a SQL expression over docs-table columns;
+    docs with a NULL value never match (javadoc: docs without a value
+    do not match)."""
+
+    queries: tuple
+    min_match_col: str
+
+
+@dataclass(frozen=True)
 class ConstScoreQ:
     """search/ConstantScoreQuery.java:29 — inner matches, fixed score."""
 
