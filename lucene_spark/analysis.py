@@ -623,6 +623,11 @@ def _char_filter_fns(specs: list) -> list:
       regex with keys sorted longest-first (re picks the first matching
       alternative, so longest wins like the reference's FST walk).
 
+    - ``{"type": "html_strip", "escaped_tags": [..]}`` =
+      HTMLStripCharFilter (analysis/charfilter/HTMLStripCharFilter
+      .jflex): tag/comment/script/style/entity stripping via the
+      scanner in ``analysis_html.py`` — entry is a plain callable.
+
     Offset correction is NOT maintained (length-changing char filters
     reject ``want_offsets``, like the other length-changing chains)."""
     out = []
@@ -632,6 +637,13 @@ def _char_filter_fns(specs: list) -> list:
             out.append(
                 (re.compile(spec["pattern"]), spec.get("replacement", ""))
             )
+        elif typ == "html_strip":
+            from lucene_spark.analysis_html import html_strip
+
+            esc = frozenset(
+                t.lower() for t in (spec.get("escaped_tags") or ())
+            )
+            out.append(lambda s, _e=esc: html_strip(s, _e))
         elif typ == "mapping":
             m = dict(spec["map"])
             if not m or any(not k for k in m):
@@ -713,8 +725,8 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     if cf:
         # CharFilters wrap the Reader: they run before the tokenizer
         # and before any case handling
-        for rx, rep in cf:
-            text = rx.sub(rep, text)
+        for f in cf:
+            text = f(text) if callable(f) else f[0].sub(f[1], text)
     if wd:
         text = word_delimit(text)
     if cjk:
@@ -823,9 +835,13 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
                          "not synonyms/shingles/cjk/expansion/offsets")
     filled = texts.fillna("")
     if cf:
-        # vectorized CharFilter chain (regex substitution per filter)
-        for rx, rep in cf:
-            filled = filled.str.replace(rx, rep, regex=True)
+        # vectorized CharFilter chain (regex substitution per filter;
+        # scanner-based filters like html_strip map per value)
+        for f in cf:
+            if callable(f):
+                filled = filled.map(f)
+            else:
+                filled = filled.str.replace(f[0], f[1], regex=True)
     if wd:
         # vectorized: the split rules are plain regex substitutions on
         # the case-intact text, chained with pandas .str.replace
