@@ -40,6 +40,7 @@ from lucene_spark.search.querybuilder import QueryBuilder
 from lucene_spark.search.simpleparser import SimpleQueryParser
 from lucene_spark import geo, geo_shape
 from lucene_spark.search import complexphrase as _complexphrase
+from lucene_spark.search import standardparser as _standardparser
 from lucene_spark.search import surround as _surround
 from lucene_spark.search import xmlparser as _xmlparser
 from lucene_spark.pipeline import hnsw as _hnsw
@@ -1128,6 +1129,16 @@ def _q_pipeline(fn):
     return q
 
 
+def _q_decontam_overlap(spark, sf_dir):
+    """Decontamination gate: docs 0..19 play the benchmark/eval set,
+    the rest the training corpus; flag corpus docs sharing >= 2
+    distinct 3-gram shingles with the benchmark."""
+    sh = dedup.shingle_hashes(_docs_df(spark, sf_dir))
+    bench = sh.filter(F.col("doc_id") < 20)
+    corpus = sh.filter(F.col("doc_id") >= 20)
+    return dedup.benchmark_overlap(corpus, bench, min_overlap=2).orderBy("doc_id")
+
+
 def _q_ann_cosine(query_id: int, k: int):
     def q(spark, sf_dir):
         emb = _emb_df(spark, sf_dir)
@@ -2056,14 +2067,14 @@ _GATE_WINDOW = [
     "total_hits", "rescore_topk",
     "ann_recall_floor", "facet_taxonomy_path", "facet_taxonomy_sum",
     "group_top_per_lang",
-    "join_parent_max", "suggest_prefix", "spell_suggest",
+    "join_parent_max", "combined_field_topk", "spell_suggest",
     "sim_zoo_topk",
     "uax29_term_topk", "cjk_bigram_terms", "facet_long_values",
     "wd_subword_topk", "diversified_topk",
     "text_token_counts", "suggest_fuzzy",
     "payload_span_topk",
     "dedup_exact", "dedup_minhash_pairs",
-    "dedup_clusters", "classify_nb", "geo_polygon_docs",
+    "decontam_overlap", "classify_nb", "geo_polygon_docs",
     "term_vector_doc", "edge_ngram_prefix_docs",
     "multimodal_asset_stats",
 ]
@@ -2093,6 +2104,11 @@ _GATE_WINDOW = [
 # stays inside; LongValueFacetCounts is new),
 # shingle_bigram_topk -> diversified_topk (DiversifiedTopDocsCollector
 # is a new collector family).
+# Final round-4 swaps: dedup_clusters -> decontam_overlap (dedup keeps
+# exact + minhash inside; benchmark decontamination is a new pipeline
+# family), suggest_prefix -> combined_field_topk (suggest keeps
+# suggest_fuzzy inside; CombinedFieldQuery/BM25F is a new scoring
+# family).
 
 
 def _window_ordered(qs: dict) -> dict:
@@ -2199,6 +2215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operation-change wrap (search/simpleparser.py)
         "simple_parsed_topk": _q_bool(
             lambda: SimpleQueryParser().parse("merge + sort | hash"), 20
+        ),
+        # StandardQueryParser (queryparser/flexible analog,
+        # search/standardparser.py): AND default operator turns bare
+        # juxtaposition into must(merge, hash)
+        "standard_parsed_topk": _q_bool(
+            lambda: _standardparser.parse("merge hash", default_operator="AND"),
+            20,
         ),
         # XML query syntax (queryparser/xml CoreParser analog,
         # search/xmlparser.py): same must(merge, sort) + mustNot(join)
@@ -2398,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 dedup.simhash(_docs_df(s, d)), 8
             ).orderBy("doc_a", "doc_b")
         ),
+        "decontam_overlap": _q_pipeline(_q_decontam_overlap),
         "dedup_embedding_pairs": _q_pipeline(
             lambda s, d: dedup.embedding_dup_pairs(_emb_df(s, d), 0.2).orderBy(
                 "id_a", "id_b"
@@ -3142,6 +3166,12 @@ ORDER BY score_r DESC, gram LIMIT 50
             f"WHERE x.term = 'join' AND x.doc_id = a.doc_id)",
             20,
         ),
+        "standard_parsed_topk": _topk_sql(
+            f"SELECT a.doc_id, a.score + b.score AS score "
+            f"FROM ({_term_scored_sql('merge')}) a "
+            f"JOIN ({_term_scored_sql('hash')}) b USING (doc_id)",
+            20,
+        ),
         "simple_parsed_topk": _topk_sql(
             f"SELECT doc_id, sum(score) AS score FROM ("
             f"SELECT a.doc_id, a.score + b.score AS score "
@@ -3258,6 +3288,7 @@ ORDER BY score_r DESC, gram LIMIT 50
         "dedup_clusters": dedup.clusters_sql(dedup.minhash_pairs_sql(0.3)),
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(8),
+        "decontam_overlap": dedup.benchmark_overlap_sql(20, 2),
         "dedup_embedding_pairs": dedup.embedding_pairs_sql(0.2),
         "term_vector_doc": _term_vector_sql((3, 11, 42)),
         "edge_ngram_prefix_docs": _edge_ngram_docs_sql("vec"),

@@ -558,6 +558,53 @@ shingles AS (
 """
 
 
+def benchmark_overlap(
+    shingles: DataFrame,
+    bench_shingles: DataFrame,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct token n-gram shingles it shares with a benchmark /
+    evaluation set, keeping docs with ``n_overlap >= min_overlap``
+    (the classic train-set decontamination pass — e.g. the n-gram
+    overlap filters used to scrub eval sets out of web-scale training
+    corpora).
+
+    Both inputs are (doc_id, sh) from :func:`shingle_hashes` (per-doc
+    shingle sets are already distinct, so a plain count after the join
+    is the distinct-overlap count).
+
+    100 TB shape: the benchmark side is eval sets — tiny next to the
+    corpus — so it is reduced to DISTINCT shingles and broadcast; the
+    corpus side sees one hash-join probe + one groupBy(doc_id) partial
+    aggregation. No shuffle of the corpus shingles against themselves,
+    no pairwise blow-up.
+
+    Output: (doc_id, n_overlap).
+    """
+    bset = F.broadcast(bench_shingles.select("sh").distinct())
+    return (
+        shingles.join(bset, "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= int(min_overlap))
+    )
+
+
+def benchmark_overlap_sql(bench_max_doc_id: int, min_overlap: int = 1) -> str:
+    """DuckDB oracle for :func:`benchmark_overlap` with the benchmark
+    defined as documents with doc_id < bench_max_doc_id and the corpus
+    as the rest."""
+    return f"""
+WITH {_SHINGLES_CTE},
+bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id < {bench_max_doc_id}),
+corpus AS (SELECT * FROM shingles WHERE doc_id >= {bench_max_doc_id})
+SELECT c.doc_id, count(*)::BIGINT AS n_overlap
+FROM corpus c JOIN bench b ON c.sh = b.sh
+GROUP BY 1 HAVING count(*) >= {min_overlap}
+ORDER BY doc_id"""
+
+
 def exact_duplicates_sql() -> str:
     return """
 WITH h AS (SELECT doc_id, sha256(text) AS hh FROM documents),

@@ -86,9 +86,10 @@ def _read_bare(s: str, pos: int) -> tuple[str, str, int]:
 
 
 class _Parser:
-    def __init__(self, s: str):
+    def __init__(self, s: str, default_op: str = "OR"):
         self.s = s
         self.pos = 0
+        self.default_op = default_op
 
     def _ws(self) -> None:
         while self.pos < len(self.s) and self.s[self.pos] in " \t\r\n":
@@ -106,7 +107,9 @@ class _Parser:
     def parse_query(self, depth: int = 0):
         occur_atoms: list[tuple[str, object]] = []
         pending_and = False
+        pending_or = False
         pending_not = False
+        explicit = False  # current atom carries an explicit +/- prefix
         s = self.s
         while True:
             self._ws()
@@ -121,15 +124,19 @@ class _Parser:
                 op = mop.group(1)
                 if op in ("AND", "&&"):
                     pending_and = True
+                elif op in ("OR", "||"):
+                    pending_or = True
                 elif op == "NOT":
                     pending_not = True
                 self.pos = mop.end()
                 continue
-            occur = "should"
+            occur = "must" if self.default_op == "AND" else "should"
+            explicit = False
             if s[self.pos] in "+-" and not re.match(
                 r"[+-]?\d", s[self.pos:]
             ):
                 occur = "must" if s[self.pos] == "+" else "must_not"
+                explicit = True
                 self.pos += 1
             atom = self.parse_unit(depth)
             atom = self._boost(atom)
@@ -137,11 +144,22 @@ class _Parser:
                 occur = "must_not"
                 pending_not = False
             if pending_and:
+                # CONJ_AND promotes the previous clause to MUST unless
+                # prohibited (QueryParserBase.addClause)
                 if occur_atoms and occur_atoms[-1][0] == "should":
                     occur_atoms[-1] = ("must", occur_atoms[-1][1])
                 if occur == "should":
                     occur = "must"
                 pending_and = False
+            elif pending_or:
+                # CONJ_OR demotes the previous clause to SHOULD unless
+                # prohibited, and the current clause is SHOULD unless an
+                # explicit +/- overrides (relevant with AND_OPERATOR)
+                if occur_atoms and occur_atoms[-1][0] == "must":
+                    occur_atoms[-1] = ("should", occur_atoms[-1][1])
+                if occur == "must" and not explicit:
+                    occur = "should"
+                pending_or = False
             occur_atoms.append((occur, atom))
 
         if not occur_atoms:
@@ -151,6 +169,8 @@ class _Parser:
         must_not = tuple(a for o, a in occur_atoms if o == "must_not")
         if len(occur_atoms) == 1 and should:
             return should[0]
+        if len(occur_atoms) == 1 and must:
+            return must[0]
         return P.BoolQ(must=must, should=should, must_not=must_not)
 
     def parse_unit(self, depth: int, field: str | None = None):

@@ -112,6 +112,21 @@ def test_simhash_pairs_no_cross_join(spark, docs_df):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_decontam_broadcasts_benchmark_side(spark, docs_df):
+    from lucene_spark.pipeline import dedup
+
+    sh = dedup.shingle_hashes(docs_df)
+    df = dedup.benchmark_overlap(
+        sh.filter("doc_id >= 5"), sh.filter("doc_id < 5"), min_overlap=1
+    )
+    plan = plan_of(df)
+    # the eval-set side is broadcast; the corpus shingles are probed
+    # once and aggregated — no corpus-vs-corpus shuffle join
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_minhash_verify_no_shingle_self_join(spark, docs_df):
     from lucene_spark.pipeline import dedup
 
