@@ -325,7 +325,17 @@ def main() -> None:
             ][-1]
             r = json.loads(line)
             r["phase_kernel_sec"] = kernel_sec
-            print(f"[scaling] local[{cpus}]: {line}", file=sys.stderr)
+            # post-phase probe: attempt-K rep 3 passed the boundary drift
+            # check (0.02) yet its local[8] slowed MID-phase (corpus stage
+            # 68s vs 48-54s in clean reps). Probing again right after the
+            # phase bounds the host window the phase actually ran in; the
+            # rep's drift is then max/min over all four probes.
+            r["phase_kernel_sec_post"] = _phase_kernel(cpus)
+            print(
+                f"[scaling] local[{cpus}]: {line} "
+                f"(post kernel {r['phase_kernel_sec_post']}s/proc)",
+                file=sys.stderr,
+            )
             shutil.rmtree(idx_dir, ignore_errors=True)
             results[cpus] = r
         reps.append(results)
@@ -353,9 +363,11 @@ def main() -> None:
         (kernel sec/proc at the SAME cpu count would be ideal; the
         kernel is memory-bound so per-proc time is nearly level-
         independent — round-3 calibration measured 5.73 vs 5.64)."""
-        a = res[lo]["phase_kernel_sec"]
-        b = res[hi]["phase_kernel_sec"]
-        return abs(a - b) / min(a, b)
+        probes = [res[lo]["phase_kernel_sec"], res[hi]["phase_kernel_sec"]]
+        for lv in (lo, hi):
+            if "phase_kernel_sec_post" in res[lv]:
+                probes.append(res[lv]["phase_kernel_sec_post"])
+        return (max(probes) - min(probes)) / min(probes)
 
     max_drift = args.max_drift
     comparable = [r for r in reps if _drift(r) <= max_drift]
