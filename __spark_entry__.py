@@ -1012,6 +1012,26 @@ def _q_group_top_per_lang(term: str):
     return fn
 
 
+def _q_grouped_search(term: str, group_limit: int, max_per_group: int):
+    """GroupingSearch facade (lucene/grouping GroupingSearch.java:49):
+    top `group_limit` lang groups by their best hit, `max_per_group`
+    docs within each group."""
+    def fn(spark, sf_dir):
+        from lucene_spark.search.grouping import grouped_search
+
+        s = _searcher(spark, sf_dir)
+        scored = s.scored(TermQ(term)).withColumn("score_r", F.round("score", 4))
+        joined = scored.join(s.index.docs.select("doc_id", "lang"), "doc_id")
+        out = grouped_search(
+            joined, "lang", group_limit,
+            max_docs_per_group=max_per_group,
+            group_sort=(("score_r", False),),
+        )
+        return out.select("lang", "group_rank", "within_rank", "doc_id", "score_r")
+
+    return fn
+
+
 def _q_diversified(term: str, k: int, max_per_key: int):
     def fn(spark, sf_dir):
         from lucene_spark.search.diversify import diversified_top_k
@@ -2341,6 +2361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_nearest_topk": _q_geo_nearest(10),
         "facet_lang_counts": _q_facet_lang("vector"),
         "group_top_per_lang": _q_group_top_per_lang("merge"),
+        # GroupingSearch two-pass (grouping/GroupingSearch.java:49):
+        # top-3 lang groups by best hit, <=2 docs per group
+        "grouped_search_topk": _q_grouped_search("merge", 3, 2),
         # DiversifiedTopDocsCollector (misc): top-k, <=2 hits per lang
         "diversified_topk": _q_diversified("merge", 10, 2),
         "total_hits": _q_total_hits(("merge", "sort", "hash")),
@@ -2682,8 +2705,9 @@ sl_scored AS (
     WHERE tf.term IN (
       SELECT t5.term FROM (
         SELECT tf2.term,
-               -round(tf2.freq * ln(g.doc_count / CAST(dfs.df AS DOUBLE)), 6) AS nk
-        FROM tf tf2 JOIN dfs USING (term), g WHERE tf2.doc_id = 0
+               -round(tf2.freq * (ln((g.doc_count + 1) / (dfs.df + 1.0)) + 1), 6) AS nk
+        FROM tf tf2 JOIN dfs USING (term), g
+        WHERE tf2.doc_id = 0 AND tf2.freq >= 2 AND dfs.df >= 5
         ORDER BY nk, tf2.term LIMIT 5) t5)
   ) gen
   JOIN qdls q ON q.doc_id = gen.doc_id, g
@@ -3245,6 +3269,21 @@ ORDER BY score_r DESC, gram LIMIT 50
             f"row_number() OVER (PARTITION BY d.lang "
             f"ORDER BY round(s.score, 4) DESC, s.doc_id) AS rn "
             f"FROM scored s JOIN documents d USING (doc_id)) WHERE rn = 1"
+        ),
+        "grouped_search_topk": (
+            f"{_PRELUDE}, scored AS ({_term_scored_sql('merge')}), "
+            f"j AS (SELECT d.lang, s.doc_id, round(s.score, 4) AS score_r "
+            f"FROM scored s JOIN documents d USING (doc_id)), "
+            f"r AS (SELECT lang, doc_id, score_r, row_number() OVER ("
+            f"PARTITION BY lang ORDER BY score_r DESC, doc_id) AS within_rank "
+            f"FROM j), "
+            f"heads AS (SELECT lang, score_r, doc_id FROM r WHERE within_rank = 1), "
+            f"sel AS (SELECT lang, CAST(row_number() OVER ("
+            f"ORDER BY score_r DESC, doc_id) AS INT) AS group_rank "
+            f"FROM heads ORDER BY score_r DESC, doc_id LIMIT 3) "
+            f"SELECT r.lang, sel.group_rank, CAST(r.within_rank AS INT) AS within_rank, "
+            f"r.doc_id, r.score_r "
+            f"FROM r JOIN sel USING (lang) WHERE r.within_rank <= 2"
         ),
         "diversified_topk": (
             f"{_PRELUDE}, scored AS ({_term_scored_sql('merge')}) "

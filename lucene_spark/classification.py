@@ -146,21 +146,34 @@ class SimpleNaiveBayesClassifier:
 
 class KNearestNeighborClassifier:
     def __init__(self, searcher, class_col: str, k: int = 10,
-                 max_query_terms: int = 25, tie_rounding: int | None = None):
+                 max_query_terms: int = 25, tie_rounding: int | None = None,
+                 min_docs_freq: int = 1, min_term_freq: int = 1):
         """``tie_rounding``: when set, the top-k SELECTION orders by
         round(score, n) with docID tiebreak instead of raw score — the
         determinism knob the SQL-oracle gates use (vote boosts always
-        use raw scores). None = reference-faithful raw ordering."""
+        use raw scores). None = reference-faithful raw ordering.
+
+        ``min_docs_freq`` / ``min_term_freq`` mirror the reference ctor
+        args (KNearestNeighborClassifier.java:103-109: values > 0 are
+        set on the MLT, 0 keeps MLT's 2/5 defaults). This class defaults
+        both to 1 — classify-anything behavior for short query texts —
+        pass 0 to get the raw MLT defaults."""
         self.s = searcher
         self.index = searcher.index
         self.class_col = class_col
         self.k = k
         self.max_query_terms = max_query_terms
         self.tie_rounding = tie_rounding
+        self.min_docs_freq = min_docs_freq
+        self.min_term_freq = min_term_freq
 
     def get_classes(self, text: str) -> list[tuple[str, float]]:
         """MLT top-k + class vote (buildListFromTopDocs)."""
-        q = self.s.mlt_from_text(text, self.max_query_terms)
+        q = self.s.mlt_from_text(
+            text, self.max_query_terms,
+            min_term_freq=self.min_term_freq or 2,
+            min_doc_freq=self.min_docs_freq or 5,
+        )
         if not q.should:
             return []
         q = P.BoolQ(

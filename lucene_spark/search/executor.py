@@ -1514,18 +1514,20 @@ class Searcher:
     # derived queries (MoreLikeThis, rescoring, suggest)
     # ------------------------------------------------------------------
 
-    def more_like_this(self, doc_id: int, max_terms: int = 10) -> P.BoolQ:
+    def more_like_this(self, doc_id: int, max_terms: int = 10,
+                       **knobs) -> P.BoolQ:
         """MoreLikeThis (queries/mlt/MoreLikeThis.java:147): extract the
         doc's top-`max_terms` terms by tf*idf and build an OR query over
         them. Term freqs come from the stored term vectors when the
         index has them (MoreLikeThis.retrieveTerms(int) prefers
         getTermVector) — one doc_id-pruned read, no re-tokenize of a
         possibly-huge stored doc; else we re-analyze the stored text
-        (the reference's stored-fields fallback)."""
+        (the reference's stored-fields fallback). `knobs` are the
+        reference setters — see `_mlt_from_tf`."""
         if self.index.manifest.get("with_term_vectors"):
             rows = self.index.term_vector(doc_id).select("term", "freq").collect()
             return self._mlt_from_tf({r["term"]: int(r["freq"]) for r in rows},
-                                     max_terms)
+                                     max_terms, **knobs)
         row = (
             self.index.corpus.filter(F.col("doc_id") == doc_id)
             .select(self.index.manifest["text_col"])
@@ -1533,12 +1535,13 @@ class Searcher:
         )
         if not row:
             return P.BoolQ()
-        return self.mlt_from_text(row[0][0] or "", max_terms)
+        return self.mlt_from_text(row[0][0] or "", max_terms, **knobs)
 
-    def mlt_from_text(self, text: str, max_terms: int = 10) -> P.BoolQ:
+    def mlt_from_text(self, text: str, max_terms: int = 10,
+                      **knobs) -> P.BoolQ:
         """MoreLikeThis over arbitrary unseen text (MoreLikeThis.java
-        like(String) path): top-`max_terms` terms by tf*idf (classic
-        idf = ln(N/df), ties: term asc) as an OR query."""
+        like(String) path): top-`max_terms` terms by tf*idf as an OR
+        query. `knobs` as in `_mlt_from_tf`."""
         from lucene_spark.analysis import analyze_query_text
 
         toks = analyze_query_text(text or "", analyzer=self.index.analyzer)
@@ -1547,10 +1550,40 @@ class Searcher:
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
-        return self._mlt_from_tf(tf, max_terms)
+        return self._mlt_from_tf(tf, max_terms, **knobs)
 
-    def _mlt_from_tf(self, tf: dict[str, int], max_terms: int) -> P.BoolQ:
-        """Shared MLT term selection: tf dict -> top tf*idf OR query."""
+    def _mlt_from_tf(self, tf: dict[str, int], max_terms: int,
+                     min_term_freq: int = 2, min_doc_freq: int = 5,
+                     max_doc_freq: int | None = None,
+                     min_word_len: int = 0, max_word_len: int = 0,
+                     stop_words=None, boost: bool = False,
+                     boost_factor: float = 1.0) -> P.BoolQ:
+        """Shared MLT term selection, reference-exact knobs and formula:
+
+        - source-token noise filters (MoreLikeThis.isNoiseWord): word
+          shorter than `min_word_len` / longer than a non-zero
+          `max_word_len` / in `stop_words` -> skipped;
+        - createQueue filters (MoreLikeThis.java:622-662): tf <
+          min_term_freq, df < min_doc_freq, df > max_doc_freq -> skipped
+          (defaults 2/5/unbounded = DEFAULT_MIN_TERM_FREQ /
+          DEFAULT_MIN_DOC_FREQ / DEFAULT_MAX_DOC_FREQ);
+        - score = tf * idf with the reference's default
+          ClassicSimilarity.idf = ln((N+1)/(df+1)) + 1
+          (ClassicSimilarity.java:62); float64 + 6dp rounding pins the
+          tie order the reference leaves to HashMap iteration;
+        - `boost=True` (createQuery, MoreLikeThis.java:591-613): each
+          selected TermQ gets weight boost_factor * score / bestScore,
+          where bestScore is the score of the FIRST term popped from
+          the ascending-score FreqQ — i.e. the LOWEST selected score, a
+          reference quirk mirrored here (all boosts >= boost_factor).
+        """
+        tf = {
+            t: f for t, f in tf.items()
+            if (min_word_len <= 0 or len(t) >= min_word_len)
+            and (max_word_len <= 0 or len(t) <= max_word_len)
+            and (not stop_words or t not in stop_words)
+            and (min_term_freq <= 0 or f >= min_term_freq)
+        }
         if not tf:
             return P.BoolQ()
         stats = self.index.stats_for_terms(sorted(tf))
@@ -1558,12 +1591,21 @@ class Searcher:
         scored = sorted(
             (
                 # 6dp rounding pins the tie-break across libm variants
-                (-round(tf[t] * float(np.log(n / stats[t][0])), 6), t)
+                (-round(tf[t] * (float(np.log((n + 1) / (stats[t][0] + 1.0)))
+                                 + 1.0), 6), t)
                 for t in tf
                 if t in stats and stats[t][0] > 0
+                and (min_doc_freq <= 0 or stats[t][0] >= min_doc_freq)
+                and (max_doc_freq is None or stats[t][0] <= max_doc_freq)
             ),
         )[:max_terms]
-        return P.BoolQ(should=tuple(P.TermQ(t) for _, t in scored))
+        if not boost or not scored:
+            return P.BoolQ(should=tuple(P.TermQ(t) for _, t in scored))
+        best = max(neg for neg, _ in scored)  # least score = last popped
+        return P.BoolQ(should=tuple(
+            P.TermQ(t, boost=boost_factor * ((neg / best) if best else 1.0))
+            for neg, t in scored
+        ))
 
     def rescore(self, first: object, second: object, n: int,
                 weight: float = 1.0) -> DataFrame:

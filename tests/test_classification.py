@@ -109,7 +109,8 @@ def test_knn_vote_matches_reference_formula(cls_setup):
     assert got
 
     # recompute the reference vote from the engine's own MLT top-k
-    q = s.mlt_from_text(text, 8)
+    # (classifier default knobs: min_term_freq=1, min_doc_freq=1)
+    q = s.mlt_from_text(text, 8, min_term_freq=1, min_doc_freq=1)
     q = BoolQ(should=q.should, filter=(P.FieldFilter("lang", "notnull", None),))
     hits = (
         s.top_k(q, k)

@@ -317,6 +317,46 @@ def test_more_like_this(built):
     assert_hits_equal(got, want, 10)
 
 
+def test_mlt_reference_knobs(built):
+    """Reference-exact MLT term selection (MoreLikeThis.java:622-662):
+    tf < minTermFreq and df < minDocFreq / df > maxDocFreq are skipped,
+    idf = ln((N+1)/(df+1)) + 1, and boost=True scales each term by
+    boostFactor * score / bestScore with bestScore = LOWEST selected
+    score (createQuery pops the ascending queue, MoreLikeThis.java:591)."""
+    index, oracle, _ = built
+    s = Searcher(index)
+    n = index.doc_count
+    # two real corpus terms with distinct dfs (alphabetic so the
+    # analyzer passes them through untouched)
+    t_hi, t_lo = sorted(
+        (t for t in oracle.postings if t.isalpha() and len(oracle.postings[t]) >= 5),
+        key=lambda t: -len(oracle.postings[t]),
+    )[:2]
+    text = f"{t_hi} {t_hi} {t_hi} {t_lo} {t_lo} singleton_only_once"
+    # default minTermFreq=2 drops the tf=1 token
+    q = s.mlt_from_text(text, 10, min_doc_freq=1)
+    assert {c.term for c in q.should} == {t_hi, t_lo}
+    # min_doc_freq filter: a high floor drops everything
+    q_hi = s.mlt_from_text(text, 10, min_doc_freq=n + 1)
+    assert not q_hi.should
+    # max_doc_freq filter drops the more common of the two
+    df_hi = len(oracle.postings[t_hi])
+    df_lo = len(oracle.postings[t_lo])
+    q_cap = s.mlt_from_text(text, 10, min_doc_freq=1, max_doc_freq=df_lo)
+    assert {c.term for c in q_cap.should} == ({t_lo} if df_lo < df_hi
+                                              else {t_hi, t_lo})
+    # boost quirk: weights = factor * score / lowest-selected-score
+    qb = s.mlt_from_text(text, 10, min_doc_freq=1, boost=True, boost_factor=2.0)
+    scores = {
+        t: f * (np.log((n + 1) / (len(oracle.postings[t]) + 1.0)) + 1.0)
+        for t, f in ((t_hi, 3), (t_lo, 2))
+    }
+    best = min(scores.values())
+    for c in qb.should:
+        assert c.boost == pytest.approx(2.0 * scores[c.term] / best, rel=1e-5)
+        assert c.boost >= 2.0
+
+
 def test_rescore(built):
     index, oracle, _ = built
     s = Searcher(index)
