@@ -1032,6 +1032,38 @@ def _q_grouped_search(term: str, group_limit: int, max_per_group: int):
     return fn
 
 
+def _q_dv_stats(term: str, field: str):
+    """DocValuesStatsCollector (misc/search/DocValuesStats.java:100-143):
+    count/missing/min/max/sum/mean/population-variance/stdev of a
+    numeric doc-values field over the query's match set — ONE builtin
+    aggregation, map-side combined."""
+    def fn(spark, sf_dir):
+        from lucene_spark.search.dvstats import numeric_stats
+
+        s = _searcher(spark, sf_dir)
+        out = numeric_stats(s.doc_set(TermQ(term)), s.index.docs, field)
+        return out.select(
+            "count", "missing", "min", "max", "sum",
+            F.round("mean", 4).alias("mean_r"),
+            F.round("variance", 4).alias("variance_r"),
+            F.round("stdev", 4).alias("stdev_r"),
+        )
+
+    return fn
+
+
+def _q_dv_stats_sorted(term: str, field: str):
+    """SortedDocValuesStats (DocValuesStats.java, BytesRef variant):
+    count/missing/lexicographic min/max of a string field."""
+    def fn(spark, sf_dir):
+        from lucene_spark.search.dvstats import sorted_stats
+
+        s = _searcher(spark, sf_dir)
+        return sorted_stats(s.doc_set(TermQ(term)), s.index.docs, field)
+
+    return fn
+
+
 def _q_diversified(term: str, k: int, max_per_key: int):
     def fn(spark, sf_dir):
         from lucene_spark.search.diversify import diversified_top_k
@@ -2366,6 +2398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_search_topk": _q_grouped_search("merge", 3, 2),
         # DiversifiedTopDocsCollector (misc): top-k, <=2 hits per lang
         "diversified_topk": _q_diversified("merge", 10, 2),
+        # DocValuesStatsCollector (misc): numeric + sorted(string) stats
+        "dv_stats_numeric": _q_dv_stats("merge", "n_chars"),
+        "dv_stats_sorted": _q_dv_stats_sorted("merge", "lang"),
         "total_hits": _q_total_hits(("merge", "sort", "hash")),
         "sort_by_field": _q_sort_field("vector", 10),
         "sort_after_page2": _q_sort_after("vector", 10),
@@ -3284,6 +3319,24 @@ ORDER BY score_r DESC, gram LIMIT 50
             f"SELECT r.lang, sel.group_rank, CAST(r.within_rank AS INT) AS within_rank, "
             f"r.doc_id, r.score_r "
             f"FROM r JOIN sel USING (lang) WHERE r.within_rank <= 2"
+        ),
+        "dv_stats_numeric": (
+            f"{_PRELUDE}, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') "
+            f"SELECT count(d.n_chars) AS count, "
+            f"(count(*) - count(d.n_chars)) AS missing, "
+            f"min(d.n_chars) AS min, max(d.n_chars) AS max, "
+            f"CAST(sum(d.n_chars) AS BIGINT) AS sum, "
+            f"round(avg(d.n_chars), 4) AS mean_r, "
+            f"round(var_pop(d.n_chars), 4) AS variance_r, "
+            f"round(stddev_pop(d.n_chars), 4) AS stdev_r "
+            f"FROM m LEFT JOIN documents d USING (doc_id)"
+        ),
+        "dv_stats_sorted": (
+            f"{_PRELUDE}, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge') "
+            f"SELECT count(d.lang) AS count, "
+            f"(count(*) - count(d.lang)) AS missing, "
+            f"min(d.lang) AS min, max(d.lang) AS max "
+            f"FROM m LEFT JOIN documents d USING (doc_id)"
         ),
         "diversified_topk": (
             f"{_PRELUDE}, scored AS ({_term_scored_sql('merge')}) "
