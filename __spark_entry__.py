@@ -2118,10 +2118,10 @@ _GATE_WINDOW = [
     "sort_by_field", "expression_score_topk",
     "total_hits", "rescore_topk",
     "ann_recall_floor", "facet_taxonomy_path", "facet_taxonomy_sum",
-    "group_top_per_lang",
+    "grouped_search_topk",
     "join_parent_max", "combined_field_topk", "spell_suggest",
     "sim_zoo_topk",
-    "uax29_term_topk", "cjk_bigram_terms", "facet_long_values",
+    "uax29_term_topk", "cjk_bigram_terms", "dv_stats_numeric",
     "wd_subword_topk", "diversified_topk",
     "text_token_counts", "suggest_fuzzy",
     "payload_span_topk",
@@ -2160,6 +2160,10 @@ _GATE_WINDOW = [
 # exact + minhash inside; benchmark decontamination is a new pipeline
 # family), suggest_prefix -> combined_field_topk (suggest keeps
 # suggest_fuzzy inside; CombinedFieldQuery/BM25F is a new scoring
+# family), group_top_per_lang -> grouped_search_topk (the GroupingSearch
+# facade subsumes top-per-group and adds group + within-group paging),
+# facet_long_values -> dv_stats_numeric (facets keep taxonomy_path +
+# taxonomy_sum inside; DocValuesStatsCollector is a new misc collector
 # family).
 
 
