@@ -995,6 +995,9 @@ def build_index(
                 "with_payloads": with_payloads,
                 "text_col": text_col,
                 "keep_cols": keep_cols,
+                # index sort key (IndexWriterConfig.setIndexSort analog):
+                # recorded so docvalues updates can reject sort fields
+                "order_cols": list(order_cols or []),
                 "analyzer": analyzer,
                 "paths": {
                     "corpus": corpus_path,
@@ -1039,7 +1042,26 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     n_segs = len(as_list(paths["postings"]))
     del_paths = as_list(paths.get("deletes") or [])
     if n_segs == 1 and not del_paths:
-        return manifest  # nothing to merge
+        if not paths.get("dv_updates"):
+            return manifest  # nothing to merge
+        # postings are already one clean segment: fold the pending
+        # docvalues-update generations into a rewritten docs table only
+        # (the cheap end of Lucene's merge — no postings re-encode)
+        gen = int(manifest.get("compaction_gen", 0)) + 1
+        docs_path = os.path.join(index_dir, f"docs_compact{gen}")
+        apply_dv_overlays(
+            spark, spark.read.parquet(*as_list(paths["docs"])), manifest
+        ).write.mode("overwrite").parquet(docs_path)
+        manifest["paths"]["docs"] = docs_path
+        manifest["paths"]["dv_updates"] = []
+        manifest["compaction_gen"] = gen
+        manifest["version"] = int(manifest.get("version", 0)) + 1
+        mf = os.path.join(index_dir, "manifest.json")
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, mf)
+        return manifest
     gen = int(manifest.get("compaction_gen", 0)) + 1
     t0 = time.time()
     with_positions = manifest["with_positions"]
@@ -1205,9 +1227,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     postings_path = os.path.join(index_dir, f"postings_compact{gen}")
     merged.write.mode("overwrite").parquet(postings_path)
 
-    # ---- docs / corpus: union minus deletes ----
+    # ---- docs / corpus: union minus deletes, dv updates folded in ----
     docs_path = os.path.join(index_dir, f"docs_compact{gen}")
     docs = spark.read.parquet(*as_list(paths["docs"]))
+    # committed docvalues-update generations bake into the rewrite
+    # (Lucene merges gen-stamped .dvd updates into the merged segment)
+    docs = apply_dv_overlays(spark, docs, manifest)
     if deletes is not None:
         docs = docs.join(F.broadcast(deletes), "doc_id", "left_anti")
     docs.write.mode("overwrite").parquet(docs_path)
@@ -1295,6 +1320,100 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict
     manifest["paths"]["deletes"] = existing + [path]
     manifest["version"] = int(manifest.get("version", 0)) + 1
     manifest.setdefault("stages", {})[f"deletes_seg{seg}"] = {"rows": n}
+    mf = os.path.join(index_dir, "manifest.json")
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, mf)
+    return manifest
+
+
+def apply_dv_overlays(spark: SparkSession, docs: DataFrame, manifest: dict) -> DataFrame:
+    """Merge-on-read of committed doc-values update generations
+    (index/NumericDocValuesFieldUpdates analog): each generation is a
+    tiny immutable (doc_id, value) parquet; applied oldest-first so the
+    NEWEST generation wins per doc, exactly like Lucene's gen-stamped
+    .dvd files shadowing the segment's base values. Every overlay is
+    broadcast (updates are minuscule next to the corpus), so the base
+    docs scan keeps its pushed filters."""
+    for upd in manifest.get("paths", {}).get("dv_updates", []) or []:
+        fld = upd["field"]
+        ov = spark.read.parquet(upd["path"]).select(
+            "doc_id", F.col("value").alias("__dvu")
+        )
+        docs = (
+            docs.join(F.broadcast(ov), "doc_id", "left")
+            .withColumn(fld, F.coalesce(F.col("__dvu"), F.col(fld)))
+            .drop("__dvu")
+        )
+    return docs
+
+
+def update_doc_values(
+    spark: SparkSession, index_dir: str, updates: DataFrame, field: str
+) -> dict:
+    """IndexWriter.updateNumericDocValue / updateBinaryDocValue analog
+    (index/IndexWriter.java:1864,1900): set doc-values `field` to a new
+    per-doc value WITHOUT re-indexing the document. `updates` is a
+    DataFrame (doc_id, value); the reference's term-keyed form is
+    ``searcher.doc_set(TermQ(t)).withColumn("value", F.lit(v))``.
+
+    Reference restrictions enforced the same way: only fields that
+    already exist in the index can be updated ("can only update existing
+    numeric-docvalues fields!", IndexWriter.java:1866), and fields in
+    the index sort are rejected (IndexWriter.java:1869 — our index sort
+    is the build's order_cols rank). Internal columns (doc_id, norms,
+    field lengths) are never updatable.
+
+    Commit shape: one immutable generation parquet + atomic manifest
+    swap (snapshot isolation — open readers keep their view, a reopened
+    Index sees the new generation), mirroring Lucene's gen-stamped
+    docvalues update files. Readers merge-on-read via
+    :func:`apply_dv_overlays`; :func:`compact_index` folds all
+    generations into the rewritten docs table and clears the list."""
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    docs_paths = manifest["paths"]["docs"]
+    if isinstance(docs_paths, str):
+        docs_paths = [docs_paths]
+    schema = spark.read.parquet(docs_paths[0]).schema
+    by_name = {f_.name: f_ for f_ in schema.fields}
+    text_col = manifest["text_col"]
+    forbidden = {"doc_id"} | {
+        n for n in by_name
+        if n == "dl" or n == "norm" or n.startswith(("dl__", "norm__"))
+    }
+    if field in (manifest.get("order_cols") or []):
+        raise ValueError(
+            f"cannot update docvalues field involved in the index sort, "
+            f"field={field}, sort={manifest['order_cols']}"
+        )
+    if field not in by_name:
+        raise ValueError(
+            f"can only update existing doc-values fields! {field!r} is not "
+            f"a column of the docs table ({sorted(by_name)})"
+        )
+    if field in forbidden or field == text_col:
+        raise ValueError(f"field {field!r} is internal/indexed — not updatable")
+    dtype = by_name[field].dataType
+    upd = updates.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("value").cast(dtype).alias("value"),
+    )
+    dup = upd.groupBy("doc_id").count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"updates carry conflicting values for doc_id={dup[0]['doc_id']} "
+            f"— one value per doc per generation"
+        )
+    gens = manifest["paths"].get("dv_updates") or []
+    gen = len(gens)
+    path = os.path.join(index_dir, f"dvu_gen{gen}_{field}")
+    upd.write.mode("overwrite").parquet(path)
+    n = _parquet_rows(path)
+    manifest["paths"]["dv_updates"] = gens + [{"field": field, "path": path}]
+    manifest["version"] = int(manifest.get("version", 0)) + 1
+    manifest.setdefault("stages", {})[f"dvu_gen{gen}_{field}"] = {"rows": n}
     mf = os.path.join(index_dir, "manifest.json")
     tmp = mf + ".tmp"
     with open(tmp, "w") as f:

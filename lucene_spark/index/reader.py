@@ -133,7 +133,15 @@ class Index:
 
     @property
     def docs(self) -> DataFrame:
-        return self._memo("docs", lambda: self.spark.read.parquet(*self._docs_path))
+        def make() -> DataFrame:
+            base = self.spark.read.parquet(*self._docs_path)
+            if self.manifest["paths"].get("dv_updates"):
+                from lucene_spark.index.builder import apply_dv_overlays
+
+                base = apply_dv_overlays(self.spark, base, self.manifest)
+            return base
+
+        return self._memo("docs", make)
 
     @property
     def term_stats(self) -> DataFrame:
