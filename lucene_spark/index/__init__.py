@@ -3,6 +3,7 @@ from lucene_spark.index.builder import (  # noqa: F401
     build_index,
     compact_index,
     delete_docs,
+    soft_delete_docs,
     update_doc_values,
 )
 from lucene_spark.index.reader import Index  # noqa: F401

@@ -773,6 +773,7 @@ def build_index(
     corpus_parts: int | None = None,
     resume: bool = True,
     analyzer: dict | None = None,
+    soft_deletes_field: str | None = None,
 ) -> dict:
     """Build the full index under ``index_dir``. Returns the manifest.
 
@@ -790,6 +791,10 @@ def build_index(
     indexed ALONGSIDE the default field (named after ``text_col``) —
     per-field postings/norms/stats, the FieldInfos data model
     (index/FieldInfos.java, IndexingChain.java:583-603).
+    ``soft_deletes_field``: IndexWriterConfig.setSoftDeletesField analog
+    (index/IndexWriterConfig.java:464): reserves a nullable long docs
+    column; :func:`soft_delete_docs` marks docs by docvalues update and
+    readers mask non-null rows (SoftDeletesDirectoryReaderWrapper).
     """
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.time()
@@ -913,6 +918,13 @@ def build_index(
         )
         for f, _c in fields:
             docs = docs.withColumn(norm_name(f), norm_udf(F.col(dl_name(f))))
+        if soft_deletes_field:
+            if soft_deletes_field in docs.columns:
+                raise ValueError(
+                    f"soft_deletes_field {soft_deletes_field!r} collides "
+                    f"with an existing docs column"
+                )
+            docs = docs.withColumn(soft_deletes_field, F.lit(None).cast("long"))
         docs.write.mode("overwrite").parquet(docs_path)
         _update_manifest(
             index_dir,
@@ -998,6 +1010,7 @@ def build_index(
                 # index sort key (IndexWriterConfig.setIndexSort analog):
                 # recorded so docvalues updates can reject sort fields
                 "order_cols": list(order_cols or []),
+                "soft_deletes_field": soft_deletes_field,
                 "analyzer": analyzer,
                 "paths": {
                     "corpus": corpus_path,
@@ -1020,7 +1033,9 @@ def build_index(
         return json.load(f)
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> dict:
+def compact_index(
+    spark: SparkSession, index_dir: str, soft_retention: str | None = None
+) -> dict:
     """forceMerge(1) analog (SegmentMerger.merge, index/SegmentMerger.java:
     107-142 + TieredMergePolicy's end state): merge every appended segment
     back into one, dropping deleted docs for real (deletes reclaim).
@@ -1034,6 +1049,12 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     our global ids stay stable so readers never remap). New segment dirs
     + one atomic manifest swap; old segment files stay on disk for open
     readers (no vacuum here).
+
+    ``soft_retention``: SoftDeletesRetentionMergePolicy analog
+    (index/SoftDeletesRetentionMergePolicy.java:62): a SQL predicate
+    over docs columns — soft-deleted docs matching it SURVIVE the merge
+    (still masked, still marked); all other soft-deleted docs are
+    reclaimed like hard deletes. None reclaims every soft-deleted doc.
     """
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
@@ -1041,7 +1062,19 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     paths = manifest["paths"]
     n_segs = len(as_list(paths["postings"]))
     del_paths = as_list(paths.get("deletes") or [])
-    if n_segs == 1 and not del_paths:
+    sd_field = manifest.get("soft_deletes_field")
+    soft_reclaim = None
+    if sd_field:
+        sd_docs = apply_dv_overlays(
+            spark, spark.read.parquet(*as_list(paths["docs"])), manifest
+        )
+        cond = F.col(sd_field).isNotNull()
+        if soft_retention:
+            cond = cond & ~F.expr(soft_retention)
+        sd_ids = sd_docs.filter(cond).select("doc_id")
+        if sd_ids.limit(1).count():
+            soft_reclaim = sd_ids
+    if n_segs == 1 and not del_paths and soft_reclaim is None:
         if not paths.get("dv_updates"):
             return manifest  # nothing to merge
         # postings are already one clean segment: fold the pending
@@ -1073,6 +1106,13 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
         if del_paths
         else None
     )
+    if soft_reclaim is not None:
+        # reclaimable soft deletes merge like hard deletes
+        deletes = (
+            soft_reclaim
+            if deletes is None
+            else deletes.union(soft_reclaim).distinct()
+        )
     # Broadcast ONE sorted int64 array (not a Python set): merge_group does
     # a single vectorized np.isin per term against it. For delete sets too
     # big to broadcast, the right shape is a distributed anti-join of the
@@ -1328,6 +1368,37 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict
     return manifest
 
 
+def soft_delete_docs(
+    spark: SparkSession, index_dir: str, doc_ids: DataFrame, value: int = 1
+) -> dict:
+    """Soft-delete the given docIDs (the delete half of
+    IndexWriter.softUpdateDocument, index/IndexWriter.java:1840): writes
+    one docvalues-update generation setting the index's configured
+    soft-deletes field (build_index's ``soft_deletes_field`` =
+    IndexWriterConfig.setSoftDeletesField). Readers mask docs with a
+    non-null value in that field (SoftDeletesDirectoryReaderWrapper
+    semantics — Index applies it by default, pass
+    ``include_soft_deleted=True`` to see through); the docs stay in the
+    index until :func:`compact_index` reclaims them, except those
+    matching its ``soft_retention`` predicate
+    (SoftDeletesRetentionMergePolicy.java:62). Like the reference, a
+    soft delete cannot be unset."""
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    sd = manifest.get("soft_deletes_field")
+    if not sd:
+        raise ValueError(
+            "index was built without soft_deletes_field "
+            "(IndexWriterConfig.setSoftDeletesField analog)"
+        )
+    upd = (
+        doc_ids.select(F.col("doc_id").cast("long"))
+        .distinct()
+        .withColumn("value", F.lit(int(value)))
+    )
+    return update_doc_values(spark, index_dir, upd, sd)
+
+
 def apply_dv_overlays(spark: SparkSession, docs: DataFrame, manifest: dict) -> DataFrame:
     """Merge-on-read of committed doc-values update generations
     (index/NumericDocValuesFieldUpdates analog): each generation is a
@@ -1521,6 +1592,10 @@ def append_to_index(
     )
     for f, _c in fields:
         docs = docs.withColumn(_norm_name(f), norm_udf(F.col(_dl_name(f))))
+    if manifest.get("soft_deletes_field"):
+        docs = docs.withColumn(
+            manifest["soft_deletes_field"], F.lit(None).cast("long")
+        )
     docs.write.mode("overwrite").parquet(docs_path)
 
     seg_postings = spark.read.parquet(postings_path)

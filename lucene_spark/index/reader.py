@@ -20,9 +20,16 @@ from lucene_spark import bm25
 
 
 class Index:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 include_soft_deleted: bool = False):
+        """``include_soft_deleted``: the default False applies the
+        SoftDeletesDirectoryReaderWrapper view (soft-deleted docs are
+        masked like hard deletes — the IndexWriter.getReader behavior
+        when a soft-deletes field is configured); True reads through to
+        every non-hard-deleted doc (plain DirectoryReader.open)."""
         self.spark = spark
         self.index_dir = index_dir
+        self.include_soft_deleted = include_soft_deleted
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         p = self.manifest["paths"]
@@ -185,16 +192,34 @@ class Index:
         Lucene90LiveDocsFormat analog) or None when nothing is deleted.
         Like the reference, deletes mask results only — global stats
         (df, docCount, avgdl) keep counting deleted docs until a rebuild
-        ('merge') reclaims them."""
+        ('merge') reclaims them. When the index has a soft-deletes field
+        and this reader applies it (SoftDeletesDirectoryReaderWrapper
+        view, the default), soft-deleted docIDs union in — soft and hard
+        deletes mask identically at the scorer leaf."""
         paths = self.manifest["paths"].get("deletes") or []
         if isinstance(paths, str):
             paths = [paths]
-        if not paths:
+        sd = self.manifest.get("soft_deletes_field")
+        use_soft = bool(sd) and not self.include_soft_deleted
+
+        def make() -> DataFrame | None:
+            hard = (
+                self.spark.read.parquet(*paths).select("doc_id")
+                if paths
+                else None
+            )
+            soft = (
+                self.docs.filter(F.col(sd).isNotNull()).select("doc_id")
+                if use_soft
+                else None
+            )
+            if hard is None:
+                return soft
+            return hard if soft is None else hard.union(soft).distinct()
+
+        if not paths and not use_soft:
             return None
-        return self._memo(
-            "deletes",
-            lambda: self.spark.read.parquet(*paths).select("doc_id"),
-        )
+        return self._memo("deletes", make)
 
     # --- term helpers ------------------------------------------------------
 
