@@ -14,6 +14,11 @@ Distributed invariant checks over a committed index:
    per-row invariant); doc_ids unique and dense 0..N-1.
 5. manifest global stats (N, sumTotalTermFreq, docCount) equal
    re-aggregation.
+6. docvalues-update generations: target field is an updatable docs
+   column, doc_ids unique within each generation, no updates for
+   unknown doc_ids.
+7. soft-deletes field (when configured): present in docs with long
+   type.
 
 Returns a report dict; raises CheckIndexError listing every violated
 invariant. All checks are Spark jobs (scan-parallel, no collect of data
@@ -203,6 +208,48 @@ def check_index(index: Index, sample_terms: int | None = None) -> dict:
             f"manifest stats N={index.N},ttf={index.sum_ttf},dc={index.doc_count} "
             f"!= recomputed {dict(gl.asDict())}"
         )
+
+    # 6. docvalues-update generations (gen-stamped .dvd analog):
+    #    updatable target field, unique doc_ids within a generation,
+    #    every updated doc_id exists in the base docs table
+    dv_gens = index.manifest["paths"].get("dv_updates") or []
+    base_cols = set()
+    if dv_gens:
+        base_docs = spark.read.parquet(
+            *([index.manifest["paths"]["docs"]]
+              if isinstance(index.manifest["paths"]["docs"], str)
+              else index.manifest["paths"]["docs"])
+        )
+        base_cols = set(base_docs.columns)
+        base_ids = base_docs.select("doc_id")
+    dv_report = []
+    for g, upd in enumerate(dv_gens):
+        fld = upd["field"]
+        if fld not in base_cols or fld in {"doc_id", "dl", "norm"} or \
+                fld.startswith(("dl__", "norm__")):
+            problems.append(f"dv gen {g}: field {fld!r} not an updatable docs column")
+            continue
+        ov = spark.read.parquet(upd["path"])
+        dups = ov.groupBy("doc_id").count().filter("count > 1").count()
+        orphans = ov.select("doc_id").join(base_ids, "doc_id", "left_anti").count()
+        dv_report.append({"field": fld, "dup_doc_ids": dups, "orphans": orphans})
+        if dups:
+            problems.append(f"dv gen {g} ({fld}): {dups} duplicate doc_ids")
+        if orphans:
+            problems.append(
+                f"dv gen {g} ({fld}): {orphans} updates for unknown doc_ids"
+            )
+    report["dv_update_gens"] = dv_report
+
+    # 7. soft-deletes field: reserved column present with long type
+    sd = index.manifest.get("soft_deletes_field")
+    if sd:
+        dt = dict(docs.dtypes).get(sd)
+        report["soft_deletes_field_ok"] = dt == "bigint"
+        if dt is None:
+            problems.append(f"soft-deletes field {sd!r} missing from docs")
+        elif dt != "bigint":
+            problems.append(f"soft-deletes field {sd!r} has type {dt}, want bigint")
 
     if problems:
         raise CheckIndexError("; ".join(problems))

@@ -118,6 +118,32 @@ def test_reference_restrictions(spark, built):
         update_doc_values(spark, built, dup, "stars")
 
 
+def test_checkindex_validates_generations(spark, built):
+    """CheckIndex invariants 6-7: clean generations pass; a generation
+    referencing unknown doc_ids is flagged."""
+    import pyspark.sql.functions as _F
+
+    from lucene_spark.index.check import CheckIndexError, check_index
+
+    upd = spark.createDataFrame([(1, 5)], "doc_id long, value long")
+    update_doc_values(spark, built, upd, "stars")
+    rep = check_index(Index(spark, built))
+    assert rep["dv_update_gens"] == [
+        {"field": "stars", "dup_doc_ids": 0, "orphans": 0}
+    ]
+    # corrupt: append an orphan row to the generation file
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(built, "manifest.json")) as f:
+        gen_path = _json.load(f)["paths"]["dv_updates"][0]["path"]
+    spark.createDataFrame(
+        [(10_000_000, 1)], "doc_id long, value long"
+    ).write.mode("append").parquet(gen_path)
+    with pytest.raises(CheckIndexError, match="unknown doc_ids"):
+        check_index(Index(spark, built))
+
+
 def test_overlay_is_broadcast(spark, built):
     """Scale property: the generation overlay joins as a broadcast —
     the big docs scan is never shuffled for an update."""
