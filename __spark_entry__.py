@@ -57,6 +57,7 @@ from lucene_spark.search import (
     FeatureQ,
     FieldFilter,
     FunctionScoreQ,
+    FuzzyLikeThisQ,
     FuzzyQ,
     MultiPhraseQ,
     NGramPhraseQ,
@@ -1588,6 +1589,34 @@ def _q_facet_long_values(term: str, value_expr: str, topn: int):
     return fn
 
 
+def _q_facet_sampled_lang(term: str, sample_size: int, seed: int):
+    """RandomSamplingFacetsCollector + amortizeFacetCounts (facet/
+    RandomSamplingFacetsCollector.java:60,214): facet over a one-per-bin
+    deterministic sample of the match set, counts amortized by 1/rate
+    and capped at each label's true document frequency."""
+
+    def fn(spark, sf_dir):
+        from lucene_spark.facets import amortize_facet_counts, sample_matches
+
+        s = _searcher(spark, sf_dir)
+        sampled, rate = sample_matches(
+            s.doc_set(TermQ(term)), sample_size, seed=seed
+        )
+        counts = (
+            sampled.join(s.index.docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lang_df = s.index.docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("max_cnt")
+        )
+        return amortize_facet_counts(counts, rate, label_max=lang_df).orderBy(
+            "lang"
+        )
+
+    return fn
+
+
 def _q_join_parent(term: str, mode: str = "max"):
     """ToParentBlockJoinQuery score modes (join/.../ScoreMode.java:
     Max / Avg / Total / Min) — parent score aggregates child scores."""
@@ -1767,6 +1796,52 @@ SELECT doc_id, round(score, 4) AS score_r FROM scored
 ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"""
 
 
+
+
+def _fuzzy_like_this_sql(tokens: list[str], max_edits: int,
+                         max_num_terms: int, k: int) -> str:
+    """FuzzyLikeThisQuery oracle (sandbox/queries/FuzzyLikeThisQuery.java:
+    105-189): per analyzed token, Damerau variants <= max_edits with
+    FuzzyTermsEnum boost, per-token top-50 by (boost desc, term asc);
+    variant weight = boost^2 * (ln((maxdoc+1)/(df_src+1)) + 1) where
+    df_src falls back to the INTEGER-average df over ALL variants; global
+    top max_num_terms by (weight desc, term asc); same-term weights sum;
+    clause scoring is BM25 with df overridden to 1 (newTermQuery)."""
+    vals = ", ".join(f"('{t}')" for t in tokens)
+    w1 = _w("1")
+    return f"""{_PRELUDE},
+src(t) AS (VALUES {vals}),
+cand AS (
+  SELECT s.t AS src, d.term, d.df,
+         CASE WHEN damerau_levenshtein(d.term, s.t) = 0 THEN 1.0
+              ELSE 1.0 - damerau_levenshtein(d.term, s.t)
+                   / CAST(least(length(d.term), length(s.t)) AS DOUBLE)
+         END AS boost
+  FROM dfs d, src s WHERE damerau_levenshtein(d.term, s.t) <= {max_edits}),
+kept AS (SELECT *, row_number() OVER (
+           PARTITION BY src ORDER BY boost DESC, term) AS rn FROM cand),
+vstats AS (SELECT src, CAST(sum(df) AS BIGINT) // count(*) AS avgdf
+           FROM cand GROUP BY src),
+eff AS (
+  SELECT s.t AS src,
+         CASE WHEN coalesce((SELECT df FROM dfs WHERE term = s.t), 0) > 0
+              THEN (SELECT df FROM dfs WHERE term = s.t)
+              ELSE v.avgdf END AS dfe
+  FROM src s JOIN vstats v ON v.src = s.t),
+svar AS (
+  SELECT kt.term,
+         kt.boost * kt.boost
+           * (ln((g.maxdoc + 1) / CAST(e.dfe + 1 AS DOUBLE)) + 1.0) AS vw
+  FROM kept kt JOIN eff e USING (src), g WHERE kt.rn <= 50),
+gtop AS (SELECT * FROM svar ORDER BY vw DESC, term LIMIT {max_num_terms}),
+wts AS (SELECT term, sum(vw) AS w FROM gtop GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(w.w * (({w1}) - ({w1}) / (1 + tf.freq * {_INV}))) AS score
+  FROM tf JOIN wts w USING (term) JOIN qdls q USING (doc_id), g
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"""
 
 
 def _parsed_field_query_sql(k: int) -> str:
@@ -2255,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_taxonomy_path": _q_facet_taxonomy("vector"),
         "facet_taxonomy_sum": _q_facet_taxonomy_sum("vector", "n_chars"),
         "facet_long_values": _q_facet_long_values("vector", "n_chars % 97", 15),
+        "facet_sampled_lang": _q_facet_sampled_lang("the", 100, 7),
         "facet_taxonomy_children": _q_facet_taxonomy_children("vector", 2),
         "join_parent_max": _q_join_parent("merge"),
         "join_parent_avg": _q_join_parent("merge", "avg"),
@@ -2388,6 +2464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Damerau 1, plain Levenshtein 2): exercises the doc_set path's
         # Damerau-aware expansion (FuzzyTermsEnum transpositions=true).
         "fuzzy_docs": _q_docset(lambda: FuzzyQ("mereg", 1)),
+        "fuzzy_like_this_topk": _q_bool(
+            lambda: FuzzyLikeThisQ("merge vecto", max_edits=1,
+                                   max_num_terms=10), 20
+        ),
         "term_range_docs": _q_docset(lambda: TermRangeQ("q", "t", True, False)),
         "in_set_docs": _q_docset(lambda: TermInSetQ(("spark", "vector"))),
         # LatLonPoint analog (lucene_spark/geo.py): box / distance /
@@ -2864,6 +2944,9 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
         "field_term_topk": _head_term_topk_sql("data", 10),
         "combined_field_topk": _combined_field_sql("data", 1.0, 2.0, 20),
         "fuzzy_topk": _fuzzy_topk_sql("merge", 2, 20),
+        "fuzzy_like_this_topk": _fuzzy_like_this_sql(
+            ["merge", "vecto"], 1, 10, 20
+        ),
         "parsed_field_query_topk": _parsed_field_query_sql(20),
         "blended_cross_field_topk": _blended_cross_field_sql("data", 0.1, 20),
         "suggest_prefix": (
@@ -2966,6 +3049,27 @@ ORDER BY score_r DESC, gram LIMIT 50
             f"count(*) AS cnt "
             f"FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector') m "
             f"JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY bucket"
+        ),
+        # mirrors facets.sample_matches exactly: keep a match iff
+        # Knuth-hash(doc_id+7) < floor(rate * 2^32) with rate = min(1, 100/n) as
+        # an IEEE double; amortize = floor(cnt / rate) capped at the
+        # label's true df. All-integer hash + same double rate keep the
+        # two engines bit-identical.
+        "facet_sampled_lang": (
+            f"{_PRELUDE}, m AS (SELECT DISTINCT doc_id FROM tf "
+            f"WHERE term = 'the'), "
+            f"tot AS (SELECT count(*) AS n FROM m), "
+            f"rt AS (SELECT least(1.0, CAST(100 AS DOUBLE) / t.n) AS r "
+            f"FROM tot t), "
+            f"samp AS (SELECT m.doc_id FROM m, rt WHERE "
+            f"((m.doc_id + 7) % 2147483648) * 2654435761 % 4294967296 < "
+            f"CAST(floor(rt.r * 4294967296) AS BIGINT)), "
+            f"c AS (SELECT d.lang, count(*) AS cs FROM samp "
+            f"JOIN documents d USING (doc_id) GROUP BY d.lang), "
+            f"gdf AS (SELECT lang, count(*) AS mx FROM documents GROUP BY lang) "
+            f"SELECT c.lang, least(gdf.mx, CAST(floor(c.cs / rt.r) "
+            f"AS BIGINT)) AS cnt "
+            f"FROM c JOIN gdf USING (lang), rt ORDER BY c.lang"
         ),
         "datetools_day_counts": (
             "SELECT strftime(ts, '%Y%m%d') AS day_str, count(*) AS cnt "

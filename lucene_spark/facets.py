@@ -222,3 +222,101 @@ def drill_sideways_taxonomy(
         .groupBy(node.alias("node"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---- sampled faceting (RandomSamplingFacetsCollector analog) -----------
+
+# Knuth multiplicative-hash constants for the per-doc deterministic
+# "random" key. 2**31 pre-reduction keeps (2**31)*2654435761 < 2**63
+# (no 64-bit overflow in any engine).
+_HASH_MULT = 2654435761
+_HASH_PREMOD = 1 << 31
+_HASH_MOD = 1 << 32
+
+
+def _sample_key(doc_id, seed: int):
+    """The per-doc sampling key, as a Column. Exact integer arithmetic —
+    replicable bit-for-bit in plain SQL (the oracle gates do), unlike a
+    seeded sequential RNG."""
+    return F.pmod(
+        F.pmod(doc_id + F.lit(int(seed)), F.lit(_HASH_PREMOD))
+        * F.lit(_HASH_MULT),
+        F.lit(_HASH_MOD),
+    )
+
+
+def sample_matches(
+    matches: DataFrame,
+    sample_size: int,
+    total_hits: int | None = None,
+    seed: int = 0,
+    doc_id_col: str = "doc_id",
+) -> tuple[DataFrame, float]:
+    """RandomSamplingFacetsCollector analog
+    (facet/RandomSamplingFacetsCollector.java:60,139-210): when the match
+    set exceeds ``sample_size``, facet over a ~sample_size subset picked
+    one-per-bin, and amortize the counts back up by the sampling rate.
+
+    Returns ``(sampled_matches, sampling_rate)``; rate 1.0 (and the
+    original DataFrame) when no sampling is needed — the reference's
+    ``totalHits <= sampleSize`` passthrough.
+
+    Faithful-vs-distributed deviation, by design: the reference walks
+    the matches in docID order, slices them into consecutive bins of
+    ``1/rate`` matches and picks one per bin with a seeded XORShift64 —
+    a stratified exactly-sampleSize sample. The bin structure needs
+    every match's ORDINAL, i.e. a global ordering pass (a full sort or
+    a one-partition window) — a scale-killer at 10^12 docs — and a
+    sequential RNG cannot be replayed distributively. Here a match is
+    kept iff a Knuth multiplicative hash of (doc_id + seed) falls under
+    ``rate * 2^32``: Bernoulli(rate) per doc instead of
+    stratified-exactly-S, the SAME sampling rate (so
+    :func:`amortize_facet_counts` stays unbiased: each kept doc
+    represents 1/rate matches in expectation), sample size
+    Binomial(n, rate) ~ sampleSize, deterministic given the seed (the
+    reason the reference takes a seed) and bit-replicable in plain SQL.
+    The stratification the reference buys is a small variance reduction;
+    the price here would be a global sort.
+
+    Plan: ONE narrow filter on the match set — no shuffle, no window,
+    no sort, nothing collected.
+
+    ``total_hits``: pass the already-known match count to skip the
+    count job (the reference reads it off its collected bitsets).
+    """
+    n = int(total_hits) if total_hits is not None else matches.count()
+    if n <= sample_size:
+        return matches, 1.0
+    rate = sample_size / n
+    threshold = int(rate * _HASH_MOD)
+    sampled = matches.filter(
+        _sample_key(F.col(doc_id_col), seed) < F.lit(threshold)
+    )
+    return sampled, rate
+
+
+def amortize_facet_counts(
+    counts: DataFrame,
+    sampling_rate: float,
+    cnt_col: str = "cnt",
+    label_max: DataFrame | None = None,
+) -> DataFrame:
+    """amortizeFacetCounts (RandomSamplingFacetsCollector.java:214-246):
+    scale sampled counts back up — ``corrected = (int)(count / rate)``,
+    then cap per label at its true document frequency when an upper
+    bound is available (the reference reads ``IndexReader.docFreq`` off
+    the term dictionary; pass the analog as ``label_max``: a DataFrame
+    sharing the label column(s) plus a ``max_cnt`` column, e.g. a
+    precomputed dimension-cardinality table). No-op at rate 1.0."""
+    if sampling_rate >= 1.0:
+        return counts
+    out = counts.withColumn(
+        cnt_col,
+        F.floor(F.col(cnt_col) / F.lit(float(sampling_rate))).cast("long"),
+    )
+    if label_max is not None:
+        on = [c for c in label_max.columns if c != "max_cnt"]
+        out = out.join(label_max, on, "left").withColumn(
+            cnt_col, F.least(F.col(cnt_col), F.col("max_cnt"))
+        ).drop("max_cnt")
+    return out

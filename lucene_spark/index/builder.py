@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucene_spark.analysis import analyze_batch
+from lucene_spark.index import commits as _commits
 from lucene_spark.codec import competitive_impacts, encode_posting_blocks, encode_value_stream
 
 BLOCK_STRUCT = T.StructType(
@@ -755,6 +756,20 @@ def _update_manifest(index_dir: str, stage: str, info: dict, extra: dict | None 
     os.replace(tmp, mf)  # atomic commit, segments_N-style
 
 
+def _swap_manifest_commit(index_dir: str, manifest: dict) -> dict:
+    """Atomic manifest swap + a durable commit point: every public
+    mutator ends here, so each visible index state is also an immutable
+    ``commits/segments_<gen>.json`` that :func:`lucene_spark.index.commits.read_commit`
+    / ``Index(..., commit=gen)`` can reopen (IndexWriter.commit analog)."""
+    mf = os.path.join(index_dir, "manifest.json")
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, mf)
+    manifest["gen"] = _commits.commit_point(index_dir)
+    return manifest
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -1029,6 +1044,9 @@ def build_index(
 
         build_term_vectors(spark, index_dir, resume=resume)
 
+    # durable commit point for the completed build (no-op on a
+    # resume that changed nothing -- IndexWriter.commit semantics)
+    _commits.commit_point(index_dir)
     with open(os.path.join(index_dir, "manifest.json")) as f:
         return json.load(f)
 
@@ -1089,12 +1107,7 @@ def compact_index(
         manifest["paths"]["dv_updates"] = []
         manifest["compaction_gen"] = gen
         manifest["version"] = int(manifest.get("version", 0)) + 1
-        mf = os.path.join(index_dir, "manifest.json")
-        tmp = mf + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2)
-        os.replace(tmp, mf)
-        return manifest
+        return _swap_manifest_commit(index_dir, manifest)
     gen = int(manifest.get("compaction_gen", 0)) + 1
     t0 = time.time()
     with_positions = manifest["with_positions"]
@@ -1332,12 +1345,7 @@ def compact_index(
         "lineage": _file_lineage(postings_path, ("bucket", "salt")),
         "docs_lineage": _file_lineage(docs_path, ("doc_id",)),
     }
-    mf = os.path.join(index_dir, "manifest.json")
-    tmp = mf + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2)
-    os.replace(tmp, mf)
-    return manifest
+    return _swap_manifest_commit(index_dir, manifest)
 
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict:
@@ -1360,12 +1368,7 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict
     manifest["paths"]["deletes"] = existing + [path]
     manifest["version"] = int(manifest.get("version", 0)) + 1
     manifest.setdefault("stages", {})[f"deletes_seg{seg}"] = {"rows": n}
-    mf = os.path.join(index_dir, "manifest.json")
-    tmp = mf + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2)
-    os.replace(tmp, mf)
-    return manifest
+    return _swap_manifest_commit(index_dir, manifest)
 
 
 def soft_delete_docs(
@@ -1485,12 +1488,7 @@ def update_doc_values(
     manifest["paths"]["dv_updates"] = gens + [{"field": field, "path": path}]
     manifest["version"] = int(manifest.get("version", 0)) + 1
     manifest.setdefault("stages", {})[f"dvu_gen{gen}_{field}"] = {"rows": n}
-    mf = os.path.join(index_dir, "manifest.json")
-    tmp = mf + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2)
-    os.replace(tmp, mf)
-    return manifest
+    return _swap_manifest_commit(index_dir, manifest)
 
 
 def append_to_index(
@@ -1643,9 +1641,4 @@ def append_to_index(
         "lineage": _file_lineage(postings_path, ("bucket", "salt")),
         "docs_lineage": _file_lineage(docs_path, ("doc_id",)),
     }
-    mf = os.path.join(index_dir, "manifest.json")
-    tmp = mf + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2)
-    os.replace(tmp, mf)
-    return manifest
+    return _swap_manifest_commit(index_dir, manifest)

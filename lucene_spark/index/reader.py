@@ -21,17 +21,30 @@ from lucene_spark import bm25
 
 class Index:
     def __init__(self, spark: SparkSession, index_dir: str,
-                 include_soft_deleted: bool = False):
+                 include_soft_deleted: bool = False,
+                 commit: int | None = None):
         """``include_soft_deleted``: the default False applies the
         SoftDeletesDirectoryReaderWrapper view (soft-deleted docs are
         masked like hard deletes — the IndexWriter.getReader behavior
         when a soft-deletes field is configured); True reads through to
-        every non-hard-deleted doc (plain DirectoryReader.open)."""
+        every non-hard-deleted doc (plain DirectoryReader.open).
+
+        ``commit``: open the index as of a PAST commit generation
+        (DirectoryReader.open(IndexCommit), index/DirectoryReader.java:81)
+        — the view is the manifest recorded at that commit, so deletes /
+        docvalues updates / appends made after it are invisible. List
+        generations with :func:`lucene_spark.index.commits.list_commits`."""
         self.spark = spark
         self.index_dir = index_dir
         self.include_soft_deleted = include_soft_deleted
-        with open(os.path.join(index_dir, "manifest.json")) as f:
-            self.manifest = json.load(f)
+        self.commit_gen = commit
+        if commit is not None:
+            from lucene_spark.index.commits import read_commit
+
+            self.manifest = read_commit(index_dir, commit)
+        else:
+            with open(os.path.join(index_dir, "manifest.json")) as f:
+                self.manifest = json.load(f)
         p = self.manifest["paths"]
         # each entry is one path (single segment) or a list of segment
         # paths appended over time (SegmentInfos analog: the snapshot is

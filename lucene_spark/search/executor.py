@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from collections import OrderedDict
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -589,6 +591,8 @@ class Searcher:
             # reference default: TopTermsBlendedFreqScoringRewrite
             # (FuzzyQuery.java:52) — scored, not constant-score
             return self._cand(self._fuzzy_scored(q), candidates)
+        if isinstance(q, P.FuzzyLikeThisQ):
+            return self._cand(self._fuzzy_like_this_scored(q), candidates)
         if isinstance(q, (P.PrefixQ, P.WildcardQ, P.RegexpQ, P.TermRangeQ, P.TermInSetQ)):
             rw = getattr(q, "rewrite", "constant_score")
             if rw == "constant_score":
@@ -902,6 +906,80 @@ class Searcher:
             .collect()
         )
         return [(r["term"], int(r["df"]), float(r["boost"])) for r in rows]
+
+    def _fuzzy_like_this_vars(self, q: "P.FuzzyLikeThisQ") -> dict[str, float]:
+        """FuzzyLikeThisQuery.rewrite (sandbox/queries/FuzzyLikeThisQuery
+        .java:105-189): the kept variant terms and their final weights.
+
+        Per distinct analyzed token: enumerate ALL dictionary variants
+        within max_edits (avg-df fallback counts every variant, java:150
+        totalVariantDocFreqs, not just the kept 50), keep the per-token
+        top MAX_VARIANTS_PER_TERM by (boost desc, term asc), weight each
+        kept variant boost^2 * ClassicSimilarity.idf(df_src, numDocs)
+        with idf = ln((numDocs+1)/(df+1)) + 1 (ClassicSimilarity.java:72),
+        then ONE global queue keeps the top max_num_terms variants by
+        (weight desc, term asc). A term kept under two source tokens
+        contributes both weights (two SHOULD clauses on the same term —
+        scores sum, and the clause score is linear in the weight, so the
+        weights merge additively)."""
+        from lucene_spark.analysis import analyze_query_text
+
+        tokens = list(dict.fromkeys(
+            analyze_query_text(q.query_text, analyzer=self.index.analyzer)
+        ))
+        n_docs = self.index.N
+        kept: list[tuple[float, str]] = []
+        for tok in tokens:
+            exp = self._fuzzy_expansions(P.FuzzyQ(
+                tok, max_edits=q.max_edits, prefix_len=q.prefix_len,
+                max_expansions=1 << 30, transpositions=True, field=q.field,
+            ))
+            if not exp:
+                continue
+            df_src = next((df for t, df, _b in exp if t == tok), 0)
+            if df_src == 0:
+                # integer average over ALL variants (java:158-161)
+                df_src = sum(df for _t, df, _b in exp) // len(exp)
+            idf = math.log((n_docs + 1) / float(df_src + 1)) + 1.0
+            for t, _df, b in exp[: P.FuzzyLikeThisQ.MAX_VARIANTS_PER_TERM]:
+                kept.append((b * b * idf, t))
+        # global ScoreTermQueue order: weight desc, ties smaller term
+        # first (java:239-244 lessThan)
+        kept.sort(key=lambda x: (-x[0], x[1]))
+        weights: dict[str, float] = {}
+        for w, t in kept[: int(q.max_num_terms)]:
+            weights[t] = weights.get(t, 0.0) + w * float(q.boost)
+        return weights
+
+    def _fuzzy_like_this_scored(self, q: "P.FuzzyLikeThisQ") -> DataFrame:
+        """Score the rewritten SHOULD union. Each clause is a TermQuery
+        whose TermStates are overridden to df=1/ttf=1 (java:176-189) —
+        the in-clause idf is the same constant for every variant — boosted
+        by the precomputed variant weight; ignore_tf swaps the clause for
+        ConstantScore(weight). ONE postings scan covers all variants."""
+        var_weights = self._fuzzy_like_this_vars(q)
+        if not var_weights:
+            return self._empty_scored()
+        if q.ignore_tf:
+            # ConstantScore clauses: each matched variant adds exactly
+            # its weight, freq/norm ignored (java:178)
+            wmap = F.create_map(*[
+                x for t, w in sorted(var_weights.items())
+                for x in (F.lit(t), F.lit(float(w)))
+            ])
+            return (
+                self._freq_rows(list(var_weights), q.field)
+                .groupBy("doc_id")
+                .agg(self._sum_as_float(wmap[F.col("term")]).alias("score"))
+            )
+        weights = {
+            t: self._weight(1, w, q.field, ttf=1)
+            for t, w in var_weights.items()
+        }
+        per_term = self._scored_term_rows(weights, None, q.field)
+        return per_term.groupBy("doc_id").agg(
+            self._sum_as_float(F.col("score")).alias("score")
+        )
 
     def _fuzzy_scored(self, q: P.FuzzyQ) -> DataFrame:
         """TopTermsBlendedFreqScoringRewrite (MultiTermQuery.java:173-212):
@@ -1694,6 +1772,11 @@ class Searcher:
             # levenshtein predicate here would silently miss terms
             # reachable only via a transposition (Damerau 1 / Lev 2).
             terms = [t for t, _df, _b in self._fuzzy_expansions(q)]
+            if not terms:
+                return self.index.spark.createDataFrame([], _DOCS_SCHEMA)
+            return self._doc_rows(terms, q.field).distinct()
+        if isinstance(q, P.FuzzyLikeThisQ):
+            terms = list(self._fuzzy_like_this_vars(q))
             if not terms:
                 return self.index.spark.createDataFrame([], _DOCS_SCHEMA)
             return self._doc_rows(terms, q.field).distinct()

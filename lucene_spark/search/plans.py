@@ -605,6 +605,33 @@ def span_source(q):
 
 
 @dataclass(frozen=True)
+class FuzzyLikeThisQ:
+    """sandbox/queries/FuzzyLikeThisQuery.java:63 — fuzzy MoreLikeThis:
+    analyze ``query_text``, fuzzy-expand each distinct token (per-token
+    top-50 variants by FuzzyTermsEnum boost), weight each variant by
+    ``boost^2 * ClassicSimilarity.idf(df(source), numDocs)`` (source df
+    falling back to the INTEGER-average df of all enumerated variants
+    when the source term is absent, java:158-168), keep the global top
+    ``max_num_terms`` variants by (score desc, term asc), and score the
+    union as a SHOULD of boosted TermQueries whose TermStates are
+    overridden to df=1/ttf=1 (java:176-189 newTermQuery) so the
+    similarity idf inside each clause is neutral — the ranking signal is
+    the precomputed variant weight times the tf/norm part.
+    ``ignore_tf=True`` wraps each clause in ConstantScore instead
+    (java:178): a doc scores the plain sum of its matched variants'
+    weights."""
+
+    query_text: str
+    max_edits: int = 1
+    prefix_len: int = 0
+    max_num_terms: int = 25
+    ignore_tf: bool = False
+    boost: float = 1.0
+    field: str | None = None
+    MAX_VARIANTS_PER_TERM = 50  # java:70
+
+
+@dataclass(frozen=True)
 class CommonTermsQ:
     """queries/CommonTermsQuery.java — df-threshold plan rewrite: terms
     with df > max_df_ratio * docCount become SHOULD (optional, cheap to
