@@ -40,6 +40,7 @@ from lucene_spark.search.querybuilder import QueryBuilder
 from lucene_spark.search.simpleparser import SimpleQueryParser
 from lucene_spark import geo, geo_shape
 from lucene_spark.search import complexphrase as _complexphrase
+from lucene_spark.search import plans as _plans
 from lucene_spark.search import standardparser as _standardparser
 from lucene_spark.search import surround as _surround
 from lucene_spark.search import xmlparser as _xmlparser
@@ -62,6 +63,7 @@ from lucene_spark.search import (
     MultiPhraseQ,
     NGramPhraseQ,
     PhraseQ,
+    PhraseWildcardQ,
     PrefixQ,
     RegexpQ,
     Searcher,
@@ -69,6 +71,7 @@ from lucene_spark.search import (
     SpanNotQ,
     SpanTermQ,
     SynonymQ,
+    TermAutomatonQ,
     TermInSetQ,
     TermQ,
     TermRangeQ,
@@ -2418,6 +2421,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_phrase_topk": _q_bool(
             lambda: NGramPhraseQ(2, ("key", "agg", "row")), 20
         ),
+        # TermAutomatonQuery (sandbox): data followed by line either
+        # adjacent or with exactly one ANY token between — both paths'
+        # accept landings count toward freq (TermAutomatonScorer)
+        "term_automaton_topk": _q_bool(
+            lambda: TermAutomatonQ(
+                4,
+                ((0, 1, "data"), (1, 3, "line"), (1, 2, None), (2, 3, "line")),
+                (3,),
+            ),
+            20,
+        ),
+        # PhraseWildcardQuery (sandbox): "dat* line" — the prefix slot
+        # expands against the term dictionary in sorted order under the
+        # total budget, then matches as a MultiPhrase
+        "phrase_wildcard_topk": _q_bool(
+            lambda: PhraseWildcardQ((PrefixQ("dat"), "line")), 20
+        ),
         "sort_multi_field": _q_sort_multi("merge", 10),
         # multi-term SCORING rewrites (ScoringRewrite / TopTermsRewrite)
         "prefix_scored_topk": _q_bool(
@@ -2460,6 +2480,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_topk": _q_bool(lambda: DisMaxQ((TermQ("merge"), TermQ("sort")), 0.1), 20),
         "prefix_docs": _q_docset(lambda: PrefixQ("s")),
         "wildcard_docs": _q_docset(lambda: WildcardQ("b?g")),
+        # MultiRangeQuery (sandbox): OR of numeric ranges on one field,
+        # one scan — the between-OR pushes to the parquet scan
+        "multi_range_docs": _q_docset(
+            lambda: _plans.multi_range_q(
+                "n_chars", ((0, 200), (400, 600), (900, 1200))
+            )
+        ),
+        # DocValuesTermsQuery (sandbox): set membership on a keyword
+        # doc-values column
+        "dv_terms_docs": _q_docset(
+            lambda: _plans.doc_values_terms_q("lang", ("en", "fr"))
+        ),
         # "mereg" -> "merge" is reachable only via a transposition
         # (Damerau 1, plain Levenshtein 2): exercises the doc_set path's
         # Damerau-aware expansion (FuzzyTermsEnum transpositions=true).
@@ -2928,6 +2960,50 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
             f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
             f"ORDER BY round(score, 4) DESC, doc_id LIMIT 20"
         ),
+        # data->line adjacent OR with one ANY token between: freq =
+        # #(data@p, line@p+1) + #(data@p, line@p+2); weight = idf(data)
+        # + idf(line) (alphabet terms present in the index)
+        "term_automaton_topk": (
+            f"""{_PRELUDE}{_POSR},
+ta AS (
+  SELECT d.doc_id, count(*) AS freq FROM
+    (SELECT doc_id, pos AS p FROM posr WHERE toks[pos] = 'data') d
+  JOIN (SELECT doc_id, pos - 1 AS p FROM posr WHERE toks[pos] = 'line'
+        UNION ALL
+        SELECT doc_id, pos - 2 AS p FROM posr WHERE toks[pos] = 'line') s
+    USING (doc_id, p)
+  GROUP BY d.doc_id),
+scored AS (
+  SELECT ta.doc_id, wsum.w0 - wsum.w0 / (1 + ta.freq * {_INV}) AS score
+  FROM ta JOIN qdls q USING (doc_id), g,
+       (SELECT (SELECT {_w('df')} FROM dfs, g WHERE term = 'data')
+             + (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT 20"""
+        ),
+        # "dat* line": prefix slot = dictionary terms LIKE 'dat%' in
+        # sorted order up to the budget; weight = Σ idf(expansions) +
+        # idf(line) (MultiPhraseQuery summed-idf weight)
+        "phrase_wildcard_topk": (
+            f"""{_PRELUDE}{_POSR},
+exp AS (SELECT term, df FROM dfs WHERE term LIKE 'dat%'
+        ORDER BY term LIMIT 128),
+pw AS (
+  SELECT s0.doc_id, count(*) AS freq FROM
+    (SELECT doc_id, pos AS p FROM posr
+     WHERE toks[pos] IN (SELECT term FROM exp)) s0
+  JOIN (SELECT doc_id, pos - 1 AS p FROM posr WHERE toks[pos] = 'line') s1
+    USING (doc_id, p)
+  GROUP BY s0.doc_id),
+scored AS (
+  SELECT pw.doc_id, wsum.w0 - wsum.w0 / (1 + pw.freq * {_INV}) AS score
+  FROM pw JOIN qdls q USING (doc_id), g,
+       (SELECT (SELECT sum(ln(1 + (g.doc_count - exp.df + 0.5)
+                              / (exp.df + 0.5))) FROM exp, g)
+             + (SELECT {_w('df')} FROM dfs, g WHERE term = 'line') AS w0) wsum)
+SELECT doc_id, round(score, 4) AS score_r FROM scored
+ORDER BY round(score, 4) DESC, doc_id LIMIT 20"""
+        ),
         "common_terms_topk": (
             f"{_PRELUDE}{_LT}, scored AS ({common_terms_scored}) "
             f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
@@ -3388,6 +3464,16 @@ ORDER BY score_r DESC, gram LIMIT 50
         "dismax_topk": _topk_sql(dismax_sql, 20),
         "prefix_docs": _docset_sql("tf.term LIKE 's%'"),
         "wildcard_docs": _docset_sql("tf.term LIKE 'b_g'"),
+        "multi_range_docs": (
+            "SELECT DISTINCT doc_id FROM documents "
+            "WHERE n_chars BETWEEN 0 AND 200 "
+            "OR n_chars BETWEEN 400 AND 600 "
+            "OR n_chars BETWEEN 900 AND 1200 ORDER BY doc_id"
+        ),
+        "dv_terms_docs": (
+            "SELECT DISTINCT doc_id FROM documents "
+            "WHERE lang IN ('en', 'fr') ORDER BY doc_id"
+        ),
         # mirrors _fuzzy_expansions: Damerau distance <= 1, top
         # max_expansions=50 terms by FuzzyTermsEnum boost (desc, term asc)
         "fuzzy_docs": _docset_sql(

@@ -513,6 +513,13 @@ class Searcher:
             return self._cand(self._blended_scored(q), candidates)
         if isinstance(q, (P.PhraseQ, P.MultiPhraseQ)):
             return self._phrase_scored(q, candidates=candidates)
+        if isinstance(q, P.PhraseWildcardQ):
+            mp = self._phrase_wildcard_multiphrase(q)
+            if mp is None:
+                return self._empty_scored()
+            return self._phrase_scored(mp, candidates=candidates)
+        if isinstance(q, P.TermAutomatonQ):
+            return self._term_automaton_scored(q, candidates=candidates)
         if isinstance(q, P.CommonTermsQ):
             return self.scored(self._rewrite_common_terms(q), k, candidates)
         if isinstance(q, P.IntervalQ):
@@ -1195,6 +1202,105 @@ class Searcher:
             surv = sd if surv is None else surv.join(sd, "doc_id", "left_semi")
         return surv
 
+    def _phrase_wildcard_multiphrase(self, q) -> P.MultiPhraseQ | None:
+        """PhraseWildcardQuery -> MultiPhraseQ by dictionary expansion
+        (sandbox/search/PhraseWildcardQuery.java:63). The TOTAL
+        expansion budget (maxMultiTermExpansions) is split evenly
+        across the remaining multi-terms in clause order —
+        ``remainingExpansions / remainingMultiTerms`` (lines 188-197) —
+        each multi-term expanding in term-dictionary order up to its
+        share. Returns None when a slot expands to nothing (the
+        reference's no-match segment behavior)."""
+        remaining_exp = int(q.max_multi_term_expansions)
+        remaining_multi = sum(1 for c in q.clauses if not isinstance(c, str))
+        slots = []
+        for c in q.clauses:
+            if isinstance(c, str):
+                slots.append((c,))
+                continue
+            cap = max(0, remaining_exp // max(1, remaining_multi))
+            if isinstance(c, P.FuzzyQ):
+                terms = sorted(
+                    t for t, _df, _b in self._fuzzy_expansions(c)
+                )[:cap]
+            else:
+                terms = sorted(
+                    t
+                    for t, _df, _ttf in self._predicate_term_stats(
+                        self._multiterm_pred(c), q.field
+                    )
+                )[:cap]
+            remaining_exp -= len(terms)
+            remaining_multi -= 1
+            if not terms:
+                return None
+            slots.append(tuple(terms))
+        return P.MultiPhraseQ(tuple(slots), q.slop, q.boost, q.field)
+
+    def _term_automaton_scored(self, q: P.TermAutomatonQ,
+                               candidates: list[int] | None = None) -> DataFrame:
+        """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java:70,
+        TermAutomatonScorer.java:231): determinize the term automaton,
+        fetch ONE position pass for its alphabet, phase-1 docID
+        conjunction on the DFA's *required* terms (every 0->accept path
+        crosses them — the TwoPhaseIterator approximation), then the
+        reference-exact countMatches per surviving doc in an
+        Arrow-batched UDF. Weight = combined idf over alphabet terms
+        present in the index (TermAutomatonWeight, lines 364-399);
+        score = similarity(freq, norm)."""
+        from lucene_spark.search import termautomaton as TA
+
+        dfa = TA.determinize(q.n_states, q.transitions, q.accepts)
+        if not dfa.terms:
+            return self._empty_scored()
+        fld = q.field
+        stats = self.index.stats_for_terms(list(dfa.terms), fld)
+        # an absent alphabet term can never fire its arcs; a *required*
+        # absent term kills the query outright
+        required = TA.required_terms(dfa)
+        if any(t not in stats for t in required):
+            return self._empty_scored()
+        present = [t for t in dfa.terms if t in stats]
+        if not present:
+            return self._empty_scored()
+        w = self._combined_weight([stats[t][0] for t in present], q.boost, fld)
+        pos = self._position_rows(present, fld)
+        if candidates is not None:
+            pos = self._cand(pos, candidates)
+        req_present = [t for t in required if t in stats]
+        total_df = sum(stats[t][0] for t in present)
+        if req_present and total_df > self.PHRASE_CONJ_MIN_DF:
+            surv = self._slot_conjunction_docs(
+                [(t,) for t in req_present], stats, fld
+            )
+            pos = pos.join(surv, "doc_id", "left_semi")
+        grouped = (
+            pos.groupBy("doc_id")
+            .agg(
+                F.collect_list(F.struct("idx", "positions")).alias("plists"),
+                F.first("norm").alias("norm"),
+            )
+        )
+        # position-row idx (index into `present`) -> DFA symbol id
+        sym_of_idx = [dfa.terms.index(t) for t in present]
+
+        @F.pandas_udf(T.DoubleType())
+        def ta_freq(plists: pd.Series) -> pd.Series:
+            out = np.zeros(len(plists), dtype=np.float64)
+            for r, entries in enumerate(plists):
+                events = []
+                for e in entries:
+                    sym = sym_of_idx[e["idx"]]
+                    events.extend((int(p), sym) for p in e["positions"])
+                events.sort()
+                out[r] = float(TA.count_matches(events, dfa))
+            return pd.Series(out)
+
+        matched = grouped.withColumn("freq", ta_freq("plists"))
+        return self._score_freq_df(
+            matched.select("doc_id", "freq", "norm"), w, fld
+        ).filter(F.col("score") > 0.0)
+
     def _bool_scored(self, q: P.BoolQ, k: int | None = None,
                      candidates: list[int] | None = None) -> DataFrame:
         """BooleanQuery semantics (BooleanQuery.java:77-176,
@@ -1817,6 +1923,13 @@ class Searcher:
             return self.doc_set(q.inner)
         if isinstance(q, (P.PhraseQ, P.MultiPhraseQ)):
             return self._phrase_scored(q).select("doc_id")
+        if isinstance(q, P.PhraseWildcardQ):
+            mp = self._phrase_wildcard_multiphrase(q)
+            if mp is None:
+                return self.index.spark.createDataFrame([], _DOCS_SCHEMA)
+            return self._phrase_scored(mp).select("doc_id")
+        if isinstance(q, P.TermAutomatonQ):
+            return self._term_automaton_scored(q).select("doc_id")
         if isinstance(q, P.CommonTermsQ):
             return self.doc_set(self._rewrite_common_terms(q))
         if isinstance(q, P.IntervalQ):

@@ -164,6 +164,42 @@ class CoveringQ:
 
 
 @dataclass(frozen=True)
+class TermAutomatonQ:
+    """sandbox/search/TermAutomatonQuery.java:70 — proximity matching by
+    a term automaton. ``transitions`` is a tuple of (from_state,
+    to_state, term) with term=None for an ANY arc
+    (addAnyTransition); state 0 is the initial state; ``accepts``
+    lists accepting states. Weight = combined idf over the alphabet
+    terms present in the index (TermAutomatonWeight, lines 364-399);
+    freq = reference-exact countMatches (termautomaton.py)."""
+
+    n_states: int
+    transitions: tuple  # tuple[(int, int, str | None), ...]
+    accepts: tuple
+    boost: float = 1.0
+    field: str | None = None
+
+
+@dataclass(frozen=True)
+class PhraseWildcardQ:
+    """sandbox/search/PhraseWildcardQuery.java:63 — a phrase where each
+    slot is either a single term (str) or a multi-term node (PrefixQ /
+    WildcardQ / RegexpQ / TermRangeQ / FuzzyQ) expanded against the
+    term dictionary under a TOTAL expansion budget
+    (maxMultiTermExpansions) split evenly across the remaining
+    multi-terms in clause order (lines 188-197:
+    remainingExpansions / remainingMultiTerms). After expansion the
+    query IS a MultiPhraseQ (same slot/alternative matching and
+    summed-idf weight)."""
+
+    clauses: tuple  # str | multi-term node, one per phrase position
+    max_multi_term_expansions: int = 128
+    slop: int = 0
+    boost: float = 1.0
+    field: str | None = None
+
+
+@dataclass(frozen=True)
 class ConstScoreQ:
     """search/ConstantScoreQuery.java:29 — inner matches, fixed score."""
 
@@ -672,6 +708,36 @@ class FieldFilter:
     col: str
     op: str  # '=', 'in', 'between', 'notnull'
     value: object
+
+
+def multi_range_q(col: str, ranges: tuple, boost: float = 1.0):
+    """sandbox/search/MultiRangeQuery.java:47 — a disjunction of ranges
+    over ONE numeric field, matched in a single pass. Spark-side the
+    docs-table column scan IS the single pass: the OR of between
+    predicates pushes to the parquet scan as one filter, so this is a
+    constant-score SHOULD of FieldFilter ranges (MultiRangeQuery is
+    constant-score by design)."""
+    return ConstScoreQ(
+        BoolQ(
+            should=tuple(
+                FieldFilter(col, "between", (lo, hi)) for lo, hi in ranges
+            )
+        ),
+        boost,
+    )
+
+
+def doc_values_numbers_q(col: str, numbers: tuple):
+    """sandbox/search/DocValuesNumbersQuery.java:38 — set membership on
+    a numeric doc-values field. The docs-table column is the
+    doc-values analog; the IN predicate pushes to the scan."""
+    return FieldFilter(col, "in", tuple(numbers))
+
+
+def doc_values_terms_q(col: str, terms: tuple):
+    """sandbox/search/DocValuesTermsQuery.java:59 — set membership on a
+    sorted doc-values field (keyword column)."""
+    return FieldFilter(col, "in", tuple(terms))
 
 
 @dataclass(frozen=True)

@@ -236,6 +236,22 @@ def main() -> None:
         "2-proc kernel capacity despite all Spark overhead).",
     )
     ap.add_argument("--no-pin", dest="pin", action="store_false")
+    ap.add_argument(
+        "--min-ceiling", type=float, default=0.0,
+        help="pre-flight gate: don't start the measured reps until the "
+        "calibration kernel ceiling reaches this (a contended window "
+        "cannot certify the north rule no matter what the engine does); "
+        "0 disables the gate",
+    )
+    ap.add_argument(
+        "--wait-secs", type=int, default=600,
+        help="seconds between pre-flight calibration probes while the "
+        "host window is below --min-ceiling",
+    )
+    ap.add_argument(
+        "--max-wait-hours", type=float, default=3.0,
+        help="give up waiting for a clean window after this long",
+    )
     ap.add_argument("rest", nargs="*")
     args = ap.parse_args()
 
@@ -247,6 +263,30 @@ def main() -> None:
     corpus_path = _ensure_corpus(args.docs)
     calib = hw_calibration(levels, corpus_path)
     print(f"[scaling] hw calibration: {calib}", file=sys.stderr)
+    # Pre-flight window gate: a run whose OWN calibration ceiling is
+    # already below the certification bar (VERDICT round 3: raw >= 0.8
+    # with same-run kernel ceiling >= 0.85) burns ~40 min to produce an
+    # unusable number. Probe until the window clears or time runs out.
+    wait_deadline = time.time() + args.max_wait_hours * 3600
+    while (
+        args.min_ceiling > 0
+        and calib.get("kernel_ceiling", 1.0) < args.min_ceiling
+    ):
+        if time.time() > wait_deadline:
+            raise SystemExit(
+                f"[scaling] no calibration window >= {args.min_ceiling} "
+                f"within {args.max_wait_hours}h — aborting before the "
+                f"measured reps (last: {calib})"
+            )
+        print(
+            f"[scaling] window below --min-ceiling "
+            f"({calib.get('kernel_ceiling')}) — retrying in "
+            f"{args.wait_secs}s",
+            file=sys.stderr,
+        )
+        time.sleep(args.wait_secs)
+        calib = hw_calibration(levels, corpus_path)
+        print(f"[scaling] hw calibration: {calib}", file=sys.stderr)
     # The sandbox host's absolute speed varies over time (shared vCPUs:
     # the same single-proc invert kernel measured 3.9s and 11s hours
     # apart). A level that lands in a noisy window corrupts the RATIO,
