@@ -28,7 +28,7 @@ from pyspark.sql import Window as W
 
 from lucene_spark.analysis import uax29_tokens_sql as _uax29_tokens_sql
 from lucene_spark.index import Index, build_index
-from lucene_spark.pipeline import dedup, multimodal, similarity, textstats
+from lucene_spark.pipeline import dedup, multimodal, sampling, similarity, textstats
 from lucene_spark.search.plans import (
     IntervalNotContaining,
     IntervalOrdered,
@@ -1172,6 +1172,11 @@ def _q_phrase(terms: tuple, k: int):
 
 def _docs_df(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# deterministic-sampling gate parameters (lucene_spark.pipeline.sampling)
+_SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
 def _emb_df(spark, sf_dir):
@@ -2569,6 +2574,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": _q_pipeline(
             lambda s, d: textstats.with_scrubbed(_docs_df(s, d)).orderBy("doc_id")
         ),
+        # deterministic hash split: every doc gets exactly one split by
+        # the portable LCG hash — counts per split are the contract
+        "data_split_counts": _q_pipeline(
+            lambda s, d: sampling.split_assign(
+                _docs_df(s, d), _SPLIT_FRACTIONS, seed=7
+            )
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy("split")
+        ),
+        # weighted source mixture: hash-Bernoulli keep per source
+        "source_mix_docs": _q_pipeline(
+            lambda s, d: sampling.source_mix(
+                _docs_df(s, d), _MIX_WEIGHTS, seed=11
+            ).select("doc_id").orderBy("doc_id")
+        ),
+        # GPT-style concat-and-chunk packing: which fixed-length
+        # sequences does each doc land in (two-level distributed
+        # prefix sum, no single-partition window)
+        "pack_concat_stats": _q_pipeline(
+            lambda s, d: sampling.pack_concat(_docs_df(s, d), 512).orderBy(
+                "doc_id"
+            )
+        ),
         "dedup_exact": _q_pipeline(
             lambda s, d: dedup.exact_duplicates(_docs_df(s, d)).orderBy("dup_doc_id")
         ),
@@ -3564,6 +3593,9 @@ ORDER BY score_r DESC, gram LIMIT 50
         ),
         # --- training-data pipeline ops ---
         "text_token_counts": textstats.token_counts_sql(),
+        "data_split_counts": sampling.split_counts_sql(_SPLIT_FRACTIONS, seed=7),
+        "source_mix_docs": sampling.source_mix_sql(_MIX_WEIGHTS, seed=11),
+        "pack_concat_stats": sampling.pack_concat_sql(512),
         "text_quality": textstats.quality_sql(),
         "text_lang_id": textstats.lang_id_sql(),
         "text_fingerprint": textstats.fingerprint_sql(),
