@@ -234,15 +234,138 @@ def _q_snowball_term(qtext: str, k: int):
     return fn
 
 
+# Brazilian stemmer gate (br/BrazilianStemmer.java analog,
+# lucene_spark/analysis_br.py): same closed-vocabulary construction as
+# the snowball gate — docs rewrite 'merge' to one of three forms that
+# all stem to 'boat' (verified against the reference's 82 test pairs in
+# tests/test_brazilian.py); the corpus contains no other token whose
+# Brazilian stem is 'boat', so the oracle's class is exact.
+_BR_ANALYZER = {"tokenizer": "standard", "filters": ["brazilian_stem"]}
+_BR_CLASS = ("boataria", "boates", "boatos")
+_BR_DERIVE_SQL = (
+    "CASE WHEN doc_id % 4 = 1 THEN regexp_replace(text, '\\bmerge\\b', 'boataria', 'g') "
+    "WHEN doc_id % 4 = 2 THEN regexp_replace(text, '\\bmerge\\b', 'boates', 'g') "
+    "WHEN doc_id % 4 = 3 THEN regexp_replace(text, '\\bmerge\\b', 'boatos', 'g') "
+    "ELSE text END"
+)
+
+
+def _br_derive_col():
+    c = F.col("text")
+    return (
+        F.when(F.col("doc_id") % 4 == 1,
+               F.regexp_replace(c, r"\bmerge\b", "boataria"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.regexp_replace(c, r"\bmerge\b", "boates"))
+        .when(F.col("doc_id") % 4 == 3,
+              F.regexp_replace(c, r"\bmerge\b", "boatos"))
+        .otherwise(c)
+    )
+
+
+def _get_br_index(spark: SparkSession, sf_dir: str) -> Index:
+    key = os.path.normpath(sf_dir) + "|br"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.withColumn("text", _br_derive_col())
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        num_buckets=8, salt_rows=2048, resume=True,
+        analyzer=_BR_ANALYZER,
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_brazilian_term(qtext: str, k: int):
+    """Query text through the Brazilian analyzer chain (stemmed at
+    query side too), scored on the Brazilian-stemmed index."""
+
+    def fn(spark, sf_dir):
+        s = Searcher(_get_br_index(spark, sf_dir), scoring="double")
+        toks = s.analyze(qtext)
+        return _topk_rounded(s.scored(TermQ(toks[0])), k)
+
+    return fn
+
+
+# Path-hierarchy tokenizer gate (analysis/path/PathHierarchyTokenizer
+# .java analog): every doc gets a deterministic repo-style path built
+# from its own columns; the index's term dictionary then holds exactly
+# the path prefixes, and HighFreqTerms over it is oracle-checkable by
+# expanding prefixes in SQL.
+_PATH_COL_SQL = (
+    "source || '/' || lang || '/p' || CAST(doc_id % 13 AS VARCHAR)"
+    " || '/f' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _get_path_index(spark: SparkSession, sf_dir: str) -> Index:
+    key = os.path.normpath(sf_dir) + "|path"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("/"), F.col("lang"), F.lit("/p"),
+            (F.col("doc_id") % 13).cast("string"), F.lit("/f"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        num_buckets=8, salt_rows=2048, resume=True,
+        analyzer={"tokenizer": "path_hierarchy"},
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_path_prefix_counts(n: int):
+    """Path-hierarchy analysis e2e: top-n path prefixes by doc count
+    out of the path-tokenized index's term dictionary."""
+
+    def fn(spark, sf_dir):
+        idx = _get_path_index(spark, sf_dir)
+        return idx.high_freq_terms(n).select(
+            "term", F.col("df").cast("long").alias("df"),
+        )
+
+    return fn
+
+
+def _path_prefix_counts_sql(n: int) -> str:
+    return f"""
+WITH p AS (SELECT doc_id, {_PATH_COL_SQL} AS path FROM documents),
+s AS (SELECT doc_id, string_split(path, '/') AS parts FROM p),
+pre AS (
+  SELECT doc_id, array_to_string(parts[1:g.i], '/') AS term
+  FROM s, LATERAL unnest(generate_series(1, len(parts))) AS g(i)
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM pre
+GROUP BY term ORDER BY df DESC, term DESC LIMIT {n}
+"""
+
+
 def _snow_topk_sql(k: int) -> str:
+    return _stem_topk_sql(_SNOW_DERIVE_SQL, _SNOW_CLASS, k)
+
+
+def _stem_topk_sql(derive_sql: str, stem_class: tuple, k: int) -> str:
     """BM25 over the stem class: tf = class token count (stemming is
     1:1 so dl and norms are unchanged), df = docs containing any class
     member."""
-    cls = ", ".join(f"'{t}'" for t in _SNOW_CLASS)
+    cls = ", ".join(f"'{t}'" for t in stem_class)
     w = "ln(1 + (g.doc_count - cdf.df + 0.5) / (cdf.df + 0.5))"
     return f"""
 WITH doc2 AS (
-  SELECT doc_id, {_SNOW_DERIVE_SQL} AS text FROM documents
+  SELECT doc_id, {derive_sql} AS text FROM documents
 ),
 tok AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') AS toks
@@ -2210,7 +2333,7 @@ _GATE_WINDOW = [
     "payload_span_topk",
     "dedup_exact", "dedup_minhash_pairs",
     "decontam_overlap", "classify_nb", "geo_polygon_docs",
-    "term_vector_doc", "edge_ngram_prefix_docs",
+    "term_vector_doc", "data_split_counts",
     "multimodal_asset_stats",
 ]
 # Round-4 window swaps (still one gate per family inside; the displaced
@@ -2247,7 +2370,9 @@ _GATE_WINDOW = [
 # facade subsumes top-per-group and adds group + within-group paging),
 # facet_long_values -> dv_stats_numeric (facets keep taxonomy_path +
 # taxonomy_sum inside; DocValuesStatsCollector is a new misc collector
-# family).
+# family), edge_ngram_prefix_docs -> data_split_counts (analysis keeps
+# uax29/cjk/wd/snowball gates inside; deterministic sampling — hash
+# splits / source mixing / packing — is a new training-pipeline family).
 
 
 def _window_ordered(qs: dict) -> dict:
@@ -2331,6 +2456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Snowball (Porter2) analyzer chain end-to-end: 'merging' stems
         # to 'merg' query-side and matches all derived inflections
         "snowball_term_topk": _q_snowball_term("merging", 20),
+        "brazilian_term_topk": _q_brazilian_term("boataria", 20),
+        "path_prefix_counts": _q_path_prefix_counts(30),
         "geo_polygon_docs": _q_geo_polygon(),
         "ann_recall_floor": _q_ann_recall(),
         "datetools_day_counts": _q_datetools_day_counts("20240105", "20240112"),
@@ -3124,6 +3251,8 @@ ORDER BY score_r DESC, gram LIMIT 50
             f"ORDER BY score_r DESC, doc_id LIMIT 20"
         ),
         "snowball_term_topk": _snow_topk_sql(20),
+        "brazilian_term_topk": _stem_topk_sql(_BR_DERIVE_SQL, _BR_CLASS, 20),
+        "path_prefix_counts": _path_prefix_counts_sql(30),
         "geo_polygon_docs": (
             f"SELECT doc_id FROM {_GEO_T} WHERE "
             + geo_shape.polygon_predicate_sql(

@@ -145,6 +145,93 @@ def _token_regex(tokenizer: str):
     if tokenizer == "unicode":
         return UNICODE_TOKEN_REGEX
     return TOKEN_REGEX
+
+
+def path_hierarchy_tokens(text: str, delimiter: str = "/",
+                          replacement: str | None = None, skip: int = 0,
+                          reverse: bool = False) -> list[str]:
+    """PathHierarchyTokenizer / ReversePathHierarchyTokenizer analog
+    (analysis/path/PathHierarchyTokenizer.java:70-181,
+    ReversePathHierarchyTokenizer.java:124-170).
+
+    Forward: every prefix ending at a delimiter plus the whole string
+    ("/a/b/c" -> "/a", "/a/b", "/a/b/c"); ``skip`` drops the first
+    ``skip`` path components and re-heads each token with the
+    replacement delimiter ("/a/b/c", skip=1 -> "/b", "/b/c").
+    Reverse: every suffix starting after a delimiter plus the whole
+    string; ``skip`` trims the LAST ``skip`` components. Delimiters are
+    rewritten to ``replacement`` in the emitted tokens. All tokens
+    share one position (posIncr 1, 0, 0, ... in the reference), so the
+    caller scores them as overlaps (dl = 1).
+
+    Case is preserved — the reference tokenizer does not lowercase.
+    """
+    if skip < 0:
+        raise ValueError("skip cannot be negative")
+    repl = delimiter if replacement is None else replacement
+    if not text:
+        return []
+    if reverse:
+        # delimiterPositions = [0] + (index+1 per delimiter) + [len]
+        positions = [0]
+        positions += [i + 1 for i, ch in enumerate(text) if ch == delimiter]
+        if positions[-1] < len(text):
+            positions.append(len(text))
+        count = len(positions)
+        idx = count - 1 - skip
+        if idx < 0:
+            return []
+        end = positions[idx]
+        replaced = text.replace(delimiter, repl)
+        return [replaced[positions[k]:end] for k in range(count - skip - 1)]
+    tokens: list[str] = []
+    buf: list[str] = []
+    skipped = 0
+    for i, ch in enumerate(text):
+        is_d = ch == delimiter
+        if i == 0:
+            # the first char always consumes one skip unit, delimiter
+            # or not (PathHierarchyTokenizer.java:146-152)
+            skipped += 1
+            if skipped > skip:
+                buf.append(repl if is_d else ch)
+        elif is_d:
+            if skipped > skip:
+                tokens.append("".join(buf))
+                buf.append(repl)
+            else:
+                skipped += 1
+                if skipped > skip:
+                    buf.append(repl)
+        elif skipped > skip:
+            buf.append(ch)
+    if skipped > skip and buf:
+        tokens.append("".join(buf))
+    return tokens
+
+
+_PATH_TOKENIZERS = ("path_hierarchy", "path_hierarchy_reverse")
+
+
+def _path_analyzer_cfg(analyzer: dict) -> dict:
+    """Validate + normalize the path-tokenizer analyzer config. The
+    path tokenizers emit same-position overlap tokens and preserve
+    case, so they compose with char_filters and the str->str ``filters``
+    chain only."""
+    allowed = {"tokenizer", "path", "char_filters", "filters"}
+    # keys that round-trip through the manifest with null/false values
+    # are not "configured" — only truthy extras conflict
+    extra = {k for k, v in analyzer.items() if k not in allowed and v}
+    if extra:
+        raise ValueError(
+            f"path_hierarchy tokenizer does not compose with {sorted(extra)}"
+        )
+    cfg = dict(analyzer.get("path") or {})
+    cfg.setdefault("delimiter", "/")
+    cfg.setdefault("replacement", None)
+    cfg.setdefault("skip", 0)
+    cfg["reverse"] = analyzer["tokenizer"] == "path_hierarchy_reverse"
+    return cfg
 _UAX_RESTORE = str.maketrans({"D": ".", "Q": "'"})
 
 
@@ -365,6 +452,19 @@ from lucene_spark.analysis_icu import ICU_FILTERS as _ICU  # noqa: E402
 
 _TOKEN_FILTERS.update(_ICU)
 
+# Brazilian Portuguese stemmer (br/BrazilianStemmer.java — see
+# analysis_br.py; verified against the reference's 82 test pairs)
+from lucene_spark.analysis_br import brazilian_stem as _brazilian_stem  # noqa: E402
+
+_TOKEN_FILTERS["brazilian_stem"] = _brazilian_stem
+
+# international zoo (ar/fa/hi/ckb/cz/bg/bn/id/lv/no/sr — see
+# analysis_intl.py; previously importable as functions only, now
+# registry names usable in analyzer {"filters": [...]} configs)
+from lucene_spark.analysis_intl import INTL_FILTERS as _INTL  # noqa: E402
+
+_TOKEN_FILTERS.update(_INTL)
+
 # misc zoo: elision, apostrophe, decimal digits, scandinavian
 # normalize/fold, german normalize, capitalization (analysis_misc.py)
 from lucene_spark.analysis_misc import (  # noqa: E402
@@ -422,6 +522,57 @@ def ngram_emitter(conf: dict):
         # when len(t) <= mx) — the reference emits it once
         if keep and len(t) <= mx:
             out = [t] + [g for g in out[1:] if g != t]
+        return tuple(out)
+
+    return emit
+
+
+def compound_emitter(conf: dict):
+    """DictionaryCompoundWordTokenFilter analog (analysis/compound/
+    DictionaryCompoundWordTokenFilter.java:66-95 +
+    CompoundWordTokenFilterBase.java:100-127): tokens of at least
+    ``min_word`` chars emit every dictionary subword of length
+    [min_subword, max_subword] found at any start offset, stacked at
+    the source position (posIncr=0 — the original is ALWAYS kept, so
+    dl/norms discount the subwords like synonym injections).
+    ``only_longest`` keeps only the longest match per start offset.
+    Matching is case-insensitive via a lowercased dictionary (the
+    reference uses an ignoreCase CharArraySet; our chain has already
+    lowercased the token).
+
+    conf: {"dictionary": iterable[str], "min_word": 5, "min_subword": 2,
+           "max_subword": 15, "only_longest": False}
+    """
+    dic = frozenset(w.lower() for w in conf.get("dictionary") or ())
+    if not dic:
+        raise ValueError("compound dictionary must not be empty")
+    min_word = int(conf.get("min_word", 5))
+    min_sub = int(conf.get("min_subword", 2))
+    max_sub = int(conf.get("max_subword", 15))
+    only_longest = bool(conf.get("only_longest", False))
+    if min_sub < 1 or max_sub < min_sub:
+        raise ValueError(
+            f"bad subword range: min={min_sub}, max={max_sub}")
+
+    def emit(t: str) -> tuple:
+        n = len(t)
+        if n < min_word:
+            return (t,)
+        out = [t]
+        for i in range(0, n - min_sub + 1):
+            longest = None
+            for j in range(min_sub, max_sub + 1):
+                if i + j > n:
+                    break
+                sub = t[i : i + j]
+                if sub in dic:
+                    if only_longest:
+                        if longest is None or len(longest) < j:
+                            longest = sub
+                    else:
+                        out.append(sub)
+            if only_longest and longest is not None:
+                out.append(longest)
         return tuple(out)
 
     return emit
@@ -570,6 +721,11 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
         if expand is not None:
             raise ValueError("phonetic and token_ngrams are mutually exclusive")
         expand = ngram_emitter(a["token_ngrams"])
+    if a.get("compound"):
+        if expand is not None:
+            raise ValueError("compound is mutually exclusive with "
+                             "phonetic/token_ngrams")
+        expand = compound_emitter(a["compound"])
     # KeywordMarkerFilter / StemmerOverrideFilter config: terms the
     # stemmer chain must not touch, and explicit surface->stem overrides
     protect = None
@@ -707,6 +863,23 @@ def tokenize(text: str, stopwords: frozenset | None = None,
 
     Positions count stopword holes (StopFilter position increments);
     synonym-injected terms repeat the source position (posIncr=0)."""
+    a = analyzer or {}
+    if a.get("tokenizer") in _PATH_TOKENIZERS:
+        cfg = _path_analyzer_cfg(a)
+        if not text:
+            return [], []
+        if a.get("char_filters"):
+            for f in _char_filter_fns(a["char_filters"]):
+                text = f(text) if callable(f) else f[0].sub(f[1], text)
+        toks = path_hierarchy_tokens(
+            text, cfg["delimiter"], cfg["replacement"], cfg["skip"],
+            cfg["reverse"],
+        )
+        if a.get("filters"):
+            fmap = _filter_map(set(toks), _Filters(list(a["filters"])))
+            toks = [fmap[t] for t in toks]
+        # one position for the whole hierarchy (posIncr 1, 0, 0, ...)
+        return toks, [0] * len(toks)
     (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
      shingles, cjk, expand, fp, cf) = _norm_analyzer(analyzer, stopwords)
     if shingles and synonyms:
@@ -813,6 +986,40 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     So dl = len(terms).
     norm = SmallFloat.intToByte4(dl) (BM25Similarity.java:137-148).
     """
+    a = analyzer or {}
+    if a.get("tokenizer") in _PATH_TOKENIZERS:
+        if want_offsets:
+            raise ValueError("path_hierarchy emits overlap tokens whose "
+                             "spans grow; offsets are not supported")
+        cfg = _path_analyzer_cfg(a)
+        filled = texts.fillna("")
+        if a.get("char_filters"):
+            for f in _char_filter_fns(a["char_filters"]):
+                if callable(f):
+                    filled = filled.map(f)
+                else:
+                    filled = filled.str.replace(f[0], f[1], regex=True)
+        tok_lists = [
+            path_hierarchy_tokens(
+                s, cfg["delimiter"], cfg["replacement"], cfg["skip"],
+                cfg["reverse"],
+            )
+            for s in filled
+        ]
+        if a.get("filters"):
+            fl = _Filters(list(a["filters"]))
+            fmap = _filter_map({t for ts in tok_lists for t in ts}, fl)
+            tok_lists = [[fmap[t] for t in ts] for ts in tok_lists]
+        # every token of a path shares one position: dl counts the
+        # non-overlap tokens only (discountOverlaps), i.e. 1 per
+        # non-empty path
+        dl = np.asarray([1 if ts else 0 for ts in tok_lists], dtype=np.int64)
+        return pd.DataFrame({
+            "terms": tok_lists,
+            "positions": [[0] * len(ts) for ts in tok_lists],
+            "dl": dl,
+            "norm": int_to_byte4(dl).astype(np.int32),
+        })
     (tokenizer, fold, stopset, synonyms, keep_orig, filters, wd,
      shingles, cjk, expand, fp, cf) = _norm_analyzer(analyzer, stopwords)
     if cf and want_offsets:

@@ -858,10 +858,26 @@ def serbian_normalize(w: str) -> str:
     return w.translate(_SR_NORM)
 
 
+# sr/SerbianNormalizationRegularFilter.java — Cyrillic -> Latin keeping
+# the diacritics (đ ž ć č dž š); Latin input passes through unchanged
+_SR_NORM_REGULAR = str.maketrans({
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "đ",
+    "е": "e", "ж": "ž", "з": "z", "и": "i", "ј": "j", "к": "k",
+    "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj", "о": "o",
+    "п": "p", "р": "r", "с": "s", "т": "t", "ћ": "ć", "у": "u",
+    "ф": "f", "х": "h", "ц": "c", "ч": "č", "џ": "dž", "ш": "š",
+})
+
+
+def serbian_normalize_regular(w: str) -> str:
+    return w.translate(_SR_NORM_REGULAR)
+
+
 INTL_FILTERS = {
     "norwegian_light_stem": norwegian_light_stem,
     "norwegian_minimal_stem": norwegian_minimal_stem,
     "serbian_normalize": serbian_normalize,
+    "serbian_normalize_regular": serbian_normalize_regular,
     "latvian_stem": latvian_stem,
     "greek_lowercase": greek_lowercase,
     "indonesian_stem": indonesian_stem,

@@ -155,6 +155,7 @@ def test_registry_complete():
         "bengali_normalize", "bengali_stem", "indonesian_stem",
         "latvian_stem", "greek_lowercase", "norwegian_light_stem",
         "norwegian_minimal_stem", "serbian_normalize",
+        "serbian_normalize_regular",
     }
     for fn in INTL_FILTERS.values():
         assert fn("") == ""
