@@ -55,6 +55,7 @@ from lucene_spark.search import (
     CommonTermsQ,
     CoveringQ,
     DisMaxQ,
+    DistanceFeatureQ,
     FeatureQ,
     FieldFilter,
     FunctionScoreQ,
@@ -2513,6 +2514,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             20,
         ),
+        # LongPoint.newDistanceFeatureQuery analog: text match boosted
+        # by numeric proximity to an origin (the "recency boost" shape,
+        # document/LongDistanceFeatureQuery.java:117)
+        "distance_feature_topk": _q_bool(
+            lambda: BoolQ(
+                must=(TermQ("data"),),
+                should=(DistanceFeatureQ(
+                    "n_chars", origin=300.0, pivot=50.0, boost=0.5),),
+            ),
+            20,
+        ),
         "feature_sigmoid_topk": _q_bool(
             lambda: BoolQ(
                 must=(TermQ("data"),),
@@ -3381,6 +3393,14 @@ ORDER BY score_r DESC, gram LIMIT 50
         "feature_boost_topk": _topk_sql(
             f"SELECT a.doc_id, a.score "
             f"+ 0.5 * d.n_chars / (d.n_chars + 1000.0) AS score "
+            f"FROM ({_term_scored_sql('data')}) a "
+            f"JOIN documents d USING (doc_id)",
+            20,
+        ),
+        "distance_feature_topk": _topk_sql(
+            f"SELECT a.doc_id, a.score "
+            f"+ 0.5 * 50.0 / (50.0 + abs(CAST(d.n_chars AS DOUBLE) - 300.0))"
+            f" AS score "
             f"FROM ({_term_scored_sql('data')}) a "
             f"JOIN documents d USING (doc_id)",
             20,

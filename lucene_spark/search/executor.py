@@ -552,6 +552,48 @@ class Searcher:
                 ),
                 candidates,
             )
+        if isinstance(q, P.DistanceFeatureQ):
+            # LongDistanceFeatureQuery.java:117: score = boost *
+            # pivot / (pivot + |value - origin|), double math, one
+            # final float rounding.
+            val = F.col(q.col).cast("double")
+            expr = F.lit(float(q.boost)) * F.lit(float(q.pivot)) / (
+                F.lit(float(q.pivot))
+                + F.abs(val - F.lit(float(q.origin)))
+            )
+            if self.scoring == "lucene":
+                expr = expr.cast("float").cast("double")
+            return self._cand(
+                self._live(
+                    self.index.docs.filter(val.isNotNull()).select(
+                        "doc_id", expr.alias("score")
+                    )
+                ),
+                candidates,
+            )
+        if isinstance(q, P.GeoDistanceFeatureQ):
+            # LatLonPointDistanceFeatureQuery.java:130-131: haversine
+            # meters from the origin through the same pulse.
+            from lucene_spark.geo import haversine_meters
+
+            dist = haversine_meters(q.lat_col, q.lon_col, q.lat, q.lon)
+            expr = F.lit(float(q.boost)) * F.lit(float(q.pivot_m)) / (
+                F.lit(float(q.pivot_m)) + dist
+            )
+            if self.scoring == "lucene":
+                expr = expr.cast("float").cast("double")
+            present = (
+                F.col(q.lat_col).isNotNull()
+                & F.col(q.lon_col).isNotNull()
+            )
+            return self._cand(
+                self._live(
+                    self.index.docs.filter(present).select(
+                        "doc_id", expr.alias("score")
+                    )
+                ),
+                candidates,
+            )
         if isinstance(q, P.FunctionScoreQ):
             # FunctionScoreQuery.createWeight: inner supplies the match
             # set, score comes from the values source (replace) or
@@ -1937,6 +1979,17 @@ class Searcher:
         if isinstance(q, P.FeatureQ):
             return self._live(
                 self.index.docs.filter(F.col(q.col).isNotNull()).select("doc_id")
+            )
+        if isinstance(q, P.DistanceFeatureQ):
+            return self._live(
+                self.index.docs.filter(F.col(q.col).isNotNull()).select("doc_id")
+            )
+        if isinstance(q, P.GeoDistanceFeatureQ):
+            return self._live(
+                self.index.docs.filter(
+                    F.col(q.lat_col).isNotNull()
+                    & F.col(q.lon_col).isNotNull()
+                ).select("doc_id")
             )
         if isinstance(q, P.BoolQ):
             base = None

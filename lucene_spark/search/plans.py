@@ -701,6 +701,51 @@ class FeatureQ:
 
 
 @dataclass(frozen=True)
+class DistanceFeatureQ:
+    """document/LongDistanceFeatureQuery.java:44-120 (built by
+    LongPoint.newDistanceFeatureQuery, LongPoint.java:180): a static
+    per-doc proximity boost over a numeric doc-values column —
+      score = boost * pivot / (pivot + |value - origin|)
+    Matches every doc with a non-null value; the idiomatic use is a
+    SHOULD clause beside a text query (recency boost). The reference
+    requires pivotDistance > 0 (LongDistanceFeatureQuery.java:49-51)."""
+
+    col: str
+    origin: float
+    pivot: float
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not self.pivot > 0:
+            raise ValueError(
+                f"pivotDistance must be > 0, got {self.pivot}"
+            )
+
+
+@dataclass(frozen=True)
+class GeoDistanceFeatureQ:
+    """document/LatLonPointDistanceFeatureQuery.java:50-140 (built by
+    LatLonPoint.newDistanceFeatureQuery, LatLonPoint.java:302):
+    proximity boost by haversine meters from an origin point —
+      score = boost * pivot_m / (pivot_m + distance_m)
+    over two DOUBLE doc-values columns; matches docs with both
+    coordinates present. pivotDistance > 0 as in the long variant."""
+
+    lat_col: str
+    lon_col: str
+    lat: float
+    lon: float
+    pivot_m: float
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not self.pivot_m > 0:
+            raise ValueError(
+                f"pivotDistance must be > 0, got {self.pivot_m}"
+            )
+
+
+@dataclass(frozen=True)
 class FieldFilter:
     """Keyword-column predicate (StringField analog, document/StringField.java:36):
     non-scoring filter over a docs-table column (lang, repo, path...)."""
