@@ -2714,6 +2714,43 @@ class Searcher:
                 "description": f"max plus {q.tiebreak} times others of:",
                 "details": hits,
             }
+        if isinstance(q, P.DistanceFeatureQ):
+            # LongDistanceFeatureQuery.java:105-125 explain: weight /
+            # pivotDistance / origin / current value as details
+            row = self.index.docs.filter(
+                F.col("doc_id") == doc_id
+            ).select(q.col).collect()
+            if not row or row[0][0] is None:
+                return {
+                    "value": 0.0,
+                    "description": (
+                        f"Document {doc_id} doesn't have a value "
+                        f"for field {q.col}"
+                    ),
+                    "details": [], "matched": False,
+                }
+            value = float(row[0][0])
+            dist = abs(value - float(q.origin))
+            val = float(q.boost) * float(q.pivot) / (float(q.pivot) + dist)
+            if self.scoring == "lucene":
+                val = float(np.float32(val))
+            return {
+                "value": val,
+                "description": (
+                    "Distance score, computed as weight * pivotDistance"
+                    " / (pivotDistance + abs(value - origin)) from:"
+                ),
+                "details": [
+                    {"value": float(q.boost), "description": "weight",
+                     "details": []},
+                    {"value": float(q.pivot),
+                     "description": "pivotDistance", "details": []},
+                    {"value": float(q.origin), "description": "origin",
+                     "details": []},
+                    {"value": value, "description": "current value",
+                     "details": []},
+                ],
+            }
         # generic fallback: score the query, pick this doc
         row = (
             self.scored(q)

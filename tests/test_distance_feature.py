@@ -126,3 +126,17 @@ def test_geo_closest_doc_ranks_first(dist_idx):
         for d, la, lo in zip(coords["doc_id"], coords["lat"], coords["lon"])
     )
     assert [int(r["doc_id"]) for r in top] == [d for _, d in dists[:5]]
+
+
+def test_explain_structure(dist_idx):
+    """IndexSearcher.explain parity: weight/pivotDistance/origin/value
+    details and the same float32-rounded root value as the scorer
+    (LongDistanceFeatureQuery.java:105-125)."""
+    idx, _ = dist_idx
+    s = Searcher(idx)
+    q = DistanceFeatureQ("mtime", 500.0, 100.0, boost=2.0)
+    some = s.scored(q).limit(1).collect()[0]
+    ex = s.explain(q, int(some["doc_id"]))
+    assert ex["value"] == pytest.approx(float(some["score"]), abs=1e-9)
+    descs = [d["description"] for d in ex["details"]]
+    assert descs == ["weight", "pivotDistance", "origin", "current value"]
