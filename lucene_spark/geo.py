@@ -55,6 +55,18 @@ def haversine_meters(lat_col, lon_col, lat: float, lon: float) -> Column:
     return F.lit(2.0 * EARTH_MEAN_RADIUS_METERS) * F.asin(F.sqrt(h))
 
 
+def haversine_meters_py(lat1: float, lon1: float,
+                        lat2: float, lon2: float) -> float:
+    """Driver-side scalar twin of :func:`haversine_meters` (same
+    formula, same constant) for explain() detail output."""
+    phi1, lam1 = math.radians(lat1), math.radians(lon1)
+    phi2, lam2 = math.radians(lat2), math.radians(lon2)
+    sdlat = math.sin((phi2 - phi1) / 2)
+    sdlon = math.sin((lam2 - lam1) / 2)
+    h = sdlat * sdlat + math.cos(phi1) * math.cos(phi2) * sdlon * sdlon
+    return 2.0 * EARTH_MEAN_RADIUS_METERS * math.asin(math.sqrt(h))
+
+
 def haversine_meters_sql(lat_expr: str, lon_expr: str,
                          lat: float, lon: float) -> str:
     """ANSI-SQL twin of :func:`haversine_meters` (same formula, same

@@ -119,11 +119,23 @@ def shingle_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", text_col).mapInPandas(fn, schema=_SHINGLE_SCHEMA)
 
 
+#: Default document-frequency cap for jaccard_pairs' co-occurrence
+#: candidate generator. The generator self-joins shingle postings, so a
+#: hot shingle with df=f contributes f^2/2 candidate rows — at 100 TB a
+#: df=10^6 code trigram alone would emit 5*10^11 rows. Capping candidate
+#: generation at df<=1000 bounds any one shingle to <=5*10^5 rows while
+#: verification still computes exact Jaccard on FULL shingle sets; a
+#: pair is missed only if it shares exclusively ultra-hot shingles
+#: (which near-dups at tau>=0.3 essentially never do). Pass
+#: max_shingle_df=None explicitly to get the uncapped exact generator.
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
 def jaccard_pairs(
     shingles: DataFrame,
     tau: float,
     candidates: DataFrame | None = None,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact shingle-Jaccard >= tau pairs (doc_a < doc_b, jac rounded 4dp).
 
@@ -136,11 +148,13 @@ def jaccard_pairs(
     hot shingle (a common code trigram with df=10^6 would alone produce
     5*10^11 join rows at 100 TB).
 
-    `max_shingle_df`: optional df cap for the co-occurrence candidate
-    generator — shingles appearing in more than this many docs are
-    ignored FOR CANDIDATE GENERATION ONLY (jaccard is still computed on
-    full sets). The standard near-dup trade: a pair sharing exclusively
-    ultra-common shingles is missed, everything else is exact."""
+    `max_shingle_df`: df cap for the co-occurrence candidate generator
+    (default DEFAULT_MAX_SHINGLE_DF=1000) — shingles appearing in more
+    than this many docs are ignored FOR CANDIDATE GENERATION ONLY
+    (jaccard is still computed on full sets). The standard near-dup
+    trade: a pair sharing exclusively ultra-common shingles is missed,
+    everything else is exact. Pass None to force the uncapped quadratic
+    generator (exact, but unsafe at scale)."""
     doc_sets = shingles.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("sh")).alias("shs"),
         F.count(F.lit(1)).alias("sz"),
@@ -238,10 +252,38 @@ def minhash_bands(
     return df.select("doc_id", text_col).mapInPandas(fn, schema=_BAND_SCHEMA)
 
 
-def minhash_candidates(bands_df: DataFrame) -> DataFrame:
+#: Bucket-membership cap for minhash_candidates: a (band, sig) bucket
+#: with n members normally emits n^2/2 pairs — one 10^5-member
+#: exact-duplicate flood would alone emit 5*10^9 pairs. Buckets above
+#: the cap fall back to STAR pairs around the min-docID representative
+#: (O(n) pairs); connectivity for clustering is preserved, and the
+#: pathological buckets are near-exact duplicate floods where every
+#: member verifies against the representative anyway.
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def minhash_candidates(
+    bands_df: DataFrame, max_bucket: int | None = DEFAULT_MAX_BUCKET
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one full band —
-    the LSH bucket join. Only bucket-mates meet in the shuffle."""
+    the LSH bucket join. Only bucket-mates meet in the shuffle; buckets
+    larger than ``max_bucket`` emit star pairs around their min-docID
+    representative instead of all pairs (the side-a pruning happens
+    BEFORE the join, so the quadratic rows are never materialized)."""
     a = bands_df.alias("a")
+    if max_bucket is not None:
+        sizes = bands_df.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("bn"), F.min("doc_id").alias("rep")
+        )
+        a = (
+            bands_df.join(sizes, ["band", "sig"])
+            .filter(
+                (F.col("bn") <= int(max_bucket))
+                | (F.col("doc_id") == F.col("rep"))
+            )
+            .select("doc_id", "band", "sig")
+            .alias("a")
+        )
     b = bands_df.alias("b")
     return (
         a.join(
@@ -614,13 +656,32 @@ FROM h JOIN k USING (hh) WHERE h.doc_id != k.keeper_doc_id
 ORDER BY dup_doc_id"""
 
 
-def jaccard_pairs_sql(tau: float) -> str:
+def jaccard_pairs_sql(
+    tau: float, max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF
+) -> str:
+    """DuckDB twin of jaccard_pairs: candidates from shingles with
+    df <= max_shingle_df, exact Jaccard verified on FULL shingle sets —
+    the same two-stage semantics as the Spark side."""
+    if max_shingle_df is None:
+        cand_cte = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id)"""
+    else:
+        cand_cte = f"""
+rare AS (SELECT sh FROM shingles GROUP BY sh
+         HAVING count(*) <= {max_shingle_df}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE a.sh IN (SELECT sh FROM rare))"""
     return f"""
-WITH {_SHINGLES_CTE},
+WITH {_SHINGLES_CTE},{cand_cte},
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 4) AS jac
@@ -631,10 +692,36 @@ WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {tau}
 ORDER BY doc_a, doc_b"""
 
 
-def minhash_pairs_sql(tau: float, num_perm: int = 32, bands: int = 8, seed: int = 7) -> str:
+def minhash_pairs_sql(
+    tau: float,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> str:
     r = num_perm // bands
     seeds = perm_seeds(num_perm, seed)
     seed_rows = ", ".join(f"({i}, {a}::UBIGINT, {b}::UBIGINT)" for i, (a, b) in enumerate(seeds))
+    if max_bucket is None:
+        cand_cte = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsig a JOIN bandsig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+    else:
+        # mirror of minhash_candidates' star fallback for oversized
+        # buckets: left side keeps only the min-docID representative
+        cand_cte = f"""
+bsize AS (
+  SELECT band, sig, count(*) AS bn, min(doc_id) AS rep
+  FROM bandsig GROUP BY band, sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsig a
+  JOIN bsize s ON s.band = a.band AND s.sig = a.sig
+  JOIN bandsig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE s.bn <= {max_bucket} OR a.doc_id = s.rep)"""
     return f"""
 WITH {_SHINGLES_CTE},
 seeds(i, a, b) AS (VALUES {seed_rows}),
@@ -644,11 +731,7 @@ sig AS (
 bandsig AS (
   SELECT doc_id, i // {r} AS band,
          string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig
-  FROM sig GROUP BY doc_id, i // {r}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bandsig a JOIN bandsig b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+  FROM sig GROUP BY doc_id, i // {r}),{cand_cte},
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

@@ -56,12 +56,21 @@ class _ComplexParser(_Parser):
             terms = [t for t, _df, _b in self.searcher._fuzzy_expansions(node)]
         else:
             pred = self.searcher._multiterm_pred(node)
+            # SpanMultiTermQueryWrapper's SCORING_SPAN_QUERY_REWRITE
+            # throws TooManyClauses past maxClauseCount; the bound is
+            # pushed into the stats scan so a hostile wildcard ships at
+            # most MAX+1 rows to the driver.
+            max_c = self.searcher.MAX_CLAUSE_COUNT
             terms = [
                 t
                 for t, _df, _ttf in self.searcher._predicate_term_stats(
-                    pred, field
+                    pred, field, limit=max_c + 1
                 )
             ]
+            if len(terms) > max_c:
+                raise ValueError(
+                    f"maxClauseCount exceeded: >{max_c} expansions"
+                )
         if not terms:
             return P.SpanTermQ(_NO_MATCH_TERM, field=field)
         if len(terms) == 1:

@@ -557,9 +557,15 @@ class Searcher:
             # pivot / (pivot + |value - origin|), double math, one
             # final float rounding.
             val = F.col(q.col).cast("double")
-            expr = F.lit(float(q.boost)) * F.lit(float(q.pivot)) / (
+            # Evaluation order matches the reference: boost * (pivot /
+            # (pivot + dist)) — the division rounds first, then the
+            # boost multiply (LongDistanceFeatureQuery.java:117).
+            expr = F.lit(float(q.boost)) * (
                 F.lit(float(q.pivot))
-                + F.abs(val - F.lit(float(q.origin)))
+                / (
+                    F.lit(float(q.pivot))
+                    + F.abs(val - F.lit(float(q.origin)))
+                )
             )
             if self.scoring == "lucene":
                 expr = expr.cast("float").cast("double")
@@ -577,8 +583,10 @@ class Searcher:
             from lucene_spark.geo import haversine_meters
 
             dist = haversine_meters(q.lat_col, q.lon_col, q.lat, q.lon)
-            expr = F.lit(float(q.boost)) * F.lit(float(q.pivot_m)) / (
-                F.lit(float(q.pivot_m)) + dist
+            # boost * (pivot / (pivot + d)) — division rounds before the
+            # boost multiply (LatLonPointDistanceFeatureQuery.java:271).
+            expr = F.lit(float(q.boost)) * (
+                F.lit(float(q.pivot_m)) / (F.lit(float(q.pivot_m)) + dist)
             )
             if self.scoring == "lucene":
                 expr = expr.cast("float").cast("double")
@@ -661,12 +669,20 @@ class Searcher:
         TopTermsRewrite.java): expand against the terms dictionary, then
         score the expansions as a SHOULD disjunction in ONE postings
         scan (per-term weights resolved inside the decode UDF)."""
-        exp = self._predicate_term_stats(self._multiterm_pred(q), q.field)
         if rw == "scoring_boolean":
-            # every term with its OWN stats (ScoringRewrite.java:60-100)
+            # every term with its OWN stats (ScoringRewrite.java:60-100).
+            # The maxClauseCount bound is pushed INTO the stats query as
+            # limit(MAX+1): a hostile prefix over a 10^10-term dictionary
+            # ships at most 1025 rows to the driver before raising, never
+            # the whole matching slice.
+            exp = self._predicate_term_stats(
+                self._multiterm_pred(q), q.field,
+                limit=self.MAX_CLAUSE_COUNT + 1,
+            )
             if len(exp) > self.MAX_CLAUSE_COUNT:
                 raise ValueError(
-                    f"maxClauseCount exceeded: {len(exp)} expansions"
+                    f"maxClauseCount exceeded: >{self.MAX_CLAUSE_COUNT}"
+                    " expansions"
                 )
             weights = {
                 t: self._weight(df, q.boost, q.field, ttf=ttf)
@@ -675,8 +691,13 @@ class Searcher:
         elif rw == "top_terms_blended":
             # equal boosts -> ScoreTerm queue keeps the lexicographically
             # smallest (TopTermsRewrite.java:210-212); blended df/ttf =
-            # max over kept (BlendedTermQuery.java:281-290)
-            exp = sorted(exp)[: int(getattr(q, "max_expansions", 50))]
+            # max over kept (BlendedTermQuery.java:281-290). The queue is
+            # a JVM-side TakeOrdered (order_limit): only max_expansions
+            # rows ever reach the driver.
+            exp = self._predicate_term_stats(
+                self._multiterm_pred(q), q.field,
+                order_limit=int(getattr(q, "max_expansions", 50)),
+            )
             if exp:
                 df_b = max(df for _, df, _ in exp)
                 ttf_b = max(ttf for _, _, ttf in exp)
@@ -722,21 +743,54 @@ class Searcher:
             return F.col("term").isin(list(q.terms))
         raise TypeError(f"not a multi-term node: {q!r}")
 
-    def _predicate_term_stats(self, pred, field: str | None) -> list[tuple]:
+    def _predicate_term_stats(
+        self,
+        pred,
+        field: str | None,
+        limit: int | None = None,
+        order_limit: int | None = None,
+    ) -> list[tuple]:
         """[(term, df, ttf)] for dictionary terms matching ``pred`` —
-        cross-segment stats summed like Index.stats_for_terms."""
+        cross-segment stats summed like Index.stats_for_terms.
+
+        ``limit`` caps the rows shipped to the driver (CollectLimit —
+        the maxClauseCount pre-check); ``order_limit`` returns the
+        lexicographically-first N terms via a JVM-side TakeOrdered (the
+        TopTermsRewrite priority queue). Both bound driver memory to
+        O(limit) regardless of dictionary size."""
+        rows = self._predicate_term_stats_df(
+            pred, field, limit=limit, order_limit=order_limit
+        ).collect()
+        out = [(r["term"], int(r["df"]), int(r["ttf"])) for r in rows]
+        if order_limit is not None:
+            out.sort()
+        return out
+
+    def _predicate_term_stats_df(
+        self,
+        pred,
+        field: str | None,
+        limit: int | None = None,
+        order_limit: int | None = None,
+    ) -> DataFrame:
+        """The uncollected plan behind _predicate_term_stats (exposed so
+        tests can assert the CollectLimit / TakeOrdered bound is in the
+        physical plan, not applied driver-side)."""
         stats = self.index.term_stats
         if self.index.has_field_column:
             stats = stats.filter(
                 F.col("field") == self.index.resolve_field(field)
             )
-        rows = (
+        agg = (
             stats.filter(pred)
             .groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-            .collect()
         )
-        return [(r["term"], int(r["df"]), int(r["ttf"])) for r in rows]
+        if order_limit is not None:
+            agg = agg.orderBy("term").limit(int(order_limit))
+        elif limit is not None:
+            agg = agg.limit(int(limit))
+        return agg
 
     def _empty_scored(self) -> DataFrame:
         return self.index.spark.createDataFrame([], _SCORE_SCHEMA)
@@ -1266,12 +1320,12 @@ class Searcher:
                     t for t, _df, _b in self._fuzzy_expansions(c)
                 )[:cap]
             else:
-                terms = sorted(
-                    t
-                    for t, _df, _ttf in self._predicate_term_stats(
-                        self._multiterm_pred(c), q.field
-                    )
-                )[:cap]
+                # per-slot expansion budget pushed down as TakeOrdered —
+                # only `cap` rows reach the driver
+                terms = self._predicate_term_stats(
+                    self._multiterm_pred(c), q.field, order_limit=cap
+                )
+                terms = [t for t, _df, _ttf in terms]
             remaining_exp -= len(terms)
             remaining_multi -= 1
             if not terms:
@@ -2731,7 +2785,9 @@ class Searcher:
                 }
             value = float(row[0][0])
             dist = abs(value - float(q.origin))
-            val = float(q.boost) * float(q.pivot) / (float(q.pivot) + dist)
+            val = float(q.boost) * (
+                float(q.pivot) / (float(q.pivot) + dist)
+            )
             if self.scoring == "lucene":
                 val = float(np.float32(val))
             return {
@@ -2748,6 +2804,59 @@ class Searcher:
                     {"value": float(q.origin), "description": "origin",
                      "details": []},
                     {"value": value, "description": "current value",
+                     "details": []},
+                ],
+            }
+        if isinstance(q, P.GeoDistanceFeatureQ):
+            # LatLonPointDistanceFeatureQuery.java:119-140 explain:
+            # weight / pivotDistance / originLat / originLon / current
+            # lat / current lon / computed distance as details; docs
+            # with either coordinate missing explain as no-match.
+            from lucene_spark.geo import haversine_meters_py
+
+            row = self.index.docs.filter(
+                F.col("doc_id") == doc_id
+            ).select(q.lat_col, q.lon_col).collect()
+            if (
+                not row
+                or row[0][0] is None
+                or row[0][1] is None
+            ):
+                return {
+                    "value": 0.0,
+                    "description": (
+                        f"Document {doc_id} doesn't have a value "
+                        f"for fields {q.lat_col},{q.lon_col}"
+                    ),
+                    "details": [], "matched": False,
+                }
+            cur_lat, cur_lon = float(row[0][0]), float(row[0][1])
+            dist = haversine_meters_py(cur_lat, cur_lon, q.lat, q.lon)
+            val = float(q.boost) * (
+                float(q.pivot_m) / (float(q.pivot_m) + dist)
+            )
+            if self.scoring == "lucene":
+                val = float(np.float32(val))
+            return {
+                "value": val,
+                "description": (
+                    "Distance score, computed as weight * pivotDistance"
+                    " / (pivotDistance + distance) from:"
+                ),
+                "details": [
+                    {"value": float(q.boost), "description": "weight",
+                     "details": []},
+                    {"value": float(q.pivot_m),
+                     "description": "pivotDistance", "details": []},
+                    {"value": float(q.lat), "description": "originLat",
+                     "details": []},
+                    {"value": float(q.lon), "description": "originLon",
+                     "details": []},
+                    {"value": cur_lat, "description": "current lat",
+                     "details": []},
+                    {"value": cur_lon, "description": "current lon",
+                     "details": []},
+                    {"value": float(dist), "description": "distance",
                      "details": []},
                 ],
             }

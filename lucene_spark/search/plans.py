@@ -743,6 +743,19 @@ class GeoDistanceFeatureQ:
             raise ValueError(
                 f"pivotDistance must be > 0, got {self.pivot_m}"
             )
+        # GeoUtils.checkLatitude/checkLongitude — the reference rejects
+        # out-of-range origins at construction
+        # (LatLonPointDistanceFeatureQuery.java:56-57).
+        if not (-90.0 <= self.lat <= 90.0):
+            raise ValueError(
+                f"invalid latitude {self.lat}; must be between -90.0 "
+                f"and 90.0"
+            )
+        if not (-180.0 <= self.lon <= 180.0):
+            raise ValueError(
+                f"invalid longitude {self.lon}; must be between -180.0 "
+                f"and 180.0"
+            )
 
 
 @dataclass(frozen=True)

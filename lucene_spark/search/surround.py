@@ -293,9 +293,15 @@ class _Parser:
                 "truncation inside W/N needs a searcher to expand "
                 "against the term dictionary")
         pred = self.searcher._multiterm_pred(node)
+        # maxBasicQueries pushed into the stats scan: at most
+        # remaining+1 rows ever reach the driver before
+        # TooManyBasicQueries fires (never the whole dictionary slice).
+        remaining = MAX_BASIC_QUERIES - self.basic
         terms = sorted(
             t for t, _df, _ttf in
-            self.searcher._predicate_term_stats(pred, node.field)
+            self.searcher._predicate_term_stats(
+                pred, node.field, limit=remaining + 1
+            )
         )
         self._count_basic(len(terms))
         if not terms:

@@ -18,13 +18,15 @@ from lucene_spark.search import complexphrase as CP
 class _StubSearcher:
     """Just enough of Searcher's dictionary surface for parse tests."""
 
+    MAX_CLAUSE_COUNT = 1024
+
     def __init__(self, vocab):
         self.vocab = sorted(vocab)
 
     def _multiterm_pred(self, q):
         return q
 
-    def _predicate_term_stats(self, q, field):
+    def _predicate_term_stats(self, q, field, limit=None, order_limit=None):
         if isinstance(q, P.PrefixQ):
             keep = [t for t in self.vocab if t.startswith(q.prefix)]
         elif isinstance(q, P.WildcardQ):
@@ -37,6 +39,10 @@ class _StubSearcher:
             ]
         else:
             raise TypeError(q)
+        if order_limit is not None:
+            keep = sorted(keep)[:order_limit]
+        elif limit is not None:
+            keep = keep[:limit]
         return [(t, 1, 1) for t in keep]
 
     def _fuzzy_expansions(self, q):
