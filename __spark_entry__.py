@@ -645,6 +645,111 @@ def _get_cjk_index(spark: SparkSession, sf_dir: str) -> Index:
     return _INDEXES[key]
 
 
+# Japanese (kuromoji analog) gate corpus: deterministic noun+particle
+# sentences — for doc d, 3 + d%4 units of NOUNS[(d*7+i*3)%24] ·
+# PARTS[(d*11+i*5)%10], concatenated WITHOUT separators. The engine
+# must recover the word boundaries by Viterbi over its vendored
+# lexicon (analysis_ja.py); the DuckDB oracle REGENERATES the token
+# list from doc_id (it knows the generator), so any mis-segmentation
+# breaks df/tf/dl and the hash. The pool is built so the generated
+# parse is the unique least-cost path: nouns are exactly 2 kanji,
+# particles 1 hiragana, no mixed-script or 1-kanji lexicon entries.
+_JA_NOUNS = [
+    "麻薬", "密売", "医療", "保護", "提供", "制度", "予算", "老人",
+    "数学", "経済", "空港", "原油", "流出", "女性", "子供", "検索",
+    "索引", "翻訳", "構文", "解析", "分散", "処理", "辞書", "文書",
+]
+_JA_PARTS = ["が", "を", "は", "の", "に", "で", "と", "も", "や", "へ"]
+
+
+def _ja_units(d: int) -> list[str]:
+    toks = []
+    for i in range(3 + d % 4):
+        toks.append(_JA_NOUNS[(d * 7 + i * 3) % 24])
+        toks.append(_JA_PARTS[(d * 11 + i * 5) % 10])
+    return toks
+
+
+def _get_ja_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Index over the deterministic Japanese corpus analyzed with the
+    kuromoji-analog chain (analysis_ja.ja_tokenize, Viterbi lattice
+    over the vendored lexicon; JapaneseTokenizer.java:70 semantics)."""
+    key = os.path.normpath(sf_dir) + "|ja"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    @F.pandas_udf("string")
+    def _mk_ja(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda d: "".join(_ja_units(int(d))))
+
+    docs = docs.select("doc_id", _mk_ja(F.col("doc_id")).alias("text"))
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        num_buckets=8, salt_rows=2048, resume=True,
+        analyzer={"ja": {"mode": "search"}},
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_ja_term(term: str, k: int):
+    """Kuromoji-analog e2e gate: BM25 top-k for one Japanese noun over
+    the Viterbi-segmented index. Correct iff the tokenizer recovers
+    exactly the generated segmentation for every doc."""
+
+    def fn(spark, sf_dir):
+        s = Searcher(_get_ja_index(spark, sf_dir), scoring="double")
+        return _topk_rounded(s.scored(TermQ(term)), k)
+
+    return fn
+
+
+def _ja_list_sql(items: list[str]) -> str:
+    return "list_value(" + ", ".join(f"'{w}'" for w in items) + ")"
+
+
+def _ja_prelude() -> str:
+    """Oracle: regenerate each doc's JA token list from doc_id, then
+    the standard BM25 CTE shapes (tok/dls/qdls/g/tf/dfs)."""
+    return f"""
+WITH units AS (
+  SELECT d.doc_id,
+         {_ja_list_sql(_JA_NOUNS)}[1 + CAST((d.doc_id*7 + t.i*3) % 24 AS INTEGER)] AS noun,
+         {_ja_list_sql(_JA_PARTS)}[1 + CAST((d.doc_id*11 + t.i*5) % 10 AS INTEGER)] AS part
+  FROM documents d, UNNEST(range(0, 3 + d.doc_id % 4)) AS t(i)
+),
+terms AS (
+  SELECT doc_id, unnest(list_value(noun, part)) AS term FROM units
+),
+dls AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+qdls AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 32 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+                     << (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+    END AS qdl
+  FROM dls),
+g AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         (SELECT count(*) FROM documents) AS maxdoc,
+         CAST(sum(dl) AS DOUBLE) AS sum_ttf
+  FROM dls),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM terms GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df, sum(freq) AS ttf FROM tf GROUP BY term)
+"""
+
+
+def _ja_topk_sql(term: str, k: int) -> str:
+    return (
+        f"{_ja_prelude()}, scored AS ({_term_scored_sql(term)}) "
+        f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+        f"ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"
+    )
+
+
 def _q_cjk_bigram_terms(n: int):
     """CJK bigram analysis e2e: the cjk-analyzed index's term dictionary
     holds exactly the Han bigrams of each doc (CJKBigramFilter analog);
@@ -2314,27 +2419,27 @@ def _term_vector_sql(doc_ids: tuple) -> str:
 # near-duplicate variants of already-covered families follow after.
 _GATE_WINDOW = [
     "term_topk", "bool_or_wand_topk", "bool_filter_lang",
-    "phrase_topk", "covering_topk", "multiphrase_topk",
+    "phrase_topk", "covering_topk", "phrase_sloppy_topk",
     "complex_phrase_topk", "common_terms_topk", "mlt_topk",
     "fuzzy_topk", "match_msm_topk", "regexp_docs",
     "prefix_scored_topk", "surround_parsed_topk",
     "synonym_topk", "dismax_topk", "snowball_term_topk",
-    "span_near_topk",
+    "interval_ordered_topk",
     "feature_boost_topk", "function_score_topk",
     "blended_cross_field_topk", "parsed_field_query_topk",
-    "sort_by_field", "expression_score_topk",
+    "sort_after_page2", "expression_score_topk",
     "total_hits", "rescore_topk",
     "ann_recall_floor", "facet_taxonomy_path", "facet_taxonomy_sum",
     "grouped_search_topk",
     "join_parent_max", "combined_field_topk", "spell_suggest",
     "sim_zoo_topk",
-    "uax29_term_topk", "cjk_bigram_terms", "dv_stats_numeric",
+    "ja_term_topk", "cjk_bigram_terms", "dv_stats_numeric",
     "wd_subword_topk", "diversified_topk",
     "text_token_counts", "suggest_fuzzy",
     "payload_span_topk",
-    "dedup_exact", "dedup_minhash_pairs",
+    "dedup_exact", "dedup_clusters",
     "decontam_overlap", "classify_nb", "geo_polygon_docs",
-    "term_vector_doc", "data_split_counts",
+    "term_vector_doc", "pack_concat_stats",
     "multimodal_asset_stats",
 ]
 # Round-4 window swaps (still one gate per family inside; the displaced
@@ -2374,6 +2479,15 @@ _GATE_WINDOW = [
 # family), edge_ngram_prefix_docs -> data_split_counts (analysis keeps
 # uax29/cjk/wd/snowball gates inside; deterministic sampling — hash
 # splits / source mixing / packing — is a new training-pipeline family).
+# Round-5 rotation (VERDICT r4 item 10: swap now-stable gates out so the
+# driver's hash verification touches families previously covered only by
+# the selfcheck replay): multiphrase_topk -> phrase_sloppy_topk,
+# span_near_topk -> interval_ordered_topk, sort_by_field ->
+# sort_after_page2, dedup_minhash_pairs -> dedup_clusters,
+# data_split_counts -> pack_concat_stats; uax29_term_topk ->
+# ja_term_topk (NEW family: kuromoji-analog Japanese morphological
+# segmentation, analysis_ja.py — the Viterbi lattice must recover the
+# generated word boundaries for the oracle hash to match).
 
 
 def _window_ordered(qs: dict) -> dict:
@@ -2686,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- analyzer chain: S-stemmer + index-time synonyms + folding ---
         "stemmed_term_topk": _q_analyzed_term("merges", 20),
         "cjk_bigram_terms": _q_cjk_bigram_terms(10),
+        "ja_term_topk": _q_ja_term("検索", 20),
         "synonym_index_topk": _q_analyzed_term("quick", 20),
         "wd_subword_topk": _q_wd_term("frame", 20),
         "shingle_bigram_topk": _q_sh_term("data_line", 20),
@@ -3089,6 +3204,10 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
         # cjk corpus = pure function of doc_id (6 chars at codepoint
         # 0x4E00+ (d*7+i)%64): the oracle regenerates the bigrams and
         # counts df/ttf; each doc's 5 bigrams are distinct so ttf == df
+        # ja corpus = pure function of doc_id (see _ja_units): the
+        # oracle REGENERATES the segmented token list, so the engine's
+        # Viterbi segmentation must recover it exactly
+        "ja_term_topk": _ja_topk_sql("検索", 20),
         "cjk_bigram_terms": (
             "WITH bg AS (SELECT doc_id, "
             "unnest(list_transform(range(0, 5), i -> "

@@ -864,6 +864,13 @@ def tokenize(text: str, stopwords: frozenset | None = None,
     Positions count stopword holes (StopFilter position increments);
     synonym-injected terms repeat the source position (posIncr=0)."""
     a = analyzer or {}
+    if a.get("ja") not in (None, False):
+        # Japanese morphological analysis (kuromoji analog) — the
+        # Viterbi tokenizer replaces the regex tokenizer and carries
+        # its own filter chain (analysis_ja.ja_tokenize)
+        from lucene_spark.analysis_ja import ja_tokenize
+
+        return ja_tokenize(text, a["ja"])
     if a.get("tokenizer") in _PATH_TOKENIZERS:
         cfg = _path_analyzer_cfg(a)
         if not text:
@@ -987,6 +994,13 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     norm = SmallFloat.intToByte4(dl) (BM25Similarity.java:137-148).
     """
     a = analyzer or {}
+    if a.get("ja") not in (None, False):
+        if want_offsets:
+            raise ValueError("the ja chain rewrites terms (base form, "
+                             "katakana stem); offsets are not supported")
+        from lucene_spark.analysis_ja import ja_analyze_batch
+
+        return ja_analyze_batch(texts, a["ja"])
     if a.get("tokenizer") in _PATH_TOKENIZERS:
         if want_offsets:
             raise ValueError("path_hierarchy emits overlap tokens whose "

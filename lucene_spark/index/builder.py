@@ -337,9 +337,16 @@ def _make_dl_expr(analyzer: dict | None):
         _norm_analyzer,
     )
 
-    (tokenizer, fold, stopset, _syn, _ko, _filters, wd, _sh,
-     cjk, _phon, fp, cf) = _norm_analyzer(analyzer)
-    if (fold or stopset or wd or cjk or fp is not None or cf
+    ja = (analyzer or {}).get("ja") not in (None, False)
+    if ja:
+        # Japanese Viterbi chain (analysis_ja): dl is inherently a
+        # product of the lattice — always the real-analyzer UDF
+        tokenizer, fold, stopset, wd, cjk, fp, cf = (
+            "ja", False, None, False, False, None, None)
+    else:
+        (tokenizer, fold, stopset, _syn, _ko, _filters, wd, _sh,
+         cjk, _phon, fp, cf) = _norm_analyzer(analyzer)
+    if (ja or fold or stopset or wd or cjk or fp is not None or cf
             or tokenizer not in ("standard", "uax29")):
         # synonyms/filters/phonetic never change dl: injections are
         # posIncr=0 overlaps (discounted), replaces are 1:1
