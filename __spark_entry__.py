@@ -1010,6 +1010,74 @@ def _q_geo_polygon():
     return fn
 
 
+def _shape_docs_df(spark, sf_dir):
+    """documents + one deterministic diamond polygon per doc (LatLonShape
+    analog fixture): center on a 2-decimal grid from doc_id, half-size
+    0.5..1.1 degrees — integer-exact arithmetic so Spark and DuckDB
+    compute bit-identical doubles."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    clat = (F.col("doc_id") * 7919 % 17000) / 100.0 - 85.0
+    clon = (F.col("doc_id") * 104729 % 35000) / 100.0 - 175.0
+    s = 0.5 + (F.col("doc_id") % 7) / 10.0
+    return docs.select(
+        "doc_id",
+        F.array(clat - s, clat, clat + s, clat).alias("shape_lats"),
+        F.array(clon, clon + s, clon, clon - s).alias("shape_lons"),
+    )
+
+
+# SQL twins of the diamond vertices: materialized once in a CTE so the
+# unrolled edge terms stay readable and the statement small
+_SH_CTE = (
+    "WITH sh AS (SELECT doc_id,"
+    " (doc_id * 7919 % 17000)/100.0 - 85.0 AS clat,"
+    " (doc_id * 104729 % 35000)/100.0 - 175.0 AS clon,"
+    " 0.5 + (doc_id % 7)/10.0 AS hs"
+    " FROM documents)"
+)
+_SH_PTS = [
+    ("(clat - hs)", "clon"),
+    ("clat", "(clon + hs)"),
+    ("(clat + hs)", "clon"),
+    ("clat", "(clon - hs)"),
+]
+
+
+# a small query triangle inside doc 100's diamond (center 14.0,-96.0,
+# half-size 0.7): CONTAINS against the big pentagon is trivially empty
+# for <=1.1-degree diamonds, so the contains gate relates to this one
+_POLY_SMALL = [(13.98, -96.0), (14.02, -95.96), (14.02, -96.04)]
+
+
+def _q_shape_docs(relation: str, polygon=None, holes=None):
+    """LatLonShapeQuery analog gate: per-doc polygon geometries related
+    to the literal query polygon (+hole) with the given relation; the
+    DuckDB oracle unrolls the same edge terms over the regenerated
+    diamond vertices (geo_shape.shape_relation_sql)."""
+    poly = polygon if polygon is not None else _POLY
+    hl = holes if holes is not None else (_POLY_HOLE,)
+
+    def fn(spark, sf_dir):
+        df = geo_shape.shape_filter(
+            _shape_docs_df(spark, sf_dir), "shape_lats", "shape_lons",
+            poly, relation, hl,
+        )
+        return df.select("doc_id").orderBy("doc_id")
+
+    return fn
+
+
+def _shape_docs_sql(relation: str, polygon=None, holes=None) -> str:
+    poly = polygon if polygon is not None else _POLY
+    hl = holes if holes is not None else (_POLY_HOLE,)
+    pred = geo_shape.shape_relation_sql(
+        _SH_PTS, poly, relation, hl
+    )
+    return (
+        f"{_SH_CTE} SELECT doc_id FROM sh WHERE {pred} ORDER BY doc_id"
+    )
+
+
 def _q_complex_phrase(qs: str, k: int):
     """ComplexPhraseQueryParser (search/complexphrase.py): wildcard
     inside a quoted phrase, expanded against the term dictionary and
@@ -2438,7 +2506,7 @@ _GATE_WINDOW = [
     "text_token_counts", "suggest_fuzzy",
     "payload_span_topk",
     "dedup_exact", "dedup_clusters",
-    "decontam_overlap", "classify_nb", "geo_polygon_docs",
+    "decontam_overlap", "classify_nb", "shape_intersects_docs",
     "term_vector_doc", "pack_concat_stats",
     "multimodal_asset_stats",
 ]
@@ -2487,7 +2555,10 @@ _GATE_WINDOW = [
 # data_split_counts -> pack_concat_stats; uax29_term_topk ->
 # ja_term_topk (NEW family: kuromoji-analog Japanese morphological
 # segmentation, analysis_ja.py — the Viterbi lattice must recover the
-# generated word boundaries for the oracle hash to match).
+# generated word boundaries for the oracle hash to match);
+# geo_polygon_docs -> shape_intersects_docs (NEW family: LatLonShape
+# analog — per-doc polygon geometries related to a query polygon, the
+# point-in-polygon gate stays selfcheck-verifiable below).
 
 
 def _window_ordered(qs: dict) -> dict:
@@ -2762,6 +2833,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_set_docs": _q_docset(lambda: TermInSetQ(("spark", "vector"))),
         # LatLonPoint analog (lucene_spark/geo.py): box / distance /
         # distance-sort over deterministic synthetic coordinates
+        "shape_intersects_docs": _q_shape_docs("intersects"),
+        "shape_within_docs": _q_shape_docs("within"),
+        "shape_contains_docs": _q_shape_docs(
+            "contains", _POLY_SMALL, ()
+        ),
         "geo_box_docs": _q_geo_box(),
         "geo_distance_docs": _q_geo_distance(2_000_000.0),
         "geo_nearest_topk": _q_geo_nearest(10),
@@ -3384,6 +3460,11 @@ ORDER BY score_r DESC, gram LIMIT 50
         "snowball_term_topk": _snow_topk_sql(20),
         "brazilian_term_topk": _stem_topk_sql(_BR_DERIVE_SQL, _BR_CLASS, 20),
         "path_prefix_counts": _path_prefix_counts_sql(30),
+        "shape_intersects_docs": _shape_docs_sql("intersects"),
+        "shape_within_docs": _shape_docs_sql("within"),
+        "shape_contains_docs": _shape_docs_sql(
+            "contains", _POLY_SMALL, ()
+        ),
         "geo_polygon_docs": (
             f"SELECT doc_id FROM {_GEO_T} WHERE "
             + geo_shape.polygon_predicate_sql(

@@ -2013,6 +2013,14 @@ class Searcher:
             pred = distance_predicate(q.lat_col, q.lon_col, q.lat, q.lon,
                                       q.radius_m)
             return self._live(self.index.docs.filter(pred).select("doc_id"))
+        if isinstance(q, P.ShapeQ):
+            from lucene_spark.geo_shape import shape_relation_predicate
+
+            pred = shape_relation_predicate(
+                q.lats_col, q.lons_col, q.polygon, q.relation, q.holes,
+                q.kind,
+            )
+            return self._live(self.index.docs.filter(pred).select("doc_id"))
         if isinstance(q, P.MatchAllQ):
             return self._live(self.index.docs.select("doc_id"))
         if isinstance(q, (P.ConstScoreQ, P.BoostQ)):

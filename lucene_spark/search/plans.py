@@ -827,6 +827,34 @@ class GeoDistanceQ:
     radius_m: float
 
 
+@dataclass(frozen=True)
+class ShapeQ:
+    """document/LatLonShape.java:67 (createIndexableFields tessellates
+    polygons/lines/points into BKD triangles) + LatLonShapeQuery.java
+    (ShapeField.QueryRelation INTERSECTS/WITHIN/DISJOINT/CONTAINS):
+    relate each doc's geometry — two array<double> vertex columns, an
+    open ring for kind="polygon", a polyline for "line", one element
+    for "point" — to a literal query polygon (with holes). Lowered to
+    a pure Column predicate over the vertex arrays
+    (geo_shape.shape_relation_predicate): bbox prune + crossing-number
+    parity + proper edge-pair crossing, whole-stage codegen, no UDF."""
+
+    lats_col: str
+    lons_col: str
+    polygon: tuple
+    relation: str = "intersects"
+    holes: tuple = ()
+    kind: str = "polygon"
+
+    def __post_init__(self):
+        if self.relation not in (
+            "intersects", "within", "disjoint", "contains"
+        ):
+            raise ValueError(f"unknown relation {self.relation!r}")
+        if self.kind not in ("polygon", "line", "point"):
+            raise ValueError(f"unknown shape kind {self.kind!r}")
+
+
 def rewrite(q):
     """One-pass scoring-preserving normalization (BooleanQuery.java:236-312)."""
     if isinstance(q, BoolQ):
