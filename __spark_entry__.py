@@ -1487,6 +1487,76 @@ def _q_pipeline(fn):
     return q
 
 
+# --- byte-level BPE packing gate (pipeline/bpe.py) -------------------------
+# Derived deterministic text: for doc d, 5 + d%6 words from a fixed
+# pool, each prefixed with one space (so every pretoken is " "+word and
+# the oracle's per-word BPE lengths — computed from the same vendored
+# merges table — sum exactly; byte-level BPE never merges across
+# pretokens). The Spark side runs the REAL merge-loop encoder.
+_BPE_POOL = [
+    "merge", "merges", "merging", "sort", "sorted", "sorting", "hash",
+    "hashing", "join", "joined", "data", "database", "query", "queries",
+    "filter", "window", "stream", "vector", "table", "column", "group",
+    "index", "partition", "shuffle", "12345", "f.col", "&&", "spark",
+]
+
+
+def _q_pack_concat_bpe(spark, sf_dir):
+    from lucene_spark.pipeline import bpe as _bpe
+
+    docs = _docs_df(spark, sf_dir)
+
+    @F.pandas_udf("string")
+    def _mk_bpe_text(ids: pd.Series) -> pd.Series:
+        p = len(_BPE_POOL)
+        return ids.map(
+            lambda d: "".join(
+                " " + _BPE_POOL[(int(d) * 13 + i * 7) % p]
+                for i in range(5 + int(d) % 6)
+            )
+        )
+
+    derived = docs.select(
+        "doc_id", _mk_bpe_text(F.col("doc_id")).alias("text")
+    )
+    return sampling.pack_concat(
+        derived, 32, token_expr=_bpe.bpe_count_expr("text")
+    ).orderBy("doc_id")
+
+
+def _pack_concat_bpe_sql() -> str:
+    from lucene_spark.pipeline.bpe import bpe_encode
+
+    p = len(_BPE_POOL)
+    pool_sql = "list_value(" + ", ".join(
+        f"'{w}'" for w in _BPE_POOL) + ")"
+    cases = " ".join(
+        f"WHEN '{w}' THEN {len(bpe_encode(' ' + w))}" for w in _BPE_POOL
+    )
+    return f"""
+WITH w AS (
+  SELECT d.doc_id,
+         {pool_sql}[1 + CAST((d.doc_id*13 + t.i*7) % {p} AS INTEGER)] AS word
+  FROM documents d, UNNEST(range(0, 5 + d.doc_id % 6)) AS t(i)
+),
+t AS (
+  SELECT doc_id,
+         CAST(sum(CASE word {cases} END) AS BIGINT) AS n_tokens
+  FROM w GROUP BY doc_id
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM t)
+SELECT doc_id, n_tokens::INT AS n_tokens,
+       (prefix // 32)::BIGINT AS first_seq,
+       (CASE WHEN n_tokens > 0
+             THEN (prefix + n_tokens - 1) // 32 - prefix // 32 + 1
+             ELSE 0 END)::INT AS n_seqs
+FROM c ORDER BY doc_id"""
+
+
 def _q_decontam_overlap(spark, sf_dir):
     """Decontamination gate: docs 0..19 play the benchmark/eval set,
     the rest the training corpus; flag corpus docs sharing >= 2
@@ -2928,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id"
             )
         ),
+        "pack_concat_bpe": _q_pipeline(_q_pack_concat_bpe),
         "dedup_exact": _q_pipeline(
             lambda s, d: dedup.exact_duplicates(_docs_df(s, d)).orderBy("dup_doc_id")
         ),
@@ -3945,6 +4016,7 @@ ORDER BY score_r DESC, gram LIMIT 50
         "data_split_counts": sampling.split_counts_sql(_SPLIT_FRACTIONS, seed=7),
         "source_mix_docs": sampling.source_mix_sql(_MIX_WEIGHTS, seed=11),
         "pack_concat_stats": sampling.pack_concat_sql(512),
+        "pack_concat_bpe": _pack_concat_bpe_sql(),
         "text_quality": textstats.quality_sql(),
         "text_lang_id": textstats.lang_id_sql(),
         "text_fingerprint": textstats.fingerprint_sql(),

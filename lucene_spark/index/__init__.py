@@ -3,6 +3,8 @@ from lucene_spark.index.builder import (  # noqa: F401
     build_index,
     compact_index,
     delete_docs,
+    maybe_merge,
+    merge_adjacent_segments,
     soft_delete_docs,
     update_doc_values,
 )

@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 import numpy as np
@@ -1355,6 +1356,232 @@ def compact_index(
     return _swap_manifest_commit(index_dir, manifest)
 
 
+def _tiered_allowed_count(sizes: list[int], segs_per_tier: int,
+                          max_merge_at_once: int, floor_docs: int) -> int:
+    """TieredMergePolicy's allowed-segment budget (TieredMergePolicy
+    .java:74-92 + doFindMerges' allowedSegCount loop): tiers of
+    exponentially growing segment size (x maxMergeAtOnce per tier,
+    floored at floorSegmentMB's doc analog) each admit segsPerTier
+    segments."""
+    if not sizes:
+        return 0
+    remaining = float(sum(sizes))
+    level = float(max(floor_docs, min(sizes)))
+    allowed = 0
+    while True:
+        count_at_level = remaining / level
+        if count_at_level < segs_per_tier:
+            allowed += int(np.ceil(count_at_level))
+            return max(allowed, 1)
+        allowed += segs_per_tier
+        remaining -= segs_per_tier * level
+        level *= max_merge_at_once
+
+
+def merge_adjacent_segments(
+    spark: SparkSession, index_dir: str, start: int, count: int
+) -> dict:
+    """Merge segments [start, start+count) — ADJACENT in the manifest —
+    into one new segment (one TieredMergePolicy-selected merge;
+    SegmentMerger.merge analog for the no-deletes case).
+
+    Adjacency is the documented deviation from the reference:
+    TieredMergePolicy merges arbitrary segment sets because Lucene
+    renumbers docIDs per merge; our global docIDs are stable, and
+    adjacent segments own adjacent docID ranges, so their posting rows
+    merge by CONCATENATION — blocks are self-anchored (first_docid), so
+    a term's block lists append in segment order with no decode, no
+    re-delta. Only positions/offsets/payload streams re-encode (their
+    framing has a length header), and competitive impacts re-prune
+    (CompetitiveImpactAccumulator.addAll union semantics). Terms
+    present in a single source segment pass through byte-identical.
+    Deletes stay masked at read time (reclaim remains compact_index's
+    job, like Lucene where merges drop deletes only when the merged
+    segment includes them — ours defers to the full compact)."""
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    as_list = lambda v: [v] if isinstance(v, str) else list(v)  # noqa: E731
+    paths = manifest["paths"]
+    p_post = as_list(paths["postings"])
+    p_docs = as_list(paths["docs"])
+    p_corp = as_list(paths["corpus"])
+    p_stats = as_list(paths["term_stats"])
+    n_segs = len(p_post)
+    if not (0 <= start and count >= 2 and start + count <= n_segs):
+        raise ValueError(f"bad merge slice [{start}, {start + count}) "
+                         f"of {n_segs} segments")
+    t0 = time.time()
+    gen = int(manifest.get("tiered_gen", 0)) + 1
+    with_positions = manifest["with_positions"]
+    with_offsets = bool(manifest.get("with_offsets", False))
+    with_payloads = bool(manifest.get("with_payloads", False))
+
+    def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        from lucene_spark.codec import decode_value_stream
+
+        pdf = pdf.copy()
+        pdf["_first"] = pdf["blocks"].map(lambda bs: bs[0]["first_docid"])
+        pdf = pdf.sort_values("_first", kind="mergesort")
+        out_rows = []
+        for (field_name, term), g in pdf.groupby(
+            ["field", "term"], sort=False
+        ):
+            if len(g) == 1:
+                r = g.iloc[0]
+                out_rows.append({
+                    "field": field_name, "term": term,
+                    "salt": int(r["salt"]), "df": int(r["df"]),
+                    "ttf": int(r["ttf"]), "blocks": list(r["blocks"]),
+                    "pos": bytes(r["pos"]) if r["pos"] is not None else b"",
+                    "off": bytes(r["off"]) if r["off"] is not None else b"",
+                    "pay": bytes(r["pay"]) if r["pay"] is not None else b"",
+                    "bucket": int(r["bucket"]),
+                    "row_impacts": list(r["row_impacts"]),
+                })
+                continue
+            blocks = [b for _, row in g.iterrows() for b in row["blocks"]]
+            imp_f = np.asarray(
+                [p["freq"] for _, row in g.iterrows()
+                 for p in row["row_impacts"]], dtype=np.int64)
+            imp_n = np.asarray(
+                [p["norm"] for _, row in g.iterrows()
+                 for p in row["row_impacts"]], dtype=np.int64)
+
+            def _cat_stream(col):
+                vals = [
+                    decode_value_stream(bytes(row[col]))
+                    for _, row in g.iterrows()
+                ]
+                return encode_value_stream(
+                    np.concatenate(vals).astype(np.uint64)
+                    if vals else np.zeros(0, np.uint64)
+                )
+
+            out_rows.append({
+                "field": field_name, "term": term,
+                "salt": int(g["salt"].iat[0]),
+                "df": int(g["df"].sum()), "ttf": int(g["ttf"].sum()),
+                "blocks": blocks,
+                "pos": _cat_stream("pos") if with_positions else b"",
+                "off": _cat_stream("off") if with_offsets else b"",
+                "pay": _cat_stream("pay") if with_payloads else b"",
+                "bucket": int(g["bucket"].iat[0]),
+                "row_impacts": [
+                    {"freq": int(a), "norm": int(b)}
+                    for a, b in competitive_impacts(imp_f, imp_n)
+                ],
+            })
+        return pd.DataFrame(
+            out_rows,
+            columns=[
+                "field", "term", "salt", "df", "ttf", "blocks", "pos",
+                "off", "pay", "bucket", "row_impacts",
+            ],
+        )
+
+    sl = slice(start, start + count)
+    allp = spark.read.parquet(p_post[sl.start])
+    for p in p_post[sl.start + 1 : sl.stop]:
+        allp = allp.unionByName(
+            spark.read.parquet(p), allowMissingColumns=True
+        )
+    merged = allp.groupBy("bucket", "salt").applyInPandas(
+        merge_rows, schema=POSTINGS_SCHEMA
+    )
+    tag = f"tiered{gen}_s{start}c{count}"
+    postings_path = os.path.join(index_dir, f"postings_{tag}")
+    merged.write.mode("overwrite").parquet(postings_path)
+    docs_path = os.path.join(index_dir, f"docs_{tag}")
+    spark.read.parquet(*p_docs[sl]).write.mode("overwrite").parquet(
+        docs_path
+    )
+    corpus_path = os.path.join(index_dir, f"corpus_{tag}")
+    spark.read.parquet(*p_corp[sl]).write.mode("overwrite").parquet(
+        corpus_path
+    )
+    stats_path = os.path.join(index_dir, f"term_stats_{tag}")
+    spark.read.parquet(postings_path).groupBy("field", "term").agg(
+        F.sum("df").alias("df"),
+        F.sum("ttf").alias("ttf"),
+        F.first("bucket").alias("bucket"),
+    ).write.mode("overwrite").parquet(stats_path)
+
+    manifest["paths"]["postings"] = (
+        p_post[: sl.start] + [postings_path] + p_post[sl.stop :]
+    )
+    manifest["paths"]["docs"] = (
+        p_docs[: sl.start] + [docs_path] + p_docs[sl.stop :]
+    )
+    manifest["paths"]["corpus"] = (
+        p_corp[: sl.start] + [corpus_path] + p_corp[sl.stop :]
+    )
+    manifest["paths"]["term_stats"] = (
+        p_stats[: sl.start] + [stats_path] + p_stats[sl.stop :]
+    )
+    manifest["tiered_gen"] = gen
+    manifest["version"] = int(manifest.get("version", 0)) + 1
+    manifest.setdefault("stages", {})[f"tiered_merge{gen}"] = {
+        "merged_segments": list(range(start, start + count)),
+        "elapsed_sec": time.time() - t0,
+        "lineage": _file_lineage(postings_path, ("bucket", "salt")),
+    }
+    return _swap_manifest_commit(index_dir, manifest)
+
+
+def maybe_merge(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    segs_per_tier: int = 10,
+    max_merge_at_once: int = 10,
+    floor_docs: int = 10_000,
+    max_merged_docs: int | None = None,
+) -> dict:
+    """TieredMergePolicy.findMerges analog (index/TieredMergePolicy
+    .java:74-92 defaults: maxMergeAtOnce=10, segsPerTier=10; floorDocs
+    stands in for floorSegmentMB=2MB, max_merged_docs for
+    maxMergedSegmentMB=5GB): while the segment count exceeds the tier
+    budget, merge the cheapest ADJACENT run of segments (smallest total
+    docs — the least-cost merge under the adjacency constraint, see
+    merge_adjacent_segments) of width min(maxMergeAtOnce, excess+1).
+    Call after append_to_index to keep a long-lived appended index's
+    segment count bounded without forceMerge(1).
+
+    Returns {"merges": [...], "segments": final_count, "sizes": [...]}.
+    """
+    merges = []
+    while True:
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        p_docs = manifest["paths"]["docs"]
+        p_docs = [p_docs] if isinstance(p_docs, str) else list(p_docs)
+        sizes = [_parquet_rows(p) for p in p_docs]
+        allowed = _tiered_allowed_count(
+            sizes, segs_per_tier, max_merge_at_once, floor_docs
+        )
+        n = len(sizes)
+        if n <= allowed:
+            return {"merges": merges, "segments": n, "sizes": sizes}
+        best_start, best_total = 0, None
+        width = min(max_merge_at_once, n - allowed + 1)
+        while width >= 2:
+            for s in range(0, n - width + 1):
+                tot = sum(sizes[s : s + width])
+                if max_merged_docs is not None and tot > max_merged_docs:
+                    continue
+                if best_total is None or tot < best_total:
+                    best_start, best_total = s, tot
+            if best_total is not None:
+                break
+            width -= 1  # every width-run exceeds the size budget
+        if best_total is None:
+            return {"merges": merges, "segments": n, "sizes": sizes,
+                    "stalled": "max_merged_docs"}
+        merge_adjacent_segments(spark, index_dir, best_start, width)
+        merges.append({"start": best_start, "count": width,
+                       "docs": int(best_total)})
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> dict:
     """Mark docIDs deleted (IndexWriter.deleteDocuments analog). Writes a
     new immutable deletes file and commits via atomic manifest swap —
@@ -1537,7 +1764,26 @@ def append_to_index(
     # still belong to live docs.
     base = int(manifest.get("max_doc", manifest["N"]))
     as_list = lambda v: [v] if isinstance(v, str) else list(v)  # noqa: E731
-    seg = len(as_list(manifest["paths"]["postings"]))
+    # Segment tag: MONOTONIC counter, never the current list length —
+    # after a tiered merge or compaction shrinks the paths list,
+    # len(paths) would reuse a tag whose directory still exists on disk
+    # (kept for open readers) and mode("overwrite") would clobber live
+    # segment files. Older manifests lack the counter: seed it past
+    # every seg<N> tag already present on any path.
+    seg = int(manifest.get(
+        "next_seg",
+        1 + max(
+            (
+                int(mm.group(1))
+                for v in manifest["paths"].values()
+                for p in as_list(v or [])
+                for mm in [re.search(r"_seg(\d+)$", p)]
+                if mm
+            ),
+            default=len(as_list(manifest["paths"]["postings"])) - 1,
+        ),
+    ))
+    manifest["next_seg"] = seg + 1
     t0 = time.time()
 
     # docIDs continue the global ingest order at `base`

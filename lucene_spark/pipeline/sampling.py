@@ -96,7 +96,8 @@ def source_mix(df: DataFrame, weights: dict[str, float], seed: int = 0,
 
 
 def pack_concat(df: DataFrame, seq_len: int, text_col: str = "text",
-                id_col: str = "doc_id", bucket_width: int = 1024) -> DataFrame:
+                id_col: str = "doc_id", bucket_width: int = 1024,
+                token_expr: Column | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing stats: concatenating all docs'
     word tokens in id order and cutting every ``seq_len`` tokens, which
     fixed-length training sequences does each doc land in?
@@ -104,10 +105,21 @@ def pack_concat(df: DataFrame, seq_len: int, text_col: str = "text",
     Returns (doc_id, n_tokens, first_seq, n_seqs): first_seq =
     floor(prefix_tokens / seq_len); n_seqs = number of sequences the
     doc spans (0 for empty docs). Two-level distributed prefix sum —
-    see the module docstring; no global single-partition window."""
-    toks = F.size(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
-    ).cast("long")
+    see the module docstring; no global single-partition window.
+
+    ``token_expr`` overrides the default whitespace-word count with any
+    per-doc token-count Column — e.g. ``bpe.bpe_count_expr(text_col)``
+    to pack by ACTUAL subword-tokenizer counts (real pipelines pack by
+    the training tokenizer, not by words)."""
+    toks = (
+        token_expr.cast("long")
+        if token_expr is not None
+        else F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+            )
+        ).cast("long")
+    )
     base = df.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("n_tokens"),
