@@ -164,6 +164,9 @@ class Searcher:
     # more than the rows it would prune — phase 2's position matching is
     # exact regardless. Mirrors ConjunctionDISI's lead-cost asymmetry.
     PHRASE_CONJ_MIN_DF = 65_536
+    # approximation-phase benefit bar: expected surviving position rows
+    # must undercut the unpruned position shuffle by this factor
+    PHRASE_CONJ_PRUNE_RATIO = 0.5
 
     def __init__(self, index: Index, scoring: str = "lucene", prune: bool = True,
                  wand_min_postings: int | None = None,
@@ -1182,14 +1185,33 @@ class Searcher:
         if candidates is not None:
             pos = self._cand(pos, candidates)
         total_df = sum(stats[t][0] for t in uniq)
-        if total_df > self.PHRASE_CONJ_MIN_DF:
+        # Cost gate for the approximation phase: the doc-block decode +
+        # semi-join is an extra stage, so run it only when it PRUNES.
+        # Expected survivors under slot independence =
+        # n_docs * prod(slot_df / n_docs); the semi-join pays when the
+        # surviving position rows (survivors x slots) undercut the
+        # unpruned shuffle (total_df rows) by PHRASE_CONJ_PRUNE_RATIO.
+        # "data line" over a corpus where both terms are hot prunes
+        # ~nothing (est ~ total) -> skip, saving the extra stage;
+        # "the <rare>" prunes 50x -> conjunct. Scale-invariant: the
+        # ratio, not the corpus size, decides.
+        n_docs = max(1, self.index.doc_count_for(fld))
+        est_surv = float(n_docs)
+        for alt in slots:
+            slot_df = min(n_docs, sum(stats[t][0] for t in alt))
+            est_surv *= slot_df / n_docs
+        if (
+            total_df > self.PHRASE_CONJ_MIN_DF
+            and est_surv * len(slots)
+            < self.PHRASE_CONJ_PRUNE_RATIO * total_df
+        ):
             surv = self._slot_conjunction_docs(slots, stats, fld)
             pos = pos.join(surv, "doc_id", "left_semi")
-        # else: every slot is small — the position shuffle is already
-        # bounded, and the phase-2 matcher discards non-conjunction docs
-        # exactly; the doc-block decode + semi-join would cost more than
-        # the rows they prune (TwoPhaseIterator approximation skipped
-        # when the lead cost is trivial)
+        # else: either every slot is small (the position shuffle is
+        # already bounded) or the slots are all hot (the conjunction
+        # keeps ~every doc); the phase-2 matcher discards
+        # non-conjunction docs exactly either way (TwoPhaseIterator
+        # approximation skipped when it cannot pay for itself)
         idx_of = {t: i for i, t in enumerate(uniq)}
         # slot -> list of (term_idx, offset) pairs
         slot_spec = [
