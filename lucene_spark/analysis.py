@@ -880,6 +880,19 @@ def tokenize(text: str, stopwords: frozenset | None = None,
         from lucene_spark.analysis_ja import ja_tokenize
 
         return ja_tokenize(text, a["ja"])
+    if a.get("ko") not in (None, False) or a.get("zh") not in (None, False):
+        # Korean (nori analog) / Chinese (smartcn analog) lattice
+        # tokenizers (analysis_lattice.py)
+        from lucene_spark.analysis_lattice import KO_TOKENIZER, ZH_TOKENIZER
+
+        cfg = a.get("ko") if a.get("ko") not in (None, False) else a.get("zh")
+        tok = KO_TOKENIZER if a.get("ko") not in (None, False) else ZH_TOKENIZER
+        cfg = cfg if isinstance(cfg, dict) else {}
+        return tok.tokenize(
+            text or "",
+            frozenset(cfg["pos_stop"]) if cfg.get("pos_stop") else None,
+            bool(cfg.get("discard_punctuation", True)),
+        )
     if a.get("tokenizer") in _PATH_TOKENIZERS:
         cfg = _path_analyzer_cfg(a)
         if not text:
@@ -1014,6 +1027,20 @@ def analyze_batch(texts: pd.Series, stopwords: frozenset | None = None,
         from lucene_spark.analysis_ja import ja_analyze_batch
 
         return ja_analyze_batch(texts, a["ja"])
+    if a.get("ko") not in (None, False) or a.get("zh") not in (None, False):
+        if want_offsets:
+            raise ValueError("lattice chains drop punctuation; offsets "
+                             "are not supported")
+        from lucene_spark.analysis_lattice import KO_TOKENIZER, ZH_TOKENIZER
+
+        cfg = a.get("ko") if a.get("ko") not in (None, False) else a.get("zh")
+        tok = KO_TOKENIZER if a.get("ko") not in (None, False) else ZH_TOKENIZER
+        cfg = cfg if isinstance(cfg, dict) else {}
+        return tok.analyze_batch(
+            texts,
+            frozenset(cfg["pos_stop"]) if cfg.get("pos_stop") else None,
+            bool(cfg.get("discard_punctuation", True)),
+        )
     if a.get("tokenizer") in _PATH_TOKENIZERS:
         if want_offsets:
             raise ValueError("path_hierarchy emits overlap tokens whose "

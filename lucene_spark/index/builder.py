@@ -338,7 +338,10 @@ def _make_dl_expr(analyzer: dict | None):
         _norm_analyzer,
     )
 
-    ja = (analyzer or {}).get("ja") not in (None, False)
+    ja = any(
+        (analyzer or {}).get(k) not in (None, False)
+        for k in ("ja", "ko", "zh")
+    )
     if ja:
         # Japanese Viterbi chain (analysis_ja): dl is inherently a
         # product of the lattice — always the real-analyzer UDF

@@ -83,7 +83,7 @@ def main() -> None:
         attempt += 1
         remaining_h = max(0.2, (deadline - time.time()) / 3600)
         log = os.path.join(
-            REPO, "bench_logs", f"scaling_r5_16m_{attempt}.log"
+            REPO, "bench_logs", f"scaling_r5_16m_a{since + attempt}.log"
         )
         cmd = [
             sys.executable,
