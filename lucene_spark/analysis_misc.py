@@ -201,7 +201,13 @@ MISC_FILTERS = {
 
 def dynamic_filter(name: str):
     """Parametrized registry names: ``truncate_<n>`` (TruncateTokenFilter
-    length). Returns None when the name is not a dynamic filter."""
+    length) and ``icu_transform:<ID>`` (ICUTransformFilter analog —
+    analysis_icutransform.get_transliterator compound IDs). Returns None
+    when the name is not a dynamic filter."""
+    if name.startswith("icu_transform:"):
+        from lucene_spark.analysis_icutransform import get_transliterator
+
+        return get_transliterator(name[len("icu_transform:") :])
     if name.startswith("truncate_"):
         try:
             ln = int(name[len("truncate_") :])
