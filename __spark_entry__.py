@@ -750,6 +750,103 @@ def _ja_topk_sql(term: str, k: int) -> str:
     )
 
 
+# Korean / Chinese lattice gates (analysis_lattice.py): same derived-
+# corpus pattern as the ja gate — text is a pure function of doc_id
+# over pools the lexicon segments unambiguously; the DuckDB oracle
+# regenerates the token list.
+_KO_NOUNS = ["화학", "이외", "사이즈", "한국", "언어", "사전", "검색",
+             "색인", "문서", "데이터", "시스템", "분석"]
+_KO_PARTS = ["의", "은", "는", "이", "가", "을", "를", "에"]
+_ZH_WORDS = ["我", "购买", "了", "道具", "和", "服装", "中国", "语言",
+             "词典", "搜索", "索引", "文档", "数据", "分析", "处理", "是"]
+
+
+def _ko_units(d: int) -> list[str]:
+    toks = []
+    for i in range(3 + d % 3):
+        toks.append(_KO_NOUNS[(d * 5 + i * 7) % 12])
+        toks.append(_KO_PARTS[(d * 3 + i * 2) % 8])
+    return toks
+
+
+def _zh_units(d: int) -> list[str]:
+    return [_ZH_WORDS[(d * 11 + i * 3) % 16] for i in range(4 + d % 4)]
+
+
+def _get_lat_index(spark: SparkSession, sf_dir: str, lang: str) -> Index:
+    key = os.path.normpath(sf_dir) + f"|{lang}"
+    if key in _INDEXES:
+        return _INDEXES[key]
+    tag = key.strip("/").replace("/", "_").replace("|", "_")
+    idx_dir = os.path.join(_CACHE_ROOT, f"docidx_{tag}")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    units = _ko_units if lang == "ko" else _zh_units
+
+    @F.pandas_udf("string")
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda d: "".join(units(int(d))))
+
+    docs = docs.select("doc_id", _mk(F.col("doc_id")).alias("text"))
+    build_index(
+        spark, docs, idx_dir, text_col="text", doc_id_col="doc_id",
+        num_buckets=8, salt_rows=2048, resume=True,
+        analyzer={lang: {}},
+    )
+    _INDEXES[key] = Index(spark, idx_dir)
+    return _INDEXES[key]
+
+
+def _q_lat_term(lang: str, term: str, k: int):
+    def fn(spark, sf_dir):
+        s = Searcher(_get_lat_index(spark, sf_dir, lang), scoring="double")
+        return _topk_rounded(s.scored(TermQ(term)), k)
+
+    return fn
+
+
+def _lat_prelude(lang: str) -> str:
+    if lang == "ko":
+        units = (
+            f"SELECT d.doc_id, unnest(list_value("
+            f"{_ja_list_sql(_KO_NOUNS)}[1 + CAST((d.doc_id*5 + t.i*7) % 12 AS INTEGER)], "
+            f"{_ja_list_sql(_KO_PARTS)}[1 + CAST((d.doc_id*3 + t.i*2) % 8 AS INTEGER)]"
+            f")) AS term "
+            f"FROM documents d, UNNEST(range(0, 3 + d.doc_id % 3)) AS t(i)"
+        )
+    else:
+        units = (
+            f"SELECT d.doc_id, "
+            f"{_ja_list_sql(_ZH_WORDS)}[1 + CAST((d.doc_id*11 + t.i*3) % 16 AS INTEGER)] AS term "
+            f"FROM documents d, UNNEST(range(0, 4 + d.doc_id % 4)) AS t(i)"
+        )
+    return f"""
+WITH terms AS ({units}),
+dls AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+qdls AS (
+  SELECT doc_id, dl,
+    CASE WHEN dl < 32 THEN dl
+         ELSE 24 + (((dl-24) >> (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+                     << (CAST(floor(log2(dl-24)) AS INTEGER)-3))
+    END AS qdl
+  FROM dls),
+g AS (
+  SELECT count(*) FILTER (WHERE dl > 0) AS doc_count,
+         (SELECT count(*) FROM documents) AS maxdoc,
+         CAST(sum(dl) AS DOUBLE) AS sum_ttf
+  FROM dls),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM terms GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df, sum(freq) AS ttf FROM tf GROUP BY term)
+"""
+
+
+def _lat_topk_sql(lang: str, term: str, k: int) -> str:
+    return (
+        f"{_lat_prelude(lang)}, scored AS ({_term_scored_sql(term)}) "
+        f"SELECT doc_id, round(score, 4) AS score_r FROM scored "
+        f"ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"
+    )
+
+
 def _q_cjk_bigram_terms(n: int):
     """CJK bigram analysis e2e: the cjk-analyzed index's term dictionary
     holds exactly the Han bigrams of each doc (CJKBigramFilter analog);
@@ -2947,6 +3044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stemmed_term_topk": _q_analyzed_term("merges", 20),
         "cjk_bigram_terms": _q_cjk_bigram_terms(10),
         "ja_term_topk": _q_ja_term("検索", 20),
+        "ko_term_topk": _q_lat_term("ko", "검색", 20),
+        "zh_term_topk": _q_lat_term("zh", "搜索", 20),
         "synonym_index_topk": _q_analyzed_term("quick", 20),
         "wd_subword_topk": _q_wd_term("frame", 20),
         "shingle_bigram_topk": _q_sh_term("data_line", 20),
@@ -3355,6 +3454,8 @@ FROM base b LEFT JOIN bool_s bs USING (doc_id) ORDER BY b.doc_id""",
         # oracle REGENERATES the segmented token list, so the engine's
         # Viterbi segmentation must recover it exactly
         "ja_term_topk": _ja_topk_sql("検索", 20),
+        "ko_term_topk": _lat_topk_sql("ko", "검색", 20),
+        "zh_term_topk": _lat_topk_sql("zh", "搜索", 20),
         "cjk_bigram_terms": (
             "WITH bg AS (SELECT doc_id, "
             "unnest(list_transform(range(0, 5), i -> "
