@@ -716,7 +716,7 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
     cjk = a.get("cjk", False)  # False | True | "unigrams"
     # icu_segment (ICUTokenizer analog): SEA dictionary pre-split +
     # the mark-preserving `icu` token regex
-    default_tok = ("unicode" if cjk
+    default_tok = ("unicode" if cjk or a.get("morfologik")
                    else "icu" if a.get("icu_segment")
                    else "standard" if a.get("word_delimiter") else "uax29")
     # one same-position token-expansion slot: phonetic codes OR n-grams
@@ -735,6 +735,15 @@ def _norm_analyzer(analyzer: dict | None, stopwords=None):
             raise ValueError("compound is mutually exclusive with "
                              "phonetic/token_ngrams")
         expand = compound_emitter(a["compound"])
+    if a.get("morfologik"):
+        # MorfologikFilter analog: lemma stack replaces the token
+        # (analysis_morfologik.py; lowercase-tier lookups here)
+        if expand is not None:
+            raise ValueError("morfologik is mutually exclusive with "
+                             "phonetic/token_ngrams/compound")
+        from lucene_spark.analysis_morfologik import morfologik_emitter
+
+        expand = morfologik_emitter(a["morfologik"])
     # KeywordMarkerFilter / StemmerOverrideFilter config: terms the
     # stemmer chain must not touch, and explicit surface->stem overrides
     protect = None
