@@ -482,8 +482,15 @@ _TOKEN_FILTERS.update(_MISC)
 
 
 def _resolve_filter(name: str):
-    """Registry lookup + parametrized names (``truncate_<n>``)."""
+    """Registry lookup + parametrized names (``truncate_<n>``,
+    ``stempel:<table_path>``)."""
     fn = _TOKEN_FILTERS.get(name)
+    if fn is None and name.startswith("stempel:"):
+        # Egothor/stempel stemmer with a user-supplied trained table
+        # (analysis_stempel.py; table cached per worker)
+        from lucene_spark.analysis_stempel import stempel_dynamic
+
+        fn = stempel_dynamic(name)
     if fn is None:
         fn = _dynamic_filter(name)
     if fn is None:
