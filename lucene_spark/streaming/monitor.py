@@ -19,8 +19,17 @@ Scoring is intentionally out of scope (the reference monitor reports
 matches, not ranks).
 
 At scale: the stream is partitioned by Spark; the broadcast query set is
-shared per executor; presearcher-style pruning (only evaluate queries
-whose rarest term occurs in the doc) is applied per document.
+shared per executor; and candidate selection is the reference's
+TermFilteredPresearcher (monitor/TermFilteredPresearcher.java:62):
+each query contributes a minimal covering term set — conjunctions
+index only their highest-weight child (TermWeightor.DEFAULT length
+weighting, longer ~ rarer), disjunctions index every child, queries
+with no extractable terms fall into the ANYTOKEN bucket — and each
+document only evaluates the queries its own terms pull from that
+index, so per-doc cost tracks the doc's vocabulary, not the
+registered-query count. For query sets too large even to broadcast,
+the same (term -> query) table joins the exploded doc-term stream as a
+DataFrame semi-join — the index IS relational data here.
 """
 
 from __future__ import annotations
@@ -84,12 +93,68 @@ def compile_query(query_id: str, q) -> _CompiledQuery:
         msm = q.min_should_match if (q.min_should_match or must) else 1
     else:
         must, should, must_not, msm = (_compile_leaf(q),), (), (), 0
-    anchors: tuple = ()
-    if must:
-        anchors = _leaf_terms(must[0])  # any required leaf gates the eval
-    elif should:
-        anchors = tuple(t for leaf in should for t in _leaf_terms(leaf))
+    anchors = _presearch_terms(must, should, msm)
     return _CompiledQuery(query_id, "bool", must, should, must_not, msm, anchors)
+
+
+# ---------------------------------------------------------------------------
+# TermFilteredPresearcher term extraction (monitor/QueryAnalyzer.java +
+# QueryTree.java + TermWeightor.java)
+# ---------------------------------------------------------------------------
+
+_LENGTH_NORMS = [3.0 * 2.718281828459045 ** (-0.3 * i) for i in range(32)]
+
+
+def _term_weight(term: str) -> float:
+    """TermWeightor.DEFAULT = lengthWeightor(3, 0.3)
+    (TermWeightor.java:32,122-133): longer terms are assumed rarer."""
+    n = len(term.encode("utf-8"))
+    return 4.0 - _LENGTH_NORMS[min(n, 31)]
+
+
+def _leaf_tree(leaf) -> tuple:
+    """leaf -> (weight, frozenset(terms)). Weight 0 + empty set = an
+    ANY node (no term extraction possible — e.g. prefix)."""
+    kind = leaf[0]
+    if kind == "term":
+        return (_term_weight(leaf[1]), frozenset((leaf[1],)))
+    if kind == "any":
+        # disjunction of its terms: ALL terms index, weight = min child
+        ts = frozenset(leaf[1])
+        return (min(map(_term_weight, ts), default=0.0), ts)
+    if kind == "phrase":
+        # conjunction over slots (each slot a disjunction of
+        # alternatives): pick the best slot
+        slots = []
+        for alt in leaf[1]:
+            ts = frozenset(alt)
+            slots.append((min(map(_term_weight, ts), default=0.0), ts))
+        best = max(slots, key=lambda s: s[0])
+        return best
+    return (0.0, frozenset())  # prefix and friends: ANY
+
+
+def _presearch_terms(must: tuple, should: tuple, msm: int) -> tuple:
+    """The reference presearcher's covering term set
+    (TermFilteredPresearcher.java:62 + QueryTree.java:191-276): a
+    conjunction indexes only its highest-weight child's terms; a
+    disjunction indexes the union of all children. Empty result =
+    ANYTOKEN (the query must be checked against every document)."""
+    if must:
+        trees = [_leaf_tree(leaf) for leaf in must]
+        weighted = [t for t in trees if t[0] > 0]
+        if not weighted:
+            return ()
+        return tuple(sorted(max(weighted, key=lambda t: t[0])[1]))
+    if should and msm >= 1:
+        out: set = set()
+        for leaf in should:
+            w, ts = _leaf_tree(leaf)
+            if w <= 0:
+                return ()  # one un-extractable disjunct -> ANYTOKEN
+            out.update(ts)
+        return tuple(sorted(out))
+    return ()
 
 
 def _match_leaf(leaf, pos_by_term: dict) -> bool:
@@ -161,11 +226,35 @@ _MATCH_SCHEMA = T.StructType(
 )
 
 
+def build_query_index(compiled: list[_CompiledQuery]):
+    """The presearcher's QUERY INDEX (Monitor.java: registered queries
+    are indexed by their extracted terms; matching builds a disjunction
+    of the document's terms against that index,
+    TermFilteredPresearcher.buildQuery). Here: term -> query ordinals,
+    plus the ANYTOKEN list of queries with no extractable terms — the
+    broadcast-dict analog of the reference's in-RAM query index."""
+    by_term: dict[str, list[int]] = {}
+    anytoken: list[int] = []
+    for i, cq in enumerate(compiled):
+        if cq.anchor_terms:
+            for t in cq.anchor_terms:
+                by_term.setdefault(t, []).append(i)
+        else:
+            anytoken.append(i)
+    return by_term, anytoken
+
+
 def match_batch(df: DataFrame, compiled: list[_CompiledQuery],
                 key_col: str, text_col: str) -> DataFrame:
     """Match a (micro-)batch DataFrame against the compiled query set.
-    Works identically on static and streaming DataFrames."""
+    Works identically on static and streaming DataFrames.
+
+    Per document, candidate queries come from the term-filtered query
+    index (cost ~ O(doc terms), independent of the registered-query
+    count); only candidates run the full positional evaluation — the
+    reference's presearch -> MemoryIndex -> full-query two-phase."""
     queries = list(compiled)
+    by_term, anytoken = build_query_index(queries)
 
     def fn(iterator):
         for pdf in iterator:
@@ -175,10 +264,13 @@ def match_batch(df: DataFrame, compiled: list[_CompiledQuery],
                 pos_by_term: dict[str, list[int]] = {}
                 for t, p in zip(terms, positions):
                     pos_by_term.setdefault(t, []).append(p)
-                for cq in queries:
-                    if _match_doc(cq, pos_by_term):
+                cand: set[int] = set(anytoken)
+                for t in pos_by_term:
+                    cand.update(by_term.get(t, ()))
+                for i in sorted(cand):
+                    if _match_doc(queries[i], pos_by_term):
                         keys.append(str(key))
-                        qids.append(cq.query_id)
+                        qids.append(queries[i].query_id)
             yield pd.DataFrame({"doc_key": keys, "query_id": qids})
 
     return df.select(F.col(key_col), F.col(text_col)).mapInPandas(fn, schema=_MATCH_SCHEMA)
