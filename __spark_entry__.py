@@ -38,7 +38,7 @@ from lucene_spark.search.plans import (
 from lucene_spark.search.queryparser import parse as parse_query
 from lucene_spark.search.querybuilder import QueryBuilder
 from lucene_spark.search.simpleparser import SimpleQueryParser
-from lucene_spark import geo, geo_shape
+from lucene_spark import geo, geo3d, geo_shape
 from lucene_spark.search import complexphrase as _complexphrase
 from lucene_spark.search import plans as _plans
 from lucene_spark.search import standardparser as _standardparser
@@ -1101,6 +1101,27 @@ def _q_geo_polygon():
     def fn(spark, sf_dir):
         df = geo_shape.polygon_filter(
             _geo_docs_df(spark, sf_dir), "lat", "lon", _POLY, (_POLY_HOLE,)
+        )
+        return df.select("doc_id").orderBy("doc_id")
+
+    return fn
+
+
+# Geo3D path corridor gate (spatial3d GeoStandardPath analog,
+# lucene_spark/geo3d.py): WGS84 ellipsoid, three-point route, cutoff in
+# radians. The DuckDB twin replays the identical plane constants.
+_GEO3D_PATH = (
+    (-40.0, -170.0), (10.0, -100.0), (35.0, -20.0), (15.0, 60.0),
+    (-20.0, 140.0),
+)
+_GEO3D_CUTOFF = 0.15  # radians, ~955 km corridor half-width
+
+
+def _q_geo3d_path():
+    def fn(spark, sf_dir):
+        df = geo3d.within_path(
+            _geo_docs_df(spark, sf_dir), "lat", "lon",
+            _GEO3D_PATH, _GEO3D_CUTOFF,
         )
         return df.select("doc_id").orderBy("doc_id")
 
@@ -2618,6 +2639,31 @@ def _edge_ngram_docs_sql(gram: str) -> str:
     )
 
 
+def _q_fvh_fragments(term: str, k: int):
+    """FastVectorHighlighter gate (search/fvh.py) — rows-only by
+    nature (fragment strings have no SQL twin): top-k hits for the
+    term, term-vector-sourced fragments with weighted scoring in
+    score order."""
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.index import build_term_vectors
+        from lucene_spark.search.fvh import fvh_highlight
+
+        idx = _get_index(spark, sf_dir)
+        build_term_vectors(spark, idx.index_dir, resume=True)
+        idx2 = Index(spark, idx.index_dir)
+        hits = Searcher(idx2, scoring="double").top_k(TermQ(term), k=k)
+        out = fvh_highlight(
+            idx2, hits, TermQ(term), frag_char_size=80, max_num_fragments=2
+        )
+        return (
+            out.withColumn("score_r", F.round(F.col("score"), 4))
+            .select("doc_id", "frag_num", "score_r", "fragment")
+            .orderBy("doc_id", "frag_num")
+        )
+
+    return fn
+
+
 def _q_term_vector(doc_ids: tuple):
     """Term vectors gate (Lucene90TermVectorsFormat /
     IndexReader.getTermVector): per-doc (term, freq) rows of the default
@@ -2672,7 +2718,7 @@ _GATE_WINDOW = [
     "wd_subword_topk", "diversified_topk",
     "text_token_counts", "suggest_fuzzy",
     "payload_span_topk",
-    "dedup_exact", "dedup_clusters",
+    "geo3d_path_docs", "dedup_clusters",
     "decontam_overlap", "classify_nb", "shape_intersects_docs",
     "term_vector_doc", "pack_concat_stats",
     "multimodal_asset_stats",
@@ -2726,6 +2772,10 @@ _GATE_WINDOW = [
 # geo_polygon_docs -> shape_intersects_docs (NEW family: LatLonShape
 # analog — per-doc polygon geometries related to a query polygon, the
 # point-in-polygon gate stays selfcheck-verifiable below).
+# Late-round-5 swap: dedup_exact -> geo3d_path_docs (NEW family:
+# spatial3d GeoStandardPath corridor, lucene_spark/geo3d.py — plane
+# constants replayed in the DuckDB twin; dedup keeps dedup_clusters
+# inside the window and dedup_exact stays selfcheck-verifiable below).
 
 
 def _window_ordered(qs: dict) -> dict:
@@ -2812,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brazilian_term_topk": _q_brazilian_term("boataria", 20),
         "path_prefix_counts": _q_path_prefix_counts(30),
         "geo_polygon_docs": _q_geo_polygon(),
+        "geo3d_path_docs": _q_geo3d_path(),
         "ann_recall_floor": _q_ann_recall(),
         "datetools_day_counts": _q_datetools_day_counts("20240105", "20240112"),
         "facet_range_nchars": _q_facet_range("vector"),
@@ -3131,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "term_vector_doc": _q_term_vector((3, 11, 42)),
+        "fvh_fragments": _q_fvh_fragments("vector", 10),  # rows-only check
         "edge_ngram_prefix_docs": _q_edge_ngram_docs("vec"),
         "ann_cosine_topk": _q_ann_cosine(0, 10),
         "ann_lsh_topk": _q_ann_lsh(0, 10),  # approximate: rows-only check
@@ -3998,6 +4050,11 @@ ORDER BY score_r DESC, gram LIMIT 50
         "geo_distance_docs": (
             f"SELECT doc_id FROM {_GEO_T} t "
             f"WHERE {_GEO_HAV} <= 2000000.0 ORDER BY doc_id"
+        ),
+        "geo3d_path_docs": (
+            f"SELECT doc_id FROM {_GEO_T} t "
+            f"WHERE {geo3d.path_predicate_sql('lat', 'lon', _GEO3D_PATH, _GEO3D_CUTOFF)} "
+            f"ORDER BY doc_id"
         ),
         "geo_nearest_topk": (
             f"SELECT doc_id, round({_GEO_HAV}, 3) AS dist_r FROM {_GEO_T} t "

@@ -296,3 +296,64 @@ def within_convex_polygon(
     return df.filter(
         convex_polygon_predicate(lat_col, lon_col, polygon, model)
     )
+
+
+# -- ANSI-SQL twins (DuckDB oracles) ----------------------------------------
+#
+# Same driver-precomputed constants, same expression tree, operator for
+# operator — so the float64 results agree bit-for-bit up to the trig
+# library's last ulp (query geometries keep doc points far from
+# predicate boundaries relative to that).
+
+
+def _xyz_sql(lat_expr: str, lon_expr: str, model: PlanetModel) -> tuple:
+    phi = f"radians({lat_expr})"
+    lam = f"radians({lon_expr})"
+    x = f"(cos({phi}) * cos({lam}))"
+    y = f"(cos({phi}) * sin({lam}))"
+    z = f"sin({phi})"
+    t = (
+        f"(1.0 / sqrt(({x} * {x} + {y} * {y}) / {model.xy_scaling ** 2!r}"
+        f" + {z} * {z} / {model.z_scaling ** 2!r}))"
+    )
+    return (f"({t} * {x})", f"({t} * {y})", f"({t} * {z})")
+
+
+def _dot_sql(p: tuple, q: tuple) -> str:
+    return f"({p[0]} * {q[0]} + {p[1]} * {q[1]} + {p[2]} * {q[2]})"
+
+
+def _lit3_sql(v: tuple) -> tuple:
+    return (repr(v[0]), repr(v[1]), repr(v[2]))
+
+
+def path_predicate_sql(
+    lat_expr: str,
+    lon_expr: str,
+    points,
+    cutoff_radians: float,
+    model: PlanetModel = WGS84,
+) -> str:
+    """SQL twin of :func:`path_predicate` (oracle use)."""
+    segs, pts = _path_segments(points, model)
+    p = _xyz_sql(lat_expr, lon_expr, model)
+    pm = f"sqrt({_dot_sql(p, p)})"
+    cutoff = repr(float(cutoff_radians))
+    parts = []
+    for s in segs:
+        sin_ct = f"({_dot_sql(p, _lit3_sql(s.n))} / {pm})"
+        in_band = (
+            f"abs(asin(greatest(-1.0, least(1.0, {sin_ct})))) <= {cutoff}"
+        )
+        between = (
+            f"{_dot_sql(p, _lit3_sql(s.cp_a))} >= 0.0 AND "
+            f"{_dot_sql(p, _lit3_sql(s.cp_b))} >= 0.0"
+        )
+        parts.append(f"({in_band} AND {between})")
+    for v in pts:
+        vm = math.sqrt(_dot(v, v))
+        cosv = f"({_dot_sql(p, _lit3_sql(v))} / ({pm} * {vm!r}))"
+        parts.append(
+            f"(acos(greatest(-1.0, least(1.0, {cosv}))) <= {cutoff})"
+        )
+    return "(" + " OR ".join(parts) + ")"
