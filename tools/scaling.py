@@ -335,7 +335,40 @@ def main() -> None:
             idx_dir = os.path.join(
                 REPO, ".cache", f"scaling_idx_{args.docs}_{cpus}"
             )
+            # Round-5 finding (attempts a14-a16): the PRE-phase probe
+            # systematically reads 1.6-3x inflated when it runs shortly
+            # after the previous phase's teardown (48g-heap JVM exit +
+            # page-cache writeback of the just-deleted index), while the
+            # phase itself and its POST probe then run clean — the probe
+            # was measuring the benchmark's own teardown tail, not the
+            # host window, and the drift bar kept rejecting
+            # demonstrably-clean reps (a16 rep 1: pre 7.53 vs post 4.06
+            # with all-time-best stage times). Fix: sync dirty pages
+            # first, and when the reading is >1.3x the run's own
+            # calibration for this level, settle and re-probe ONCE —
+            # both readings are recorded; a genuinely contended window
+            # stays inflated on the second reading and still fails the
+            # bar.
+            try:
+                os.sync()
+            except (AttributeError, OSError):
+                pass
             kernel_sec = _phase_kernel(cpus)
+            calib_ref = calib.get("kernel", {}).get(cpus)
+            if calib_ref and kernel_sec > 1.3 * calib_ref:
+                print(
+                    f"[scaling] pre-probe {kernel_sec}s/proc > 1.3x "
+                    f"calibration ({calib_ref}) — teardown-tail suspect; "
+                    f"settling 75s and re-probing",
+                    file=sys.stderr,
+                )
+                time.sleep(75)
+                first = kernel_sec
+                kernel_sec = _phase_kernel(cpus)
+                print(
+                    f"[scaling] re-probe: {first} -> {kernel_sec}s/proc",
+                    file=sys.stderr,
+                )
             print(
                 f"[scaling] rep {rep + 1}/{args.repeats} build+query at "
                 f"local[{cpus}] (phase kernel {kernel_sec}s/proc) ...",
