@@ -162,7 +162,11 @@ def _worker(cpus: int, corpus_path: str, idx_dir: str) -> None:
         (BoolQ(should=(TermQ("import"), TermQ("return"), TermQ("func"))), 20),
         (PhraseQ(("apache", "license")), 20),
     ]
-    rounds = 3
+    # large-corpus reps (the 4x-workload build-scaling evidence) bound
+    # the query-suite wall-clock with one round — applied identically at
+    # both levels, so the per-rep ratio stays like-for-like; the 1.6M
+    # attempts keep the 3-round suite for round-over-round comparability
+    rounds = 3 if n_docs <= 4_000_000 else 1
     tq0 = time.time()
     for _ in range(rounds):
         for q, k in suite:
